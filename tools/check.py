@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Dev-only differential harness mirroring the driver's correctness gate.
+
+NOT part of the library (driver-side python: duckdb/pyarrow are available in
+this container for the driver; the Scala library never depends on them).
+
+Runs graft.Verify output against DuckDB executing oracle_sql.json over the
+same parquet tables, comparing row count, sorted-column-name schema, and a
+value hash — the same shape as CORRECTNESS_r{N}.json.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, math, hashlib
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style value canonicalization: floats to 9 sig digits
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    lines = sorted("\x1f".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pq.read_table(files[0])
+        g_names = list(got.schema.names)
+        g_rows = [tuple(c[i].as_py() for c in got.columns)
+                  for i in range(got.num_rows)]
+        try:
+            cur = con.execute(sql)
+            e_names = [d[0] for d in cur.description]
+            e_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        ok_schema = sorted(g_names) == sorted(e_names)
+        ok_rows = len(g_rows) == len(e_rows)
+        gh = table_hash(g_names, g_rows)
+        eh = table_hash(e_names, e_rows)
+        ok_hash = gh == eh
+        if ok_schema and ok_rows and ok_hash:
+            print(f"PASS {name} ({len(g_rows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: schema={ok_schema} rows={ok_rows}"
+                  f" ({len(g_rows)} vs {len(e_rows)}) hash={ok_hash}")
+            if not ok_schema:
+                print(f"  spark cols: {sorted(g_names)}")
+                print(f"  oracle cols: {sorted(e_names)}")
+            if ok_schema and not ok_hash:
+                order = sorted(range(len(g_names)), key=lambda i: g_names[i])
+                gl = sorted("\x1f".join(norm(r[i]) for i in order) for r in g_rows)
+                eo = sorted(range(len(e_names)), key=lambda i: e_names[i])
+                el = sorted("\x1f".join(norm(r[i]) for i in eo) for r in e_rows)
+                for a, b in zip(gl, el):
+                    if a != b:
+                        print(f"  spark : {a[:300]}")
+                        print(f"  oracle: {b[:300]}")
+                        break
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
