@@ -1,0 +1,326 @@
+package graft.geo
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.operation.buffer.BufferOp
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
+
+/** Catalyst expressions for the ST_* surface (SURVEY.md §2.8).
+  *
+  * Design: geometry travels as WKB bytes (`BinaryType`) between expressions —
+  * the storage representation, so scans feed expressions with zero
+  * conversion. Each expression decodes/encodes at its boundary via JTS.
+  * They are `CodegenFallback` (the JTS call dominates; codegen would only
+  * inline the dispatch) but remain null-safe, Filter/Project-pushable, and
+  * serializable to executors like any built-in.
+  */
+object geomops {
+  @inline def g(v: Any): Geometry = GeoIO.fromWkb(v.asInstanceOf[Array[Byte]])
+  @inline def wkb(geom: Geometry): Array[Byte] = GeoIO.toWkb(geom)
+  @inline def utf8(s: String): UTF8String = UTF8String.fromString(s)
+}
+import geomops._
+
+// ---- base shapes ---------------------------------------------------------
+
+abstract class GeoUnaryExpr extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType)
+}
+
+abstract class GeoPredicate extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  protected def test(a: Geometry, b: Geometry): Boolean
+  override def nullSafeEval(l: Any, r: Any): Any = test(g(l), g(r))
+}
+
+// ---- constructors --------------------------------------------------------
+
+case class StPoint(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    wkb(GeoIO.point(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+  override def prettyName: String = "st_point"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class StMakeEnvelope(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.size == 4, "st_makeenvelope(xmin, ymin, xmax, ymax)")
+  override def inputTypes = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val Seq(x0, y0, x1, y1) = vs.map(_.asInstanceOf[Double])
+      wkb(GeoIO.envelope(x0, y0, x1, y1))
+    }
+  }
+  override def prettyName: String = "st_makeenvelope"
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+}
+
+case class StGeomFromText(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = wkb(GeoIO.fromWkt(v.toString))
+  override def prettyName: String = "st_geomfromtext"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class StGeomFromGeoJson(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = wkb(GeoIO.fromGeoJson(v.toString))
+  override def prettyName: String = "st_geomfromgeojson"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Parse + re-write: validates WKB and normalizes byte order/layout. */
+case class StGeomFromWKB(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = wkb(g(v))
+  override def prettyName: String = "st_geomfromwkb"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+// ---- accessors / measures ------------------------------------------------
+
+case class StX(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getCoordinate.x
+  override def prettyName: String = "st_x"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StY(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getCoordinate.y
+  override def prettyName: String = "st_y"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StXMin(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getEnvelopeInternal.getMinX
+  override def prettyName: String = "st_xmin"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StYMin(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getEnvelopeInternal.getMinY
+  override def prettyName: String = "st_ymin"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StXMax(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getEnvelopeInternal.getMaxX
+  override def prettyName: String = "st_xmax"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StYMax(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getEnvelopeInternal.getMaxY
+  override def prettyName: String = "st_ymax"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StArea(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getArea
+  override def prettyName: String = "st_area"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StLength(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = g(v).getLength
+  override def prettyName: String = "st_length"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StNPoints(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = g(v).getNumPoints
+  override def prettyName: String = "st_npoints"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StGeometryType(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = utf8(g(v).getGeometryType)
+  override def prettyName: String = "st_geometrytype"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StIsEmpty(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = g(v).isEmpty
+  override def prettyName: String = "st_isempty"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StIsValid(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = g(v).isValid
+  override def prettyName: String = "st_isvalid"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+// ---- serialization -------------------------------------------------------
+
+case class StAsText(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = utf8(GeoIO.toWkt(g(v)))
+  override def prettyName: String = "st_astext"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StAsGeoJson(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = utf8(GeoIO.toGeoJson(g(v)))
+  override def prettyName: String = "st_asgeojson"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+// ---- unary geometry -> geometry ------------------------------------------
+
+case class StCentroid(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = wkb(g(v).getCentroid)
+  override def prettyName: String = "st_centroid"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StEnvelope(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = wkb(g(v).getEnvelope)
+  override def prettyName: String = "st_envelope"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+case class StConvexHull(child: Expression) extends GeoUnaryExpr {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = wkb(g(v).convexHull())
+  override def prettyName: String = "st_convexhull"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+// ---- binary predicates ---------------------------------------------------
+
+case class StIntersects(left: Expression, right: Expression) extends GeoPredicate {
+  override protected def test(a: Geometry, b: Geometry): Boolean = a.intersects(b)
+  override def prettyName: String = "st_intersects"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+case class StContains(left: Expression, right: Expression) extends GeoPredicate {
+  override protected def test(a: Geometry, b: Geometry): Boolean = a.contains(b)
+  override def prettyName: String = "st_contains"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+case class StWithin(left: Expression, right: Expression) extends GeoPredicate {
+  override protected def test(a: Geometry, b: Geometry): Boolean = a.within(b)
+  override def prettyName: String = "st_within"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+// ---- binary geometry ops -------------------------------------------------
+
+case class StDistance(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = g(l).distance(g(r))
+  override def prettyName: String = "st_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+case class StUnion(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any = wkb(g(l).union(g(r)))
+  override def prettyName: String = "st_union"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes =
+    Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    g(a).isWithinDistance(g(b), d.asInstanceOf[Double])
+  override def prettyName: String = "st_dwithin"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+// ---- geometry + scalar ---------------------------------------------------
+
+case class StBuffer(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, d: Any): Any =
+    wkb(BufferOp.bufferOp(g(l), d.asInstanceOf[Double]))
+  override def prettyName: String = "st_buffer"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Topology-preserving by default — matches the reference's shapely
+  * `simplify(preserve_topology=True)` (`serializers/esri_pbf.py:136-138`). */
+case class StSimplify(left: Expression, right: Expression,
+    preserveTopology: Boolean = true) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, d: Any): Any = {
+    val tol = d.asInstanceOf[Double]
+    val geom = g(l)
+    wkb(if (preserveTopology) TopologyPreservingSimplifier.simplify(geom, tol)
+        else DouglasPeuckerSimplifier.simplify(geom, tol))
+  }
+  override def prettyName: String = "st_simplify"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes =
+    Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(geom: Any, from: Any, to: Any): Any =
+    wkb(GeoIO.transform(g(geom), from.asInstanceOf[Int], to.asInstanceOf[Int]))
+  override def prettyName: String = "st_transform"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+// ---- array of geometries -------------------------------------------------
+
+/** ST_Collect over an array column (cookbook 2.7: `ST_Collect(ARRAY_AGG(g))`). */
+case class StCollect(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val geoms = (0 until arr.numElements())
+      .filterNot(arr.isNullAt)
+      .map(i => g(arr.getBinary(i)))
+    wkb(GeoIO.factory.buildGeometry(
+      scala.jdk.CollectionConverters.SeqHasAsJava(geoms).asJava))
+  }
+  override def prettyName: String = "st_collect"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

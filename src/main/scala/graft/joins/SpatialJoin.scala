@@ -1,0 +1,138 @@
+package graft.joins
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.index.strtree.{ItemBoundable, ItemDistance, STRtree}
+
+import graft.geo.{GeoFunctions => G, GeoIO}
+
+/** Distributed spatial joins (SURVEY.md §2.3 J1–J5, §7 step 8).
+  *
+  * The reference only ever does spatial joins as DuckDB nested loops over
+  * ≤10k cached rows (query_cookbook cells 15-30); a naive Spark translation
+  * is a `BroadcastNestedLoopJoin` — O(n·m) and a non-starter at 100 TB.
+  * Two scale paths instead:
+  *
+  *  - [[grid]] — PBSM-style partitioned join: both sides explode the grid
+  *    cells covered by their (optionally distance-expanded) envelope,
+  *    equi-join on cell id (a normal shuffle join Catalyst plans, AQE can
+  *    skew-split), then refine with the exact JTS predicate. Duplicate-pair
+  *    elimination uses the reference-point technique — a pair is emitted
+  *    only in the cell containing the min corner of the envelope
+  *    intersection — so no `distinct` shuffle is needed.
+  *
+  *  - [[knnBroadcast]] — small right side broadcast as an STRtree, built
+  *    once per partition, queried per left row: k-NN without a cross join.
+  *
+  * Cell assignment uses only Catalyst built-ins (floor/sequence/explode) so
+  * that stage stays inside whole-stage codegen; only the refine predicate
+  * is a JTS call.
+  */
+object SpatialJoin {
+
+  private def withCells(df: DataFrame, geom: Column, cell: Double,
+      pfx: String, expand: Double): DataFrame = {
+    df.withColumn(s"${pfx}_xmin", G.st_xmin(geom) - expand)
+      .withColumn(s"${pfx}_ymin", G.st_ymin(geom) - expand)
+      .withColumn(s"${pfx}_xmax", G.st_xmax(geom) + expand)
+      .withColumn(s"${pfx}_ymax", G.st_ymax(geom) + expand)
+      .withColumn(s"${pfx}_ix", explode(sequence(
+        floor(col(s"${pfx}_xmin") / cell).cast("long"),
+        floor(col(s"${pfx}_xmax") / cell).cast("long"))))
+      .withColumn(s"${pfx}_iy", explode(sequence(
+        floor(col(s"${pfx}_ymin") / cell).cast("long"),
+        floor(col(s"${pfx}_ymax") / cell).cast("long"))))
+  }
+
+  /** Grid-partitioned spatial join. `predicate(l, r)` is the exact refine
+    * test (st_within / st_intersects / st_dwithin...). For st_dwithin with
+    * distance d, pass `expand = d` so near-but-not-touching candidates
+    * still share a cell. Left/right must not share column names. */
+  def grid(left: DataFrame, leftGeom: Column,
+      right: DataFrame, rightGeom: Column,
+      predicate: (Column, Column) => Column,
+      cellSize: Double,
+      expand: Double = 0.0): DataFrame = {
+    val l = withCells(left, leftGeom, cellSize, "__l", 0.0)
+    val r = withCells(right, rightGeom, cellSize, "__r", expand)
+
+    // reference-point dedup: the candidate envelope intersection's min
+    // corner lies in exactly one cell; emit the pair only there.
+    val refIx = floor(greatest(col("__l_xmin"), col("__r_xmin")) / cellSize).cast("long")
+    val refIy = floor(greatest(col("__l_ymin"), col("__r_ymin")) / cellSize).cast("long")
+
+    l.join(r, col("__l_ix") === col("__r_ix") && col("__l_iy") === col("__r_iy"))
+      .filter(col("__l_ix") === refIx && col("__l_iy") === refIy)
+      .filter(predicate(leftGeom, rightGeom))
+      .drop("__l_xmin", "__l_ymin", "__l_xmax", "__l_ymax", "__l_ix", "__l_iy",
+        "__r_xmin", "__r_ymin", "__r_xmax", "__r_ymax", "__r_ix", "__r_iy")
+  }
+
+  /** k-nearest-neighbour join with a broadcast right side.
+    *
+    * Builds one STRtree per partition from a broadcast row array, queries
+    * `k + pad` neighbours per left row, then re-sorts by
+    * `(distance, numeric tiebreak)` and keeps k — deterministic under
+    * distance ties, which raw STRtree k-NN is not.
+    *
+    * Output: left columns ++ right columns ++ `knn_dist`.
+    */
+  def knnBroadcast(left: DataFrame, leftGeomCol: String,
+      right: DataFrame, rightGeomCol: String,
+      k: Int, tiebreak: String): DataFrame = {
+    val spark = left.sparkSession
+    val rightSchema = right.schema
+    val bRight = spark.sparkContext.broadcast(right.collect())
+    val rGeomIdx = rightSchema.fieldIndex(rightGeomCol)
+    val rTieIdx = rightSchema.fieldIndex(tiebreak)
+    val lGeomIdx = left.schema.fieldIndex(leftGeomCol)
+
+    val outSchema = StructType(left.schema.fields ++ rightSchema.fields :+
+      StructField("knn_dist", DoubleType, nullable = false))
+    val pad = 8
+
+    left.mapPartitions { it =>
+      val rows = bRight.value
+      val geoms = new Array[Geometry](rows.length)
+      val tree = new STRtree()
+      var i = 0
+      while (i < rows.length) {
+        geoms(i) = GeoIO.fromWkb(rows(i).getAs[Array[Byte]](rGeomIdx))
+        tree.insert(geoms(i).getEnvelopeInternal, Integer.valueOf(i))
+        i += 1
+      }
+      tree.build()
+      def geomOf(item: AnyRef): Geometry = item match {
+        case idx: Integer => geoms(idx)
+        case g: Geometry => g
+      }
+      val itemDist = new ItemDistance {
+        def distance(a: ItemBoundable, b: ItemBoundable): Double =
+          geomOf(a.getItem.asInstanceOf[AnyRef])
+            .distance(geomOf(b.getItem.asInstanceOf[AnyRef]))
+      }
+      it.flatMap { lrow =>
+        val lg = GeoIO.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
+        val nn = tree.nearestNeighbour(lg.getEnvelopeInternal, lg, itemDist,
+          math.min(k + pad, rows.length))
+        nn.toSeq
+          .map { item =>
+            val idx = item.asInstanceOf[Integer].intValue()
+            (geoms(idx).distance(lg), idx)
+          }
+          .sortBy { case (d, idx) =>
+            (d, rows(idx).get(rTieIdx) match {
+              case n: Number => n.doubleValue()
+              case other => other.hashCode.toDouble
+            })
+          }
+          .take(k)
+          .map { case (d, idx) =>
+            Row.fromSeq(lrow.toSeq ++ rows(idx).toSeq :+ d)
+          }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,6 +1,244 @@
 package graft.operators
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.joins.SpatialJoin
+import graft.geo.{GeoFunctions => G}
+
+/** Differential coverage for the geospatial surface (SURVEY.md §2.2–§2.8):
+  * geometry is synthesized deterministically from TPC-H keys ([[GeoSynth]]),
+  * computed through the JTS-backed ST_* expressions on the Spark side, and
+  * re-derived in closed form (plain arithmetic, no spatial extension) by the
+  * DuckDB oracle.
+  *
+  * Float discipline: per-row coordinate arithmetic is bit-identical across
+  * engines; JTS point distance is `Math.hypot` while the oracle uses
+  * `sqrt(dx²+dy²)`, so distances are rounded to 6 dp on output and distance
+  * thresholds (0.313) are chosen off the 0.005° coordinate lattice so no
+  * real distance can sit on the boundary.
+  */
 object GeoQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private val distSql =
+    "sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A4: extent aggregate via st_xmin/... over synthesized points.
+    "geo_extent" -> ((s, d) => {
+      GeoSynth.points(s, d).agg(
+        min(G.st_xmin(col("geom"))).as("xmin"),
+        min(G.st_ymin(col("geom"))).as("ymin"),
+        max(G.st_xmax(col("geom"))).as("xmax"),
+        max(G.st_ymax(col("geom"))).as("ymax"))
+    }),
+
+    // P3/P4: bbox intersect filter (boundary-inclusive, like ST_Intersects).
+    "geo_bbox_filter" -> ((s, d) => {
+      GeoSynth.points(s, d)
+        .filter(G.st_intersects(col("geom"),
+          G.st_makeenvelope(lit(-100.0), lit(35.0), lit(-95.0), lit(40.0))))
+        .select(col("c_custkey"), col("lon"), col("lat"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P5: spatial-rel filter with a WKT literal and rel=within (strict).
+    "geo_within_wkt" -> ((s, d) => {
+      GeoSynth.points(s, d)
+        .filter(G.st_within(col("geom"), G.st_geomfromtext(
+          lit("POLYGON ((-110 30, -90 30, -90 45, -110 45, -110 30))"))))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // O3: top-k by distance (TakeOrderedAndProject under the hood).
+    "geo_distance_topk" -> ((s, d) => {
+      val q = G.st_point(lit(-100.0), lit(35.0))
+      GeoSynth.points(s, d)
+        .withColumn("dist", round(G.st_distance(col("geom"), q), 6))
+        .select(col("c_custkey"), col("dist"))
+        .orderBy(col("dist"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // A6: grid-binned centroid aggregation (the webmap LOD query).
+    "geo_grid_agg" -> ((s, d) => {
+      val res = 0.5
+      GeoSynth.points(s, d)
+        .groupBy(floor(col("lon") / res).cast("long").as("cell_x"),
+          floor(col("lat") / res).cast("long").as("cell_y"))
+        .agg(count(lit(1)).as("feature_count"))
+        .withColumn("cgeom", G.st_point(
+          (col("cell_x") + 0.5) * res, (col("cell_y") + 0.5) * res))
+        .select(col("cell_x"), col("cell_y"), col("feature_count"),
+          G.st_x(col("cgeom")).as("cx"), G.st_y(col("cgeom")).as("cy"))
+        .orderBy(col("cell_x"), col("cell_y"))
+    }),
+
+    // J1: point-in-polygon join via the grid-partitioned spatial join.
+    "geo_pip_join" -> ((s, d) => {
+      SpatialJoin.grid(
+        GeoSynth.points(s, d), col("geom"),
+        GeoSynth.boxes(s, d), col("bgeom"),
+        (l, r) => G.st_within(l, r), cellSize = 0.5)
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // J5: count points per polygon, zeros included (left-outer shape).
+    "geo_pip_count" -> ((s, d) => {
+      val joined = SpatialJoin.grid(
+        GeoSynth.points(s, d), col("geom"),
+        GeoSynth.boxes(s, d), col("bgeom"),
+        (l, r) => G.st_within(l, r), cellSize = 0.5)
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_points"))
+      GeoSynth.boxes(s, d).select(col("s_suppkey"))
+        .join(joined, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"), coalesce(col("n_points"), lit(0L)).as("n_points"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // J4: 1-NN join (broadcast STRtree with deterministic tie-break).
+    "geo_knn" -> ((s, d) => {
+      val centroids = GeoSynth.boxes(s, d).select(
+        col("s_suppkey"),
+        ((col("x0") + col("x1")) / 2).as("cx"),
+        ((col("y0") + col("y1")) / 2).as("cy"))
+        .withColumn("cgeom", G.st_point(col("cx"), col("cy")))
+      SpatialJoin.knnBroadcast(
+        GeoSynth.points(s, d), "geom", centroids, "cgeom",
+        k = 1, tiebreak = "s_suppkey")
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("knn_dist"), 6).as("dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J3: distance (buffer) join via grid join with envelope expansion.
+    "geo_dwithin_join" -> ((s, d) => {
+      val centroids = GeoSynth.boxes(s, d).select(
+        col("s_suppkey"),
+        ((col("x0") + col("x1")) / 2).as("cx"),
+        ((col("y0") + col("y1")) / 2).as("cy"))
+        .withColumn("cgeom", G.st_point(col("cx"), col("cy")))
+      SpatialJoin.grid(
+        GeoSynth.points(s, d), col("geom"),
+        centroids, col("cgeom"),
+        (l, r) => G.st_dwithin(l, r, lit(0.313)), cellSize = 0.5, expand = 0.313)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_near"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // A7: geometric union aggregate over disjoint boxes (area check).
+    "geo_union_area" -> ((s, d) => {
+      val boxes = graft.Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"),
+        (lit(-120.0) + (col("s_suppkey") % 100) * 1.0).as("x0"),
+        (lit(25.0) + ((col("s_suppkey") / 100).cast("long") % 50) * 1.0).as("y0"),
+        (lit(0.1) + (col("s_suppkey") % 7) * 0.1).as("w"))
+      boxes
+        .withColumn("bgeom", G.st_makeenvelope(col("x0"), col("y0"),
+          col("x0") + col("w"), col("y0") + col("w")))
+        .groupBy(col("s_nationkey"))
+        .agg(round(G.st_area(G.st_union_aggr(col("bgeom"))), 4).as("union_area"),
+          count(lit(1)).as("n_boxes"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // A8: envelope aggregate per group.
+    "geo_envelope_agg" -> ((s, d) => {
+      GeoSynth.boxes(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          G.st_xmin(G.st_envelope_aggr(col("bgeom"))).as("xmin"),
+          G.st_ymin(G.st_envelope_aggr(col("bgeom"))).as("ymin"),
+          G.st_xmax(G.st_envelope_aggr(col("bgeom"))).as("xmax"),
+          G.st_ymax(G.st_envelope_aggr(col("bgeom"))).as("ymax"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // CRS: web-mercator transform (honoring outSR, which the reference
+    // parses but never applies — SURVEY §1.4).
+    "geo_transform" -> ((s, d) => {
+      GeoSynth.points(s, d)
+        .withColumn("merc", G.st_transform(col("geom"), lit(4326), lit(3857)))
+        .select(col("c_custkey"),
+          round(G.st_x(col("merc")), 4).as("mx"),
+          round(G.st_y(col("merc")), 4).as("my"))
+        .orderBy(col("c_custkey"))
+        .limit(500)
+    }))
+
+  private def P = GeoSynth.oraclePrelude
+
+  def oracleSql: Map[String, String] = Map(
+    "geo_extent" ->
+      s"""$P SELECT min(lon) AS xmin, min(lat) AS ymin,
+          max(lon) AS xmax, max(lat) AS ymax FROM pts""",
+    "geo_bbox_filter" ->
+      s"""$P SELECT c_custkey, lon, lat FROM pts
+          WHERE lon >= -100.0 AND lon <= -95.0 AND lat >= 35.0 AND lat <= 40.0
+          ORDER BY c_custkey""",
+    "geo_within_wkt" ->
+      s"""$P SELECT c_nationkey, count(*) AS n FROM pts
+          WHERE lon > -110.0 AND lon < -90.0 AND lat > 30.0 AND lat < 45.0
+          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "geo_distance_topk" ->
+      s"""$P SELECT c_custkey,
+          round(sqrt((lon - (-100.0)) * (lon - (-100.0))
+                   + (lat - 35.0) * (lat - 35.0)), 6) AS dist
+          FROM pts ORDER BY dist, c_custkey LIMIT 20""",
+    "geo_grid_agg" ->
+      s"""$P SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
+          CAST(floor(lat / 0.5) AS BIGINT) AS cell_y,
+          count(*) AS feature_count,
+          (CAST(floor(lon / 0.5) AS BIGINT) + 0.5) * 0.5 AS cx,
+          (CAST(floor(lat / 0.5) AS BIGINT) + 0.5) * 0.5 AS cy
+          FROM pts GROUP BY 1, 2, 4, 5 ORDER BY cell_x, cell_y""",
+    "geo_pip_join" ->
+      s"""$P SELECT c_custkey, s_suppkey FROM pts JOIN boxes
+          ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+          ORDER BY c_custkey, s_suppkey""",
+    "geo_pip_count" ->
+      s"""$P SELECT s_suppkey, count(c_custkey) AS n_points
+          FROM boxes LEFT JOIN pts
+          ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+          GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "geo_knn" ->
+      s"""$P, cents AS (
+            SELECT s_suppkey, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy
+            FROM boxes)
+          SELECT c_custkey, s_suppkey, round(dist, 6) AS dist FROM (
+            SELECT c_custkey, s_suppkey, $distSql AS dist,
+              row_number() OVER (PARTITION BY c_custkey
+                ORDER BY $distSql, s_suppkey) AS rn
+            FROM pts CROSS JOIN cents) t
+          WHERE rn = 1 ORDER BY c_custkey""",
+    "geo_dwithin_join" ->
+      s"""$P, cents AS (
+            SELECT s_suppkey, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy
+            FROM boxes)
+          SELECT s_suppkey, count(*) AS n_near
+          FROM pts CROSS JOIN cents
+          WHERE $distSql <= 0.313
+          GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "geo_union_area" ->
+      """WITH b AS (
+           SELECT s_suppkey, s_nationkey,
+             (CAST(0.1 AS DOUBLE) + (s_suppkey % 7) * CAST(0.1 AS DOUBLE)) AS w
+           FROM supplier)
+         SELECT s_nationkey, round(sum(w * w), 4) AS union_area,
+           count(*) AS n_boxes
+         FROM b GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "geo_envelope_agg" ->
+      s"""$P SELECT s_nationkey, min(x0) AS xmin, min(y0) AS ymin,
+          max(x1) AS xmax, max(y1) AS ymax
+          FROM boxes GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "geo_transform" ->
+      s"""$P SELECT c_custkey,
+          round(6378137.0 * (lon * pi() / 180.0), 4) AS mx,
+          round(6378137.0 * ln(tan(pi() / 4.0 + (lat * pi() / 180.0) / 2.0)), 4) AS my
+          FROM pts ORDER BY c_custkey LIMIT 500""")
 }

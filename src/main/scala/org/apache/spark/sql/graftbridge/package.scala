@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column <-> Expression conversion
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). Spark 4 wraps Column
+  * around ColumnNode; building typed Columns from custom Catalyst
+  * expressions requires this internal hop — same technique every expression
+  * library (e.g. Sedona's spark-shims) uses.
+  */
+package object graftbridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.geo.{GeoIO, GeoFunctions => G}
+
+/** Geometry kernel: codec round-trips (ScalaCheck), scalar semantics against
+  * JTS directly, SQL registry, and the two geometric aggregates. */
+class GeoSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def wkbOf(wkt: String): Array[Byte] = GeoIO.toWkb(GeoIO.fromWkt(wkt))
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("WKB/WKT round-trip property (points, boxes, linestrings)") {
+    val coord = for {
+      x <- Gen.chooseNum(-179.0, 179.0)
+      y <- Gen.chooseNum(-89.0, 89.0)
+    } yield (x, y)
+    val pointWkt = coord.map { case (x, y) => s"POINT ($x $y)" }
+    val boxWkt = for {
+      (x, y) <- coord; w <- Gen.chooseNum(0.001, 5.0); h <- Gen.chooseNum(0.001, 5.0)
+    } yield s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))"
+    val lineWkt = for {
+      (x, y) <- coord; (x2, y2) <- coord
+    } yield s"LINESTRING ($x $y, $x2 $y2)"
+    check(Prop.forAll(Gen.oneOf(pointWkt, boxWkt, lineWkt)) { wkt =>
+      val g = GeoIO.fromWkt(wkt)
+      GeoIO.fromWkb(GeoIO.toWkb(g)).equalsExact(g)
+    })
+  }
+
+  test("GeoJSON round-trip for every geometry type") {
+    val wkts = Seq(
+      "POINT (1 2)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((0 0), (1 1))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    wkts.foreach { wkt =>
+      val g = GeoIO.fromWkt(wkt)
+      assert(GeoIO.fromGeoJson(GeoIO.toGeoJson(g)).equalsExact(g), wkt)
+    }
+  }
+
+  test("scalar functions match JTS semantics through the DataFrame API") {
+    val df = Seq(
+      (1L, wkbOf("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")),
+      (2L, wkbOf("POINT (2 1)"))
+    ).toDF("id", "geom")
+    val r = df.select(
+      col("id"), G.st_area(col("geom")).as("area"),
+      G.st_xmin(col("geom")).as("xmin"), G.st_xmax(col("geom")).as("xmax"),
+      G.st_geometrytype(col("geom")).as("gt"),
+      G.st_astext(G.st_centroid(col("geom"))).as("centroid"))
+      .orderBy("id").collect()
+    assert(r(0).getDouble(1) === 12.0)
+    assert(r(0).getDouble(2) === 0.0 && r(0).getDouble(3) === 4.0)
+    assert(r(0).getString(4) === "Polygon")
+    assert(r(0).getString(5) === "POINT (2 1.5)")
+    assert(r(1).getDouble(1) === 0.0)
+    assert(r(1).getString(4) === "Point")
+  }
+
+  test("predicates: within / contains / intersects / dwithin") {
+    val box = wkbOf("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val df = Seq(
+      ("in", wkbOf("POINT (5 5)")),
+      ("out", wkbOf("POINT (20 20)")),
+      ("edge", wkbOf("POINT (10 5)"))
+    ).toDF("name", "pt").withColumn("box", lit(box))
+    val got = df.select(col("name"),
+      G.st_within(col("pt"), col("box")).as("within"),
+      G.st_contains(col("box"), col("pt")).as("contains"),
+      G.st_intersects(col("pt"), col("box")).as("intersects"),
+      G.st_dwithin(col("pt"), col("box"), lit(1.0)).as("near"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("in").getBoolean(1) && got("in").getBoolean(2) && got("in").getBoolean(3))
+    assert(!got("out").getBoolean(1) && !got("out").getBoolean(3) && !got("out").getBoolean(4))
+    // boundary point: intersects but not within (JTS/OGC semantics)
+    assert(!got("edge").getBoolean(1) && got("edge").getBoolean(3))
+  }
+
+  test("SQL registry: same functions usable via spark.sql") {
+    graft.geo.GeoRegistry.install(spark)
+    val r = spark.sql(
+      """SELECT st_area(st_makeenvelope(0.0d, 0.0d, 2.0d, 3.0d)) AS a,
+                st_astext(st_point(1.0d, 2.0d)) AS p,
+                st_distance(st_point(0.0d, 0.0d), st_point(3.0d, 4.0d)) AS d,
+                st_x(st_geomfromtext('POINT (7 8)')) AS x
+      """).collect()(0)
+    assert(r.getDouble(0) === 6.0)
+    assert(r.getString(1) === "POINT (1 2)")
+    assert(r.getDouble(2) === 5.0)
+    assert(r.getDouble(3) === 7.0)
+  }
+
+  test("st_union_aggr: area of disjoint boxes == sum of areas") {
+    val rows = (0 until 100).map { i =>
+      val x = (i % 10) * 3.0; val y = (i / 10) * 3.0
+      (i.toLong, wkbOf(s"POLYGON (($x $y, ${x + 1} $y, ${x + 1} ${y + 1}, $x ${y + 1}, $x $y))"))
+    }
+    val df = rows.toDF("id", "geom")
+    val area = df.agg(G.st_area(G.st_union_aggr(col("geom"))).as("a")).collect()(0).getDouble(0)
+    assert(math.abs(area - 100.0) < 1e-9)
+    // overlapping boxes: union area < sum of areas
+    val df2 = Seq((1L, wkbOf("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")),
+      (2L, wkbOf("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))).toDF("id", "geom")
+    val a2 = df2.agg(G.st_area(G.st_union_aggr(col("geom"))).as("a")).collect()(0).getDouble(0)
+    assert(math.abs(a2 - 7.0) < 1e-9)
+  }
+
+  test("st_envelope_aggr folds extents; groupBy partial agg works") {
+    val df = Seq(
+      ("a", wkbOf("POINT (1 2)")), ("a", wkbOf("POINT (5 8)")),
+      ("b", wkbOf("POINT (-3 0)"))).toDF("k", "geom")
+    val r = df.groupBy("k").agg(
+      G.st_xmin(G.st_envelope_aggr(col("geom"))).as("xmin"),
+      G.st_ymax(G.st_envelope_aggr(col("geom"))).as("ymax"))
+      .orderBy("k").collect()
+    assert(r(0).getDouble(1) === 1.0 && r(0).getDouble(2) === 8.0)
+    assert(r(1).getDouble(1) === -3.0 && r(1).getDouble(2) === 0.0)
+  }
+
+  test("st_transform 4326<->3857 round-trips") {
+    val p = GeoIO.fromWkt("POINT (-105.0 39.7)")
+    val merc = GeoIO.transform(p, 4326, 3857)
+    assert(math.abs(merc.getCoordinate.x - -11688546.53) < 1.0)
+    val back = GeoIO.transform(merc, 3857, 4326)
+    assert(math.abs(back.getCoordinate.x - -105.0) < 1e-9)
+    assert(math.abs(back.getCoordinate.y - 39.7) < 1e-9)
+  }
+
+  test("st_collect over array + convex hull") {
+    val df = Seq((1L, wkbOf("POINT (0 0)")), (1L, wkbOf("POINT (2 0)")),
+      (1L, wkbOf("POINT (1 3)"))).toDF("k", "geom")
+    val hullArea = df.groupBy("k")
+      .agg(collect_list(col("geom")).as("gs"))
+      .select(G.st_area(G.st_convexhull(G.st_collect(col("gs")))).as("a"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(hullArea - 3.0) < 1e-9)
+  }
+
+  test("null propagation: null WKB yields null, not a crash") {
+    val df = Seq((1L, Option.empty[Array[Byte]]),
+      (2L, Some(wkbOf("POINT (1 1)")))).toDF("id", "geom")
+    val r = df.select(G.st_area(col("geom")).as("a")).orderBy(col("a").asc_nulls_first).collect()
+    assert(r(0).isNullAt(0) && r(1).getDouble(0) === 0.0)
+  }
+
+  test("st_simplify reduces vertices, st_buffer grows area") {
+    val line = wkbOf((0 to 100).map(i => s"$i ${if (i % 2 == 0) 0.001 else -0.001}")
+      .mkString("LINESTRING (", ", ", ")"))
+    val df = Seq(Tuple1(line)).toDF("geom")
+    val Row(n0: Int, n1: Int, bufArea: Double) = df.select(
+      G.st_npoints(col("geom")),
+      G.st_npoints(G.st_simplify(col("geom"), lit(0.01))),
+      G.st_area(G.st_buffer(col("geom"), lit(1.0)))).collect()(0)
+    assert(n1 < n0)
+    assert(bufArea > 100 * 2 * 0.9) // ~length*2*d plus caps
+  }
+}
