@@ -1,0 +1,161 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.geo.{GeoFunctions => G}
+
+/** The query pipeline every API surface shares (engine.py:282-463):
+  *
+  * {{{
+  * numbered(__oid) -> objectIds/bbox/spatial/where filters -> mode branch
+  *   (count-only | ids-only | projection -> orderBy -> offset/limit)
+  * }}}
+  *
+  * `__oid` semantics (W1, the hardest invariant — SURVEY §7): the reference
+  * assigns `ROW_NUMBER() OVER () - 1` over its insertion-ordered cache
+  * *before* any filter, so an OID identifies the same feature in every
+  * query shape. Distributed determinism needs an explicit total order: we
+  * use `row_number` over the detected id field (tie-broken = unique in all
+  * reference datasets).
+  *
+  * Scale note: a global `row_number` window forces a single-partition
+  * exchange. That is the *parity* path. When the table has a unique
+  * integer id (every reference dataset does), [[Oid.ById]] uses the id
+  * column directly as `__oid` — stable, filter-independent, and fully
+  * distributed (no exchange at all); OIDs are then stable-but-sparse,
+  * which every GeoServices client accepts (the contract is stability, not
+  * density). `Oid.Sequential` keeps exact reference semantics for parity
+  * testing. Likewise `offset` pagination is the parity path; keyset
+  * pagination (`where __oid > last`) is the 100 TB path and falls out of
+  * the same pipeline via `where`.
+  */
+object QueryEngine {
+
+  sealed trait Oid
+  object Oid {
+    /** Exact reference semantics: dense 0-based row_number over id order. */
+    case object Sequential extends Oid
+    /** Scale semantics: the unique id column is the OID (no shuffle). */
+    case object ById extends Oid
+  }
+
+  val OidCol = "__oid"
+
+  /** Stamp `__oid` before any filter so ids are query-independent. */
+  def numbered(df: DataFrame, schema: FeatureSchema,
+      mode: Oid = Oid.Sequential): DataFrame = {
+    if (df.columns.contains(OidCol)) return df
+    schema.idField match {
+      case Some(id) if mode == Oid.ById =>
+        df.withColumn(OidCol, col(id).cast("long"))
+      case Some(id) =>
+        df.withColumn(OidCol,
+          row_number().over(Window.orderBy(col(id))).cast("long") - 1)
+      case None =>
+        // no id column: fall back to a deterministic (file, position) order
+        df.withColumn("__file", input_file_name())
+          .withColumn(OidCol,
+            row_number().over(Window.orderBy(col("__file"),
+              monotonically_increasing_id())).cast("long") - 1)
+          .drop("__file")
+    }
+  }
+
+  private def spatialPredicate(rel: SpatialRel, geom: Column, filter: Column): Column =
+    rel match {
+      case SpatialRel.Intersects => G.st_intersects(geom, filter)
+      case SpatialRel.Contains => G.st_contains(geom, filter)
+      case SpatialRel.Within => G.st_within(geom, filter)
+    }
+
+  private val IdentRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+
+  private def checkIdent(name: String): String = {
+    if (IdentRe.findFirstIn(name).isEmpty)
+      throw WhereSanitizer.SanitizeException(s"invalid identifier: $name")
+    name
+  }
+
+  /** Apply all filters (everything *before* the mode branch). */
+  def filtered(numbered: DataFrame, schema: FeatureSchema, p: QueryParams): DataFrame = {
+    var df = numbered
+    val geomCol = schema.geometryColumn.map(col)
+
+    p.objectIds.foreach { ids => df = df.filter(col(OidCol).isin(ids: _*)) }
+    p.bbox.foreach { b =>
+      geomCol.foreach { gc =>
+        df = df.filter(G.st_intersects(gc,
+          G.st_makeenvelope(lit(b.xmin), lit(b.ymin), lit(b.xmax), lit(b.ymax))))
+      }
+    }
+    p.geometryWkt.foreach { wkt =>
+      geomCol.foreach { gc =>
+        df = df.filter(spatialPredicate(p.spatialRel, gc,
+          G.st_geomfromtext(lit(wkt))))
+      }
+    }
+    p.where.foreach { w =>
+      df = df.filter(expr(WhereSanitizer.sanitize(df.sparkSession, w)))
+    }
+    df
+  }
+
+  /** Projection (P1): requested fields or *, geometry appended when
+    * returning geometry, internals excluded, empty -> `1 AS _dummy`. */
+  def projected(df: DataFrame, schema: FeatureSchema, p: QueryParams): DataFrame = {
+    val all = df.columns.filterNot(_.startsWith("__")).toSeq
+    val requested =
+      if (p.outFields == Seq("*") || p.outFields.isEmpty) all
+      else p.outFields.map(checkIdent).filter(df.columns.contains)
+    val withGeom = schema.geometryColumn match {
+      case Some(g) if p.returnGeometry && !requested.contains(g) => requested :+ g
+      case Some(g) if !p.returnGeometry => requested.filterNot(_ == g)
+      case _ => requested
+    }
+    val cols = col(OidCol) +: withGeom.filterNot(_ == OidCol).map(col)
+    if (withGeom.isEmpty) df.select(col(OidCol), lit(1).as("_dummy"))
+    else df.select(cols: _*)
+  }
+
+  def query(base: DataFrame, schema: FeatureSchema, p: QueryParams,
+      oidMode: Oid = Oid.Sequential,
+      computeCount: Boolean = true): QueryResult = {
+    val n = numbered(base, schema, oidMode)
+    val f = filtered(n, schema, p)
+
+    if (p.countOnly) {
+      val c = f.count()
+      return QueryResult(
+        f.sparkSession.range(0).toDF(), Some(c), exceededTransferLimit = false)
+    }
+    if (p.idsOnly) {
+      val ids = f.select(col(OidCol)).orderBy(col(OidCol))
+      return QueryResult(ids, None, exceededTransferLimit = false)
+    }
+
+    val proj = projected(f, schema, p)
+    val ordered =
+      if (p.orderBy.nonEmpty)
+        proj.orderBy(p.orderBy.map(o =>
+          if (o.descending) col(checkIdent(o.name)).desc
+          else col(checkIdent(o.name)).asc) :+ col(OidCol).asc: _*)
+      else proj.orderBy(col(OidCol))
+
+    val limit = p.limit.getOrElse(schema.maxRecordCount)
+    val page = ordered.offset(p.offset.toInt).limit(limit)
+
+    // exceededTransferLimit needs a count past the page boundary; the
+    // reference re-runs COUNT (engine.py:448-456). We count the filtered
+    // plan once (same second pass; at scale, replace with observe() or a
+    // limit(offset+limit+1) probe to avoid the extra full scan).
+    val (count, exceeded) =
+      if (computeCount) {
+        val c = f.count()
+        (Some(c), c > p.offset + limit)
+      } else (None, false)
+
+    QueryResult(page, count, exceeded)
+  }
+}

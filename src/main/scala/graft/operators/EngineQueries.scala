@@ -1,6 +1,139 @@
 package graft.operators
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+
+/** The QueryParams->DataFrame pipeline (SURVEY.md §3) under the
+  * differential gate: each entry drives the REAL engine (numbering,
+  * filters, sanitizer, projection, pagination) and the oracle re-derives
+  * the same result with a row_number CTE in SQL.
+  */
 object EngineQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def pointsSchema(s: SparkSession, d: String): (DataFrame, FeatureSchema) = {
+    val df = GeoSynth.points(s, d)
+    // static schema: geometry probe not needed for these queries, and the
+    // Point layer page size (10k) exceeds every page used here
+    val schema = FeatureSchema("pts", Some("geom"), Some("Point"), 4326,
+      Seq.empty, Some("c_custkey"), 10000)
+    (df, schema)
+  }
+
+  private def custSchema(s: SparkSession, d: String): (DataFrame, FeatureSchema) = {
+    val df = graft.Tables.customer(s, d)
+    (df, FeatureSchema("customer", None, None, 4326, Seq.empty,
+      Some("c_custkey"), 10000))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full pipeline: bbox ∧ WHERE ∧ order ∧ offset/limit ∧ projection (W1,
+    // P1-P4, P2-sanitizer, O1, O2 in one pass).
+    "engine_page" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      QueryEngine.query(df, sch, QueryParams(
+        bbox = Some(Bbox(-110, 30, -80, 45)),
+        where = Some("c_nationkey IN (1, 2, 3, 4, 5)"),
+        outFields = Seq("c_custkey", "c_nationkey", "lat"),
+        returnGeometry = false,
+        orderBy = Seq(OrderField("lat", descending = true)),
+        limit = Some(50), offset = 10),
+        computeCount = false).df
+    }),
+
+    // count-only mode (A1).
+    "engine_count" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      val r = QueryEngine.query(df, sch, QueryParams(
+        bbox = Some(Bbox(-100, 35, -95, 40)),
+        where = Some("c_nationkey < 10"),
+        countOnly = true))
+      import s.implicits._
+      Seq(r.count.get).toDF("n")
+    }),
+
+    // ids-only mode (returnIdsOnly).
+    "engine_ids" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      QueryEngine.query(df, sch, QueryParams(
+        bbox = Some(Bbox(-100, 35, -98, 37)), idsOnly = true)).df
+    }),
+
+    // objectIds fetch (P7) — the OID round-trip invariant: ids assigned
+    // before filters must address the same rows in a different query shape.
+    "engine_objectids" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      QueryEngine.query(df, sch, QueryParams(
+        objectIds = Some(Seq(5L, 6L, 7L, 100L, 101L, 500L)),
+        outFields = Seq("c_custkey", "lon", "lat"),
+        returnGeometry = false),
+        computeCount = false).df
+    }),
+
+    // WHERE passthrough with an allowlisted function + non-spatial table.
+    "engine_where_fn" -> ((s, d) => {
+      val (df, sch) = custSchema(s, d)
+      QueryEngine.query(df, sch, QueryParams(
+        where = Some("upper(c_mktsegment) = 'BUILDING' AND c_acctbal > 1000.0"),
+        outFields = Seq("c_custkey", "c_acctbal", "c_mktsegment"),
+        orderBy = Seq(OrderField("c_acctbal", descending = true)),
+        limit = Some(100)),
+        computeCount = false).df
+    }),
+
+    // Oid.ById — the 100 TB path: id column as OID, no global window.
+    "engine_oid_by_id" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      QueryEngine.query(df, sch, QueryParams(
+        bbox = Some(Bbox(-100, 35, -95, 40)),
+        outFields = Seq("lon", "lat"),
+        returnGeometry = false,
+        limit = Some(1000)),
+        oidMode = QueryEngine.Oid.ById,
+        computeCount = false).df
+    }))
+
+  private val numberedCte =
+    s"""${GeoSynth.oraclePrelude.trim},
+        numbered AS (
+          SELECT c_custkey, c_nationkey, lon, lat,
+                 row_number() OVER (ORDER BY c_custkey) - 1 AS __oid
+          FROM pts)
+     """
+
+  def oracleSql: Map[String, String] = Map(
+    "engine_page" ->
+      s"""$numberedCte
+          SELECT __oid, c_custkey, c_nationkey, lat FROM numbered
+          WHERE lon >= -110.0 AND lon <= -80.0 AND lat >= 30.0 AND lat <= 45.0
+            AND c_nationkey IN (1, 2, 3, 4, 5)
+          ORDER BY lat DESC, __oid LIMIT 50 OFFSET 10""",
+    "engine_count" ->
+      s"""$numberedCte
+          SELECT count(*) AS n FROM numbered
+          WHERE lon >= -100.0 AND lon <= -95.0 AND lat >= 35.0 AND lat <= 40.0
+            AND c_nationkey < 10""",
+    "engine_ids" ->
+      s"""$numberedCte
+          SELECT __oid FROM numbered
+          WHERE lon >= -100.0 AND lon <= -98.0 AND lat >= 35.0 AND lat <= 37.0
+          ORDER BY __oid""",
+    "engine_objectids" ->
+      s"""$numberedCte
+          SELECT __oid, c_custkey, lon, lat FROM numbered
+          WHERE __oid IN (5, 6, 7, 100, 101, 500)
+          ORDER BY __oid""",
+    "engine_where_fn" ->
+      """WITH numbered AS (
+           SELECT *, row_number() OVER (ORDER BY c_custkey) - 1 AS __oid
+           FROM customer)
+         SELECT __oid, c_custkey, c_acctbal, c_mktsegment FROM numbered
+         WHERE upper(c_mktsegment) = 'BUILDING' AND c_acctbal > 1000.0
+         ORDER BY c_acctbal DESC, __oid LIMIT 100""",
+    "engine_oid_by_id" ->
+      s"""${GeoSynth.oraclePrelude}
+          SELECT c_custkey AS __oid, lon, lat FROM pts
+          WHERE lon >= -100.0 AND lon <= -95.0 AND lat >= 35.0 AND lat <= 40.0
+          ORDER BY __oid LIMIT 1000""")
 }
