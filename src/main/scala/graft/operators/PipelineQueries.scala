@@ -1,6 +1,209 @@
 package graft.operators
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.pipeline.TextFunctions._
+
+/** Training-data pipeline operators over `documents`/`embeddings`
+  * (north-star surface): text statistics/quality, token counting, exact +
+  * fingerprint + MinHash/SimHash dedup, language ID, embedding similarity.
+  * SQL-expressible ops carry DuckDB oracles; LSH/custom-hash ops are gated
+  * by ScalaTests against brute-force oracles instead (driver records
+  * rows-only checks for them).
+  */
 object PipelineQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text stats per language: whitespace token counting + lengths.
+    "doc_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // BPE-ish regex token counting (word pieces + punctuation).
+    "doc_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_bpe", regexp_count(col("text"), lit("\\w+|[^\\w\\s]")))
+        .groupBy(col("source"))
+        .agg(sum(col("n_bpe")).as("total_bpe"),
+          round(avg(col("n_bpe")), 4).as("avg_bpe"))
+        .orderBy(col("source"))
+    }),
+
+    // Quality scoring: punctuation/whitespace/length ratios + thresholds.
+    "doc_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_punct",
+          length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .withColumn("n_spaces",
+          length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        .withColumn("punct_ratio", col("n_punct") / col("n_chars"))
+        .withColumn("space_ratio", col("n_spaces") / col("n_chars"))
+      docs.withColumn("quality",
+        when(col("n_chars") >= 120 && col("space_ratio") > 0.1 &&
+          col("punct_ratio") < 0.1, "good").otherwise("poor"))
+        .groupBy(col("lang"), col("quality"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("space_ratio")), 6).as("avg_space_ratio"))
+        .orderBy(col("lang"), col("quality"))
+    }),
+
+    // Exact dedup via content hash (also proves md5 parity with the oracle).
+    "doc_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_hash"),
+        countDistinct(col("text")).as("n_distinct_text"))
+    }),
+
+    // Normalized dedup: fingerprint64 distinct count == distinct count of
+    // whitespace/case-normalized text (differential check of normalization).
+    "doc_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint64(col("text"))).as("n_distinct_fp"))
+    }),
+
+    // Language ID heuristic over the corpus (rows-only gate; accuracy is
+    // asserted in PipelineSpec on real multilingual sentences).
+    "doc_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("pred", langid(col("text")))
+        .groupBy(col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred"))
+    }),
+
+    // MinHash LSH near-dup candidate pairs, Jaccard-refined (rows-only
+    // gate; LSH-vs-brute-force equivalence is asserted in PipelineSpec).
+    "doc_minhash_dedup" -> ((s, d) => {
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 64, bands = 16, shingle = 5, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (rows-only gate).
+    "doc_simhash_dedup" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-10 for one query vector (exact ANN baseline).
+    "emb_cosine_topk" -> ((s, d) => {
+      Similarity.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // k-NN join: top-3 neighbours for the first 20 vectors.
+    "emb_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-label centroid norms (distributed vector aggregation shape).
+    "emb_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("label"))
+        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+          count(lit(1)).as("dim"))
+        .orderBy(col("label"))
+    }),
+
+    // Multimodal stub-decode plumbing: binary payloads -> typed metadata,
+    // aggregated per source (deterministic stub => SQL-oracle-checkable).
+    "mm_decode" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      Multimodal.decode(media)
+        .withColumn("src_bucket", (col("media_id") % 10).cast("int"))
+        .groupBy(col("src_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("width")), 4).as("avg_width"),
+          max(col("n_frames")).as("max_frames"))
+        .orderBy(col("src_bucket"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "doc_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+         max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "doc_tokens" ->
+      """SELECT source,
+         sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_bpe,
+         round(avg(len(regexp_extract_all(text, '\w+|[^\w\s]'))), 4) AS avg_bpe
+         FROM documents GROUP BY source ORDER BY source""",
+    "doc_quality" ->
+      """WITH q AS (
+           SELECT lang, n_chars,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               / CAST(n_chars AS DOUBLE) AS punct_ratio,
+             (length(text) - length(replace(text, ' ', '')))
+               / CAST(n_chars AS DOUBLE) AS space_ratio
+           FROM documents)
+         SELECT lang,
+           CASE WHEN n_chars >= 120 AND space_ratio > 0.1
+                 AND punct_ratio < 0.1 THEN 'good' ELSE 'poor' END AS quality,
+           count(*) AS n, round(avg(space_ratio), 6) AS avg_space_ratio
+         FROM q GROUP BY 1, 2 ORDER BY lang, quality""",
+    "doc_exact_dedup" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct_hash,
+         count(DISTINCT text) AS n_distinct_text
+         FROM documents""",
+    "doc_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           AS n_distinct_fp
+         FROM documents""",
+    "emb_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS sim
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "emb_knn" ->
+      """WITH pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 20)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM pairs) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "emb_centroids" ->
+      """WITH exploded AS (
+           SELECT label, i.i AS pos, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i),
+         centroids AS (
+           SELECT label, pos, avg(v) AS m FROM exploded GROUP BY label, pos)
+         SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm,
+           count(*) AS dim
+         FROM centroids GROUP BY label ORDER BY label""",
+    "mm_decode" ->
+      """SELECT CAST(doc_id % 10 AS INTEGER) AS src_bucket,
+         count(*) AS n,
+         sum(octet_length(encode(text))) AS total_bytes,
+         round(avg(octet_length(encode(text)) % 640), 4) AS avg_width,
+         max(CAST(doc_id % 30 AS INTEGER) + 1) AS max_frames
+         FROM documents GROUP BY 1 ORDER BY src_bucket""")
 }

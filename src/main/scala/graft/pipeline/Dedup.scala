@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Corpus deduplication operators (north-star pipeline surface).
+  *
+  * Scale design: every variant is blocking + equi-join shaped — candidate
+  * pairs come from hash-bucket equi-joins (shuffle-partitionable, AQE
+  * skew-splittable), never from a cross join. The exact refine runs only
+  * on candidates. At 100 TB: signatures are one narrow column, band
+  * buckets distribute uniformly by construction (hashes), and the
+  * candidate pair count is bounded by band collisions, not n².
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash of the raw text. */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n") > 1)
+
+  /** Normalized-exact duplicates (whitespace/case-insensitive) via the
+    * fingerprint64 expression. */
+  def fingerprintDups(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp", fingerprint64(col(textCol)))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle→minhash→band→bucket-join: signature of `numHashes` minima is
+    * sliced into `bands`; docs sharing any (band index, band hash) bucket
+    * become candidates; candidates are refined with exact shingle Jaccard.
+    * With b bands of r rows the candidate threshold is ~(1/b)^(1/r).
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__sig", minhash_sig(col("__text"), numHashes, shingle))
+    // band -> (bandIdx, xxhash64 of the band's slice)
+    val banded = sig.select(col("__id"), col("__text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("__sig"), b * rows + 1, lit(rows)))).as(Seq("__band", "__bandsig")))
+      .withColumn("__bucket", xxhash64(col("__band"), concat_ws(",", col("__bandsig"))))
+      .select(col("__id"), col("__text"), col("__band"), col("__bucket"))
+
+    val a = banded.select(col("__id").as("id_a"), col("__text").as("__text_a"),
+      col("__band"), col("__bucket"))
+    val b = banded.select(col("__id").as("id_b"), col("__text").as("__text_b"),
+      col("__band").as("__band_b"), col("__bucket").as("__bucket_b"))
+
+    a.join(b, col("__band") === col("__band_b") &&
+        col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__text_a"), col("__text_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        jaccard_shingle(col("__text_a"), col("__text_b"), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, banded into four
+    * 16-bit chunks (a pair within Hamming distance 3 must agree on at
+    * least one chunk); refine with bit_count(xor) <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"),
+      simhash64(col(textCol)).as("__sim"))
+    val banded = sig.select(col("__id"), col("__sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("__sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("__band", "__chunk")))
+    val a = banded.select(col("__id").as("id_a"), col("__sim").as("__sim_a"),
+      col("__band"), col("__chunk"))
+    val b = banded.select(col("__id").as("id_b"), col("__sim").as("__sim_b"),
+      col("__band").as("__band_b"), col("__chunk").as("__chunk_b"))
+    a.join(b, col("__band") === col("__band_b") &&
+        col("__chunk") === col("__chunk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sim_a"), col("__sim_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Brute-force exact n-gram Jaccard over all pairs — the test oracle for
+    * the LSH paths (O(n²); never use at scale). */
+  def bruteForcePairs(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        jaccard_shingle(col("__text_a"), col("__text_b"), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * [[cosine]] composes Catalyst higher-order functions (zip_with +
+  * aggregate) — no UDF, fully distributed, null-safe. [[bruteTopK]] is the
+  * exact baseline (scan + TakeOrdered — one pass, no shuffle of the
+  * vectors). [[lshBuckets]] is the scale path: seeded random-hyperplane
+  * signatures turn ANN into an equi-join on bucket ids; recall is tunable
+  * with signature bits / number of tables.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns, computed
+    * in double. Sequential fold order matches DuckDB's, so results are
+    * reproducible across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k most-similar rows to the vector with `queryId`. */
+  def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    df.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("sim", round(cosine(col(vecCol), col("__qvec")), 6))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Top-k neighbours for every row of `queries` against `corpus`
+    * (brute-force; deterministic under rounded-sim ties). */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__cvec"), col("__qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
+    * plane p = mix(seed, p, j) mapped to [-1, 1]. */
+  private def planeComponent(p: Int, j: Int, seed: Long): Double = {
+    val h = TextHash.mix(seed + p * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` sign bits from dot products
+    * with seeded planes. Pure Catalyst expressions (aggregate over the
+    * vector per plane), so bucketing runs scan-side with no UDF. */
+  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val bitCols = (0 until bits).map { p =>
+      val dot = aggregate(
+        zip_with(vd,
+          array((0 until dim).map(j => lit(planeComponent(p, j, seed))): _*),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN candidate join: rows sharing an LSH bucket in any of `tables`
+    * independent hash tables. Returns (query_id, neighbor_id, sim) for
+    * candidates, exact-cosine refined and top-k'd — same contract as
+    * [[knnJoin]] but candidate-bounded instead of O(n·m). */
+  def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"__vec_$id"))
+        .withColumn("__table", explode(array((0 until tables).map(lit): _*)))
+        .withColumn("__bucket",
+          (0 until tables).foldLeft(lit(0L)) { (acc, t) =>
+            when(col("__table") === t,
+              lshBucket(col(s"__vec_$id"), dim, bits, seed + t * 7919L))
+              .otherwise(acc)
+          })
+    val q = banded(queries, "query_id")
+    val c = banded(corpus, "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("__table", "__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", round(cosine(col("__vec_query_id"), col("__vec_neighbor_id")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+}

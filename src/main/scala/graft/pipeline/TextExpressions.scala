@@ -1,0 +1,283 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-pipeline Catalyst expressions for large-scale training-data work:
+  * document fingerprinting, MinHash signatures, SimHash, n-gram Jaccard,
+  * language ID. All pure single-pass Scala over the string — no
+  * per-row array materialization of shingles, no external deps, fully
+  * deterministic (fixed seeds) so results are stable across cluster sizes.
+  */
+object TextHash {
+  /** FNV-1a 64-bit over a char range (cheap, allocation-free). */
+  def fnv1a(s: CharSequence, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit finalizer (splitmix64) for independent hash families. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Normalize for fingerprinting: lowercase, collapse runs of whitespace
+    * to single spaces, trim. Single pass. */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var lastSpace = true
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else {
+        sb.append(Character.toLowerCase(c)); lastSpace = false
+      }
+      i += 1
+    }
+    var n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == ' ') sb.setLength(n - 1)
+    sb.toString
+  }
+
+  /** MinHash signature over character n-gram shingles of the normalized
+    * text: one base hash per shingle, k permutations via splitmix-mixed
+    * seeds. Texts shorter than one shingle get the empty signature
+    * (Long.MaxValue everywhere). */
+  def minhash(text: String, k: Int, shingle: Int): Array[Long] = {
+    val norm = normalize(text)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (norm.length >= shingle) {
+      var i = 0
+      val last = norm.length - shingle
+      while (i <= last) {
+        val base = fnv1a(norm, i, i + shingle)
+        var j = 0
+        while (j < k) {
+          val h = mix(base + j * 0x9e3779b97f4a7c15L)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Exact character-shingle Jaccard between two texts (the refine step
+    * after LSH candidate generation). */
+  def jaccard(a: String, b: String, shingle: Int): Double = {
+    def shingles(s: String): java.util.HashSet[Long] = {
+      val norm = normalize(s)
+      val set = new java.util.HashSet[Long]()
+      var i = 0
+      val last = norm.length - shingle
+      while (i <= last) { set.add(fnv1a(norm, i, i + shingle)); i += 1 }
+      set
+    }
+    val sa = shingles(a); val sb = shingles(b)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** 64-bit SimHash over whitespace word tokens of the normalized text. */
+  def simhash(text: String): Long = {
+    val norm = normalize(text)
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val n = norm.length
+    while (i <= n) {
+      if (i == n || norm.charAt(i) == ' ') {
+        if (i > start) {
+          val h = mix(fnv1a(norm, start, i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): min shingle-hash
+    * per sliding window, deduplicated — the standard local document
+    * fingerprint for near-copy detection at corpus scale. */
+  def winnow(text: String, shingle: Int, window: Int): Array[Long] = {
+    val norm = normalize(text)
+    if (norm.length < shingle) return Array.empty
+    val m = norm.length - shingle + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = mix(fnv1a(norm, i, i + shingle)); i += 1 }
+    if (m <= window) return Array(hs.min)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var last = -1L
+    i = 0
+    while (i + window <= m) {
+      var mn = Long.MaxValue
+      var j = i
+      while (j < i + window) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      if (mn != last) { out += mn; last = mn }
+      i += 1
+    }
+    out.toArray
+  }
+}
+
+/** Tiny stopword-profile language identifier (n-gram/lexicon heuristic).
+  * Script detection first (CJK/kana/hangul/cyrillic), then stopword voting
+  * for latin-script languages. */
+object LangProfiles {
+  val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+      "was", "with", "on", "as", "are", "this", "be", "at", "have", "not"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "auf", "sich", "des", "dem", "den", "von", "zu", "im", "für"),
+    "fr" -> Set("le", "la", "les", "des", "et", "est", "une", "dans", "que",
+      "qui", "pour", "pas", "sur", "avec", "au", "du", "ce", "il"),
+    "es" -> Set("el", "los", "las", "de", "que", "y", "en", "un", "una",
+      "es", "no", "con", "por", "para", "su", "se", "del", "lo"),
+    "it" -> Set("il", "di", "che", "e", "la", "per", "un", "una", "in",
+      "non", "sono", "con", "del", "si", "da", "come", "anche"),
+    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma",
+      "para", "com", "não", "os", "as", "no", "na", "por"))
+
+  def detect(text: String): String = {
+    var cjk = 0; var kana = 0; var hangul = 0; var cyr = 0; var letters = 0
+    var i = 0
+    val n = math.min(text.length, 4000)
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeScript.of(c)
+        if (b == Character.UnicodeScript.HAN) cjk += 1
+        else if (b == Character.UnicodeScript.HIRAGANA ||
+          b == Character.UnicodeScript.KATAKANA) kana += 1
+        else if (b == Character.UnicodeScript.HANGUL) hangul += 1
+        else if (b == Character.UnicodeScript.CYRILLIC) cyr += 1
+      }
+      i += 1
+    }
+    if (letters == 0) return "und"
+    if (kana * 10 > letters) return "ja"
+    if (hangul * 10 > letters) return "ko"
+    if (cjk * 10 > letters * 3) return "zh"
+    if (cyr * 10 > letters * 3) return "ru"
+    val words = TextHash.normalize(text.substring(0, n))
+      .split(' ').iterator.take(400)
+    val votes = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    words.foreach { w =>
+      profiles.foreach { case (lang, set) => if (set.contains(w)) votes(lang) += 1 }
+    }
+    if (votes.isEmpty) "und"
+    else votes.toSeq.sortBy { case (l, v) => (-v, l) }.head match {
+      case (_, 0) => "und"
+      case (l, _) => l
+    }
+  }
+}
+
+// ---- expressions ---------------------------------------------------------
+
+abstract class TextUnaryExpr extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+}
+
+case class MinHashSig(child: Expression, numHashes: Int = 64, shingle: Int = 5)
+    extends TextUnaryExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHash.minhash(v.toString, numHashes, shingle))
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SimHash64(child: Expression) extends TextUnaryExpr {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = TextHash.simhash(v.toString)
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class Fingerprint64(child: Expression) extends TextUnaryExpr {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val n = TextHash.normalize(v.toString)
+    TextHash.mix(TextHash.fnv1a(n, 0, n.length))
+  }
+  override def prettyName: String = "fingerprint64"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class WinnowFingerprints(child: Expression, shingle: Int = 5, window: Int = 4)
+    extends TextUnaryExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHash.winnow(v.toString, shingle, window))
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class LangId(child: Expression) extends TextUnaryExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(LangProfiles.detect(v.toString))
+  override def prettyName: String = "langid"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class JaccardShingle(left: Expression, right: Expression, shingle: Int = 5)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccard(a.toString, b.toString, shingle)
+  override def prettyName: String = "jaccard_shingle"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Column API for the text expressions. */
+object TextFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge
+
+  def minhash_sig(c: Column, k: Int = 64, shingle: Int = 5): Column =
+    graftbridge.column(MinHashSig(graftbridge.expression(c), k, shingle))
+  def simhash64(c: Column): Column =
+    graftbridge.column(SimHash64(graftbridge.expression(c)))
+  def fingerprint64(c: Column): Column =
+    graftbridge.column(Fingerprint64(graftbridge.expression(c)))
+  def winnow_fingerprints(c: Column, shingle: Int = 5, window: Int = 4): Column =
+    graftbridge.column(WinnowFingerprints(graftbridge.expression(c), shingle, window))
+  def langid(c: Column): Column =
+    graftbridge.column(LangId(graftbridge.expression(c)))
+  def jaccard_shingle(a: Column, b: Column, shingle: Int = 5): Column =
+    graftbridge.column(JaccardShingle(
+      graftbridge.expression(a), graftbridge.expression(b), shingle))
+}

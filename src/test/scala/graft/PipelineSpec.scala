@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, LangProfiles, Multimodal, Similarity, TextHash}
+import graft.pipeline.TextFunctions._
+
+/** Pipeline operators: LSH paths vs brute-force oracles, langid accuracy on
+  * real multilingual text, multimodal plumbing, ANN recall. */
+class PipelineSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001"))
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001"))
+
+  // corpus with planted near-duplicates for the dedup paths
+  private lazy val planted = {
+    val base = docs.limit(30).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mutated = base.take(10).map { case (id, t) =>
+      // light mutation: change one word, add whitespace noise
+      (id + 100000L, t.replaceFirst("a", "the") + "  tail")
+    }
+    (base ++ mutated).toSeq.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs (threshold .6)") {
+    val brute = Dedup.bruteForcePairs(planted, "doc_id", "text", 5, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(planted, "doc_id", "text", 64, 16, 5, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "planted near-dups must be above threshold")
+    // LSH refines candidates with exact jaccard, so lsh ⊆ brute always;
+    // recall must be high (16 bands x 4 rows at j>=.6 -> ~99%+)
+    assert(lsh.subsetOf(brute))
+    assert(lsh.size >= brute.size * 9 / 10,
+      s"LSH recall too low: ${lsh.size}/${brute.size}")
+    // every planted mutation pairs with its source
+    val plantedPairs = (0 until 10).map(i => brute.find {
+      case (a, b) => b == a + 100000L
+    }).count(_.isDefined)
+    assert(plantedPairs >= 9)
+  }
+
+  test("simhash near-dup pairs include planted mutations, none below") {
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 10)
+      .as[(Long, Long, Long)].collect()
+    val plantedHits = pairs.count { case (a, b, _) => b == a + 100000L }
+    assert(plantedHits >= 8, s"simhash missed planted dups: $plantedHits/10")
+    // verify hamming is honest: recompute from signatures
+    pairs.foreach { case (a, b, h) =>
+      val txt = planted.filter(col("doc_id").isin(a, b))
+        .select("text").as[String].collect()
+      val hh = java.lang.Long.bitCount(
+        TextHash.simhash(txt(0)) ^ TextHash.simhash(txt(1)))
+      assert(hh === h)
+    }
+  }
+
+  test("fingerprint64 is whitespace/case-insensitive, content-sensitive") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, " hello\tworld \n"),
+      (4L, "hello worlds")).toDF("doc_id", "text")
+    val fps = df.select(fingerprint64(col("text"))).as[Long].collect()
+    assert(fps(0) === fps(1) && fps(1) === fps(2))
+    assert(fps(3) !== fps(0))
+  }
+
+  test("langid: script detection + stopword voting on real sentences") {
+    val samples = Seq(
+      ("en", "The quick brown fox jumps over the lazy dog and it is not tired."),
+      ("de", "Der schnelle braune Fuchs springt über den faulen Hund und ist nicht müde."),
+      ("fr", "Le renard brun rapide saute sur le chien paresseux et il n'est pas fatigué dans la forêt."),
+      ("es", "El zorro marrón salta sobre el perro perezoso y no está cansado en el bosque."),
+      ("pt", "A raposa marrom salta sobre o cão preguiçoso e não está cansada para a floresta."),
+      ("zh", "敏捷的棕色狐狸跳过了懒惰的狗，它一点也不累。"),
+      ("ja", "素早い茶色のキツネはのろまな犬を飛び越えます、つかれていません。"),
+      ("ru", "Быстрая коричневая лиса перепрыгивает через ленивую собаку и не устала."))
+    samples.foreach { case (expected, text) =>
+      assert(LangProfiles.detect(text) === expected, text)
+    }
+    // through the Column API too
+    val preds = samples.toDF("lang", "text")
+      .select(col("lang"), langid(col("text")).as("pred"))
+      .filter(col("lang") === col("pred")).count()
+    assert(preds === samples.size)
+  }
+
+  test("winnow fingerprints: shared substrings share fingerprints") {
+    val a = "the common substring that is long enough to matter here"
+    val b = "prefix text then the common substring that is long enough to matter here suffix"
+    val fa = TextHash.winnow(a, 5, 4).toSet
+    val fb = TextHash.winnow(b, 5, 4).toSet
+    assert(fa.intersect(fb).size >= fa.size / 2)
+    val c = "completely unrelated content with different words entirely"
+    assert(TextHash.winnow(c, 5, 4).toSet.intersect(fa).size <= 1)
+  }
+
+  test("ANN LSH finds planted high-similarity neighbours (top-1 recall >= 90%)") {
+    // iid-random corpus vectors have top-1 cosine ~0.4 where hyperplane LSH
+    // has no signal by construction; the operator's contract is the
+    // near-duplicate regime. Plant 20 perturbed copies (cosine ~0.99) as
+    // queries and require ANN to recover the source among 500 distractors.
+    val sources = emb.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val perturbed = sources.toSeq.map { case (id, v) =>
+      val r = new scala.util.Random(id)
+      (id + 10000L, v.map(x => x + (r.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val ann = Similarity.annJoin(perturbed, emb, "vec_id", "embedding",
+      dim = 64, k = 1, bits = 12, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = sources.count { case (id, _) => ann.get(id + 10000L).contains(id) }
+    assert(hits >= 18, s"ANN top-1 recall $hits/20")
+  }
+
+  test("cosine HOF matches scala computation") {
+    val rows = emb.limit(3).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val expected = {
+      val a = rows(0)._2.map(_.toDouble); val b = rows(1)._2.map(_.toDouble)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = emb.filter(col("vec_id") === rows(0)._1)
+      .crossJoin(emb.filter(col("vec_id") === rows(1)._1)
+        .select(col("embedding").as("b")))
+      .select(Similarity.cosine(col("embedding"), col("b"))).as[Double]
+      .collect()(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("multimodal decode: schema contract, null payloads, batch shape") {
+    val media = Multimodal.fromDocuments(docs.limit(100))
+      .union(Seq((999999L, "image/stub", null.asInstanceOf[Array[Byte]]))
+        .toDF("media_id", "media_type", "payload"))
+    val decoded = Multimodal.decode(media, batchSize = 7) // odd batch size
+    assert(decoded.schema.fieldNames.toSeq ===
+      Seq("media_id", "media_type", "payload", "n_bytes", "width", "height",
+        "n_frames", "feature"))
+    assert(decoded.count() === 101)
+    val nullRow = decoded.filter(col("media_id") === 999999L).collect()(0)
+    assert(nullRow.getAs[Long]("n_bytes") === 0L)
+    assert(nullRow.getAs[Seq[Float]]("feature").forall(_ === 0f))
+    // features deterministic: same payload -> same features on re-run
+    val f1 = decoded.orderBy("media_id").select("feature").collect()
+    val f2 = Multimodal.decode(media, batchSize = 64)
+      .orderBy("media_id").select("feature").collect()
+    assert(f1.sameElements(f2) ||
+      f1.zip(f2).forall { case (a, b) =>
+        a.getSeq[Float](0) == b.getSeq[Float](0) })
+  }
+}
