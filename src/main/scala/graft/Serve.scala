@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.api.{FeatureServer, ServiceMetadata}
+import graft.engine._
+import graft.serializers.{ArrowIpc, EsriPbf, JsonSerializers}
+import graft.sources.GeoParquetIO
+
+/** End-to-end serving demo: the full request cycle every API surface runs —
+  * Esri query params -> QueryParams -> QueryEngine -> serializer — printed
+  * for one request against synthesized points. `runMain graft.Serve [sfDir]`.
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.geo.GeoRegistry.install(spark)
+
+    val df = operators.GeoSynth.points(spark, sfDir)
+    val schema = SchemaService.describe(df, "demo.points")
+    println(s"== schema: geom=${schema.geometryColumn} type=${schema.geometryType}" +
+      s" id=${schema.idField} maxRecords=${schema.maxRecordCount}")
+    println(s"== layer metadata: ${ServiceMetadata.layerJson(schema, 0).take(200)}...")
+
+    // the request: bbox + where + order + page, as an ArcGIS client sends it
+    val params = FeatureServer.translateQuery(Map(
+      "geometry" -> "-120,25,-110,50",
+      "where" -> "c_nationkey < 5",
+      "outFields" -> "c_custkey,c_nationkey,lat",
+      "orderByFields" -> "lat DESC",
+      "resultRecordCount" -> "5",
+      "f" -> "pbf"), schema)
+    val result = QueryEngine.query(df, schema, params)
+    val rows = result.df.collect().toSeq
+    val outSchema = result.df.schema
+    println(s"== rows=${rows.size} totalCount=${result.count}" +
+      s" exceeded=${result.exceededTransferLimit}")
+
+    val geojson = JsonSerializers.geoJsonFeatureCollection(
+      rows, outSchema, schema, result.count)
+    println(s"== GeoJSON (${geojson.length}B): ${geojson.take(300)}")
+    val esri = JsonSerializers.esriFeatureSet(rows, outSchema, schema,
+      result.exceededTransferLimit)
+    println(s"== EsriJSON (${esri.length}B): ${esri.take(300)}")
+    val pbf = EsriPbf.serialize(rows, outSchema, schema,
+      result.exceededTransferLimit)
+    println(s"== PBF: ${pbf.length} bytes")
+    val arrow = ArrowIpc.serialize(rows, outSchema)
+    println(s"== ArrowIPC: ${arrow.length} bytes")
+
+    val out = java.nio.file.Files.createTempDirectory("serve").toString
+    GeoParquetIO.writePage(rows, outSchema, "geom", s"$out/page.parquet",
+      geometryTypes = Seq("Point"))
+    println(s"== GeoParquet page: $out/page.parquet " +
+      s"(geo=${GeoParquetIO.readGeoMetadata(s"$out/page.parquet")})")
+
+    // count-only + ids-only short forms
+    val countRes = QueryEngine.query(df, schema, params.copy(countOnly = true))
+    println(s"== countOnly=${countRes.count.get} " +
+      s"pbf=${EsriPbf.serializeCount(countRes.count.get).length}B " +
+      s"json=${JsonSerializers.esriCount(countRes.count.get)}")
+    spark.stop()
+  }
+}

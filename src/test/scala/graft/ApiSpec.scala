@@ -1,0 +1,94 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.api.{FeatureServer, OgcProvider, ServiceMetadata}
+import graft.engine._
+
+/** API-layer translation invariants (test_geoservices_query.py /
+  * test_pygeoapi_provider.py equivalents at the pure-function level). */
+class ApiSpec extends SparkFunSuite {
+  private val mapper = new ObjectMapper()
+  private val schema = FeatureSchema("ns.pts", Some("geometry"), Some("Point"),
+    4326, Seq(FieldDef("name", "string", "name"),
+      FieldDef("temperature", "double", "temperature")), Some("objectid"), 10000)
+
+  test("geometry param: envelope JSON, shorthand, point, polygon rings") {
+    val (b1, None) = FeatureServer.parseGeometry(
+      """{"xmin":-100,"ymin":35,"xmax":-95,"ymax":40}""", "esriGeometryEnvelope")
+    assert(b1.get === Bbox(-100, 35, -95, 40))
+    val (b2, None) = FeatureServer.parseGeometry("-100, 35, -95, 40", "")
+    assert(b2.get === Bbox(-100, 35, -95, 40))
+    val (None, Some(wkt)) = FeatureServer.parseGeometry(
+      """{"x":-105.0,"y":39.7}""", "esriGeometryPoint")
+    assert(wkt === "POINT (-105.0 39.7)")
+    val (None, Some(poly)) = FeatureServer.parseGeometry(
+      """{"rings":[[[0,0],[1,0],[1,1],[0,0]]]}""", "esriGeometryPolygon")
+    assert(poly === "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0))")
+  }
+
+  test("outSR: plain WKID, JSON SR object, latestWkid priority") {
+    assert(FeatureServer.parseOutSr("3857").contains(3857))
+    assert(FeatureServer.parseOutSr("""{"wkid":102100,"latestWkid":3857}""")
+      .contains(3857))
+    assert(FeatureServer.parseOutSr("""{"wkid":4326}""").contains(4326))
+    assert(FeatureServer.parseOutSr("").isEmpty)
+  }
+
+  test("full Esri query translation with defaults") {
+    val p = FeatureServer.translateQuery(Map(
+      "geometry" -> "-100,35,-95,40",
+      "where" -> "temperature > 20",
+      "outFields" -> "name,temperature",
+      "orderByFields" -> "temperature DESC, name",
+      "resultOffset" -> "10", "resultRecordCount" -> "50",
+      "returnGeometry" -> "false",
+      "spatialRel" -> "esriSpatialRelIntersects"), schema)
+    assert(p.bbox.get === Bbox(-100, 35, -95, 40))
+    assert(p.where.contains("temperature > 20"))
+    assert(p.outFields === Seq("name", "temperature"))
+    assert(p.orderBy === Seq(OrderField("temperature", descending = true),
+      OrderField("name")))
+    assert(p.offset === 10 && p.limit.contains(50))
+    assert(!p.returnGeometry)
+    // defaults: 1=1 where dropped, limit = maxRecordCount
+    val d = FeatureServer.translateQuery(Map("where" -> "1=1"), schema)
+    assert(d.where.isEmpty && d.limit.contains(10000))
+  }
+
+  test("count-only / ids-only / objectIds flags") {
+    val p = FeatureServer.translateQuery(Map(
+      "returnCountOnly" -> "true", "objectIds" -> "1, 2, 3"), schema)
+    assert(p.countOnly && p.objectIds.contains(Seq(1L, 2L, 3L)))
+  }
+
+  test("name validation guards") {
+    assert(FeatureServer.validateName("ns.table_1") === "ns.table_1")
+    assertThrows[IllegalArgumentException](
+      FeatureServer.validateName("bad-name; drop"))
+    assertThrows[IllegalArgumentException](FeatureServer.validateName("1abc"))
+  }
+
+  test("layer metadata JSON shape (F7)") {
+    val json = mapper.readTree(ServiceMetadata.layerJson(schema, 0))
+    assert(json.get("geometryType").asText === "esriGeometryPoint")
+    assert(json.get("objectIdField").asText === "__oid")
+    assert(json.get("maxRecordCount").asInt === 10000)
+    assert(json.get("advancedQueryCapabilities").get("supportsPagination").asBoolean)
+    assert(json.get("fields").get(0).get("type").asText === "esriFieldTypeOID")
+    assert(json.get("fields").size === 3)
+  }
+
+  test("OGC items translation: property filters escape quotes; hits mode") {
+    val p = OgcProvider.translateItems(
+      offset = 20, limit = 10,
+      propertyFilters = Seq("zoning" -> "R1", "name" -> "o'brien"),
+      sortBy = Seq(OrderField("temperature", descending = true)),
+      selectProperties = Seq("zoning"), skipGeometry = true)
+    assert(p.where.contains("zoning = 'R1' AND name = 'o''brien'"))
+    assert(p.offset === 20 && p.limit.contains(10) && !p.returnGeometry)
+    assert(OgcProvider.translateItems(hits = true).countOnly)
+    val g = OgcProvider.translateGetById("objectid", "7")
+    assert(g.where.contains("objectid = '7'") && g.limit.contains(1))
+  }
+}
