@@ -24,6 +24,8 @@ object Serve {
     spark.sparkContext.setLogLevel("ERROR")
     graft.geo.GeoRegistry.install(spark)
 
+    if (args.contains("stream")) { runStream(spark, sfDir); spark.stop(); return }
+
     val df = operators.GeoSynth.points(spark, sfDir)
     val schema = SchemaService.describe(df, "demo.points")
     println(s"== schema: geom=${schema.geometryColumn} type=${schema.geometryType}" +
@@ -68,5 +70,22 @@ object Serve {
       s"pbf=${EsriPbf.serializeCount(countRes.count.get).length}B " +
       s"json=${JsonSerializers.esriCount(countRes.count.get)}")
     spark.stop()
+  }
+
+  /** `runMain graft.Serve <sfDir> stream`: drive the event stream — stage
+    * the events table as a file stream, run the watermarked tumbling-window
+    * aggregation to a memory sink, print progress + sample rows. */
+  private def runStream(spark: SparkSession, sfDir: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    Tables.events(spark, sfDir).coalesce(2).write.mode("overwrite").parquet(dir)
+    val q = streaming.EventStream.windowedCounts(
+      streaming.EventStream.source(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("live")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(60000)
+    val out = spark.table("live")
+    println(s"== stream closed windows: ${out.count()}")
+    out.orderBy(col("win_start"), col("event_type")).show(5, truncate = false)
+    println(s"== lastProgress: ${Option(q.lastProgress).map(_.numInputRows)}")
   }
 }

@@ -84,9 +84,12 @@ object PipelineQueries {
 
     // MinHash LSH near-dup candidate pairs, Jaccard-refined (rows-only
     // gate; LSH-vs-brute-force equivalence is asserted in PipelineSpec).
+    // 8 bands x 8 rows: ~99% recall at j>=0.9 (the planted-dup regime)
+    // while keeping low-jaccard candidate pairs ~100x rarer than 16x4 —
+    // the LSH knob that matters at corpus scale.
     "doc_minhash_dedup" -> ((s, d) => {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 64, bands = 16, shingle = 5, threshold = 0.5)
+        numHashes = 64, bands = 8, shingle = 5, threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),

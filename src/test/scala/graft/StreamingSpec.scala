@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+
+/** Streaming semantics driven synchronously: file source + memory sink +
+  * processAllAvailable. The tumbling-window stream must agree with the
+  * batch plan (q16) on the same data — the merge-compatibility invariant. */
+class StreamingSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def eventsDir: String = {
+    val dir = Files.createTempDirectory("events").toString
+    // stage the batch events table as the stream input
+    Tables.events(spark, sf("sf0.001")).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed streaming agg == batch q16 on the same files") {
+    val dir = eventsDir
+    val q = EventStream.windowedCounts(EventStream.source(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("winagg").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000);
+    // append mode emits only watermark-closed windows; with AvailableNow the
+    // final watermark closes all but the last window(s). Compare the common
+    // prefix against the batch computation.
+    val streamed = spark.table("winagg")
+      .select("win_start", "event_type", "n", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1.getTime, r._2) -> (r._3, r._4)).toMap
+    val batch = operators.RelationalQueries.queries("q16_event_windows")(
+      spark, sf("sf0.001"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1.getTime, r._2) -> (r._3, r._4)).toMap
+    assert(streamed.nonEmpty, "stream emitted nothing")
+    streamed.foreach { case (k, v) =>
+      assert(batch.contains(k), s"window $k not in batch result")
+      assert(batch(k) === v, s"window $k mismatch: stream $v batch ${batch(k)}")
+    }
+    // emitted (closed) windows must be the large majority
+    assert(streamed.size >= batch.size - 10,
+      s"too few closed windows: ${streamed.size} vs batch ${batch.size}")
+  }
+
+  test("sessionization via flatMapGroupsWithState emits gap-split sessions") {
+    val dir = Files.createTempDirectory("sess").toString
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    val batch1 = Seq(
+      EventStream.Event(1, ts(0), 1L, "view", 1.0),
+      EventStream.Event(2, ts(5), 1L, "view", 2.0),
+      EventStream.Event(3, ts(60), 1L, "view", 4.0), // gap > 30min -> new session
+      EventStream.Event(4, ts(2), 2L, "view", 8.0))
+    batch1.toDS().write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(EventStream.eventSchema).parquet(dir)
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(src, gapMs = 30 * 60000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val closed = spark.table("sessions")
+      .as[EventStream.Session].collect()
+    // user 1's first session (2 events, value 3.0) closed by the 60-min event
+    assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 &&
+      s.total_value === 3.0))
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val dir = Files.createTempDirectory("dup").toString
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    (Seq(
+      EventStream.Event(1, ts(0), 1, "a", 1.0),
+      EventStream.Event(1, ts(1), 1, "a", 1.0), // dup id
+      EventStream.Event(2, ts(2), 1, "b", 2.0)))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val q = EventStream.dedup(
+      spark.readStream.schema(EventStream.eventSchema).parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    assert(spark.table("dedup").count() === 2)
+  }
+}
