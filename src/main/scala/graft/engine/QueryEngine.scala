@@ -158,4 +158,18 @@ object QueryEngine {
 
     QueryResult(page, count, exceeded)
   }
+
+  /** Keyset pagination — the 100 TB path (SURVEY §7): `OFFSET n` must sort
+    * and discard n rows per page; `__oid > lastSeen` is a pushable range
+    * predicate, so each page is an index-friendly scan + TakeOrdered.
+    * Pages are ordered by `__oid`; clients thread `lastOid` through. */
+  def keysetPage(base: DataFrame, schema: FeatureSchema, p: QueryParams,
+      lastOid: Option[Long], oidMode: Oid = Oid.ById): DataFrame = {
+    val n = numbered(base, schema, oidMode)
+    val f = filtered(n, schema, p)
+    val after = lastOid.map(o => f.filter(col(OidCol) > o)).getOrElse(f)
+    projected(after, schema, p)
+      .orderBy(col(OidCol))
+      .limit(p.limit.getOrElse(schema.maxRecordCount))
+  }
 }

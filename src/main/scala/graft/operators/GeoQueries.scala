@@ -159,6 +159,50 @@ object GeoQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // ST_Buffer + ST_Area: JTS buffers a point with 8 segments/quadrant
+    // (a regular 32-gon), whose area has the closed form
+    // 0.5 * 32 * r^2 * sin(2*pi/32) — the oracle computes exactly that.
+    "geo_buffer_area" -> ((s, d) => {
+      GeoSynth.points(s, d)
+        .withColumn("r", lit(0.1) + (col("c_custkey") % 5) * 0.1)
+        .select(col("c_custkey"),
+          round(G.st_area(G.st_buffer(col("geom"), col("r"))), 6).as("buf_area"),
+          round(G.st_length(G.st_buffer(col("geom"), col("r"))), 6).as("buf_perim"))
+        .orderBy(col("c_custkey")).limit(400)
+    }),
+
+    // WKT writer/reader round-trip: text out, parse back, coordinates must
+    // survive exactly (differential on the codec, not on geometry math).
+    "geo_wkt_roundtrip" -> ((s, d) => {
+      GeoSynth.points(s, d)
+        .withColumn("back", G.st_geomfromtext(G.st_astext(col("geom"))))
+        .select(col("c_custkey"),
+          G.st_x(col("back")).as("x"), G.st_y(col("back")).as("y"),
+          G.st_geometrytype(col("back")).as("gt"))
+        .orderBy(col("c_custkey")).limit(500)
+    }),
+
+    // J2: line-polygon intersect join. Lines synthesized horizontal
+    // (y const, x0..x1) so the oracle is an interval-overlap test; JTS
+    // st_intersects on the same doubles agrees exactly.
+    "geo_line_join" -> ((s, d) => {
+      val lines = graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          (lit(-120.0) + (col("o_orderkey") % 190) * 0.25).as("lx0"),
+          (lit(25.0) + ((col("o_orderkey") * 7) % 95) * 0.25).as("ly"))
+        .withColumn("lx1", col("lx0") + 0.6)
+        .withColumn("lgeom", G.st_geomfromtext(
+          concat(lit("LINESTRING ("), col("lx0"), lit(" "), col("ly"),
+            lit(", "), col("lx1"), lit(" "), col("ly"), lit(")"))))
+      SpatialJoin.grid(
+        lines, col("lgeom"),
+        GeoSynth.boxes(s, d), col("bgeom"),
+        (l, r) => G.st_intersects(l, r), cellSize = 0.5)
+        .select(col("o_orderkey"), col("s_suppkey"))
+        .orderBy(col("o_orderkey"), col("s_suppkey"))
+    }),
+
     // CRS: web-mercator transform (honoring outSR, which the reference
     // parses but never applies — SURVEY §1.4).
     "geo_transform" -> ((s, d) => {
@@ -236,6 +280,27 @@ object GeoQueries {
       s"""$P SELECT s_nationkey, min(x0) AS xmin, min(y0) AS ymin,
           max(x1) AS xmax, max(y1) AS ymax
           FROM boxes GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "geo_buffer_area" ->
+      s"""$P SELECT c_custkey,
+          round(0.5 * 32 * (r * r) * sin(2 * pi() / 32), 6) AS buf_area,
+          round(32 * 2 * r * sin(pi() / 32), 6) AS buf_perim
+          FROM (SELECT c_custkey,
+            CAST(0.1 AS DOUBLE) + (c_custkey % 5) * CAST(0.1 AS DOUBLE) AS r
+            FROM pts)
+          ORDER BY c_custkey LIMIT 400""",
+    "geo_wkt_roundtrip" ->
+      s"""$P SELECT c_custkey, lon AS x, lat AS y, 'Point' AS gt
+          FROM pts ORDER BY c_custkey LIMIT 500""",
+    "geo_line_join" ->
+      s"""$P, lines AS (
+            SELECT o_orderkey,
+              (CAST(-120.0 AS DOUBLE) + (o_orderkey % 190) * CAST(0.25 AS DOUBLE)) AS lx0,
+              (CAST(25.0 AS DOUBLE) + ((o_orderkey * 7) % 95) * CAST(0.25 AS DOUBLE)) AS ly
+            FROM orders WHERE o_orderkey < 2000)
+          SELECT o_orderkey, s_suppkey
+          FROM lines JOIN boxes
+            ON ly >= y0 AND ly <= y1 AND lx0 <= x1 AND (lx0 + 0.6) >= x0
+          ORDER BY o_orderkey, s_suppkey""",
     "geo_transform" ->
       s"""$P SELECT c_custkey,
           round(6378137.0 * (lon * pi() / 180.0), 4) AS mx,

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.sources.ParquetCatalog
+
+/** TableResolver surface (S3/S6/S9/S11) + keyset pagination. */
+class CatalogSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("catalog: create/list/load/append/drop with nested namespaces") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new ParquetCatalog(spark, root)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    cat.createOrReplace("colorado.parks", "points", df)
+    cat.createOrReplace("colorado", "lines", df)
+    assert(cat.listNamespaces() === Seq("colorado", "colorado.parks"))
+    assert(cat.listTables("colorado.parks") === Seq("points"))
+    assert(cat.load("colorado.parks", "points").count() === 2)
+    cat.append("colorado.parks", "points", Seq((3L, "c")).toDF("id", "name"))
+    assert(cat.load("colorado.parks", "points").count() === 3)
+    // append to missing table rejects (reference 404 semantics)
+    assertThrows[IllegalArgumentException](
+      cat.append("colorado.parks", "nope", df))
+    cat.dropNamespace("colorado.parks")
+    assert(cat.listTables("colorado").contains("lines"))
+    assert(!cat.listNamespaces().contains("colorado.parks"))
+  }
+
+  test("keyset pagination: disjoint pages, matches offset pagination content") {
+    val df = Tables.customer(spark, sf())
+    val schema = FeatureSchema("customer", None, None, 4326, Seq.empty,
+      Some("c_custkey"), 10000)
+    val p = QueryParams(where = Some("c_acctbal > 0"),
+      outFields = Seq("c_custkey", "c_acctbal"), limit = Some(20))
+    val page1 = QueryEngine.keysetPage(df, schema, p, None)
+      .select("__oid").as[Long].collect()
+    assert(page1.length === 20)
+    val page2 = QueryEngine.keysetPage(df, schema, p, Some(page1.last))
+      .select("__oid").as[Long].collect()
+    assert(page2.length === 20)
+    assert(page1.toSet.intersect(page2.toSet).isEmpty)
+    assert(page2.min > page1.max)
+    // same content as two offset pages in __oid order
+    val offs = QueryEngine.query(df, schema,
+      p.copy(limit = Some(40)), oidMode = QueryEngine.Oid.ById,
+      computeCount = false).df.select("__oid").as[Long].collect()
+    assert((page1 ++ page2).toSeq === offs.toSeq)
+    // keyset plan has no global sort before the limit: filter pushes down
+    val plan = QueryEngine.keysetPage(df, schema, p, Some(page1.last))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"))
+  }
+}
