@@ -14,11 +14,15 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE hides WholeStageCodegen subtrees in pre-execution explain;
+      // disable it here so plan inspection shows the real codegen spans
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.geo.GeoRegistry.install(spark)
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    val mode = if (args.length > 2) args(2) else "formatted"
+    SparkEntry.queries(name)(spark, sfDir).explain(mode)
     spark.stop()
   }
 }

@@ -15,7 +15,7 @@ object GeoFunctions {
   // constructors
   def st_point(lon: Column, lat: Column): Column = c(StPoint(x(lon), x(lat)))
   def st_makeenvelope(x0: Column, y0: Column, x1: Column, y1: Column): Column =
-    c(StMakeEnvelope(Seq(x(x0), x(y0), x(x1), x(y1))))
+    c(StMakeEnvelope(x(x0), x(y0), x(x1), x(y1)))
   def st_geomfromtext(wkt: Column): Column = c(StGeomFromText(x(wkt)))
   def st_geomfromwkt(wkt: Column): Column = st_geomfromtext(wkt)
   def st_geomfromwkb(wkb: Column): Column = c(StGeomFromWKB(x(wkb)))
@@ -40,6 +40,8 @@ object GeoFunctions {
   def st_asgeojson(g: Column): Column = c(StAsGeoJson(x(g)))
   def st_aswkb(g: Column): Column = st_geomfromwkb(g)
   def st_asbinary(g: Column): Column = st_geomfromwkb(g)
+
+  def st_envelope_bounds(g: Column): Column = c(StEnvelopeBounds(x(g)))
 
   // unary geometry ops
   def st_centroid(g: Column): Column = c(StCentroid(x(g)))
@@ -84,7 +86,7 @@ object GeoRegistry {
       reg.createOrReplaceTempFunction(name, b, "built-in")
 
     f("st_point") { case Seq(a, b) => StPoint(a, b) }
-    f("st_makeenvelope") { es => StMakeEnvelope(es) }
+    f("st_makeenvelope") { case Seq(a, b, c2, d) => StMakeEnvelope(a, b, c2, d) }
     f("st_geomfromtext") { case Seq(a) => StGeomFromText(a) }
     f("st_geomfromwkt") { case Seq(a) => StGeomFromText(a) }
     f("st_geomfromwkb") { case Seq(a) => StGeomFromWKB(a) }

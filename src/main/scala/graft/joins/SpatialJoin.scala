@@ -34,10 +34,14 @@ object SpatialJoin {
 
   private def withCells(df: DataFrame, geom: Column, cell: Double,
       pfx: String, expand: Double): DataFrame = {
-    df.withColumn(s"${pfx}_xmin", G.st_xmin(geom) - expand)
-      .withColumn(s"${pfx}_ymin", G.st_ymin(geom) - expand)
-      .withColumn(s"${pfx}_xmax", G.st_xmax(geom) + expand)
-      .withColumn(s"${pfx}_ymax", G.st_ymax(geom) + expand)
+    // one WKB decode per row for all four bounds (st_envelope_bounds),
+    // not four — at scale this is the dominant cost of the cell stage
+    df.withColumn(s"${pfx}_b", G.st_envelope_bounds(geom))
+      .withColumn(s"${pfx}_xmin", element_at(col(s"${pfx}_b"), 1) - expand)
+      .withColumn(s"${pfx}_ymin", element_at(col(s"${pfx}_b"), 2) - expand)
+      .withColumn(s"${pfx}_xmax", element_at(col(s"${pfx}_b"), 3) + expand)
+      .withColumn(s"${pfx}_ymax", element_at(col(s"${pfx}_b"), 4) + expand)
+      .drop(s"${pfx}_b")
       .withColumn(s"${pfx}_ix", explode(sequence(
         floor(col(s"${pfx}_xmin") / cell).cast("long"),
         floor(col(s"${pfx}_xmax") / cell).cast("long"))))
