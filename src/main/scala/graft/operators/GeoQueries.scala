@@ -203,6 +203,21 @@ object GeoQueries {
         .orderBy(col("o_orderkey"), col("s_suppkey"))
     }),
 
+    // Binary overlay (st_union of two boxes) + st_centroid: union area of a
+    // box and its half-width-shifted copy has closed form 2w² - w²/2; the
+    // box centroid is the midpoint. Exercises JTS overlay + centroid math.
+    "geo_overlay" -> ((s, d) => {
+      GeoSynth.boxes(s, d)
+        .withColumn("shifted", G.st_makeenvelope(
+          col("x0") + (col("x1") - col("x0")) / 2, col("y0"),
+          col("x1") + (col("x1") - col("x0")) / 2, col("y1")))
+        .select(col("s_suppkey"),
+          round(G.st_area(G.st_union(col("bgeom"), col("shifted"))), 6).as("union_area"),
+          round(G.st_x(G.st_centroid(col("bgeom"))), 6).as("ctr_x"),
+          round(G.st_y(G.st_centroid(col("bgeom"))), 6).as("ctr_y"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // CRS: web-mercator transform (honoring outSR, which the reference
     // parses but never applies — SURVEY §1.4).
     "geo_transform" -> ((s, d) => {
@@ -301,6 +316,13 @@ object GeoQueries {
           FROM lines JOIN boxes
             ON ly >= y0 AND ly <= y1 AND lx0 <= x1 AND (lx0 + 0.6) >= x0
           ORDER BY o_orderkey, s_suppkey""",
+    "geo_overlay" ->
+      s"""$P SELECT s_suppkey,
+          round(2 * (x1 - x0) * (y1 - y0) - ((x1 - x0) / 2) * (y1 - y0), 6)
+            AS union_area,
+          round((x0 + x1) / 2, 6) AS ctr_x,
+          round((y0 + y1) / 2, 6) AS ctr_y
+          FROM boxes ORDER BY s_suppkey""",
     "geo_transform" ->
       s"""$P SELECT c_custkey,
           round(6378137.0 * (lon * pi() / 180.0), 4) AS mx,

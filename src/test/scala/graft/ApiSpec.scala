@@ -79,6 +79,33 @@ class ApiSpec extends SparkFunSuite {
     assert(json.get("fields").size === 3)
   }
 
+  test("end-to-end request flow: translate -> engine -> EsriJSON, page disjointness") {
+    // the full cycle the reference's HTTP tests exercise
+    // (test_geoservices_query.py:165-191 pagination disjointness, at the
+    // serialized-response level)
+    import graft.engine.{QueryEngine, SchemaService}
+    val df = operators.GeoSynth.points(spark, sf())
+    val sch = SchemaService.describe(df, "demo.points")
+    def page(offset: Int): com.fasterxml.jackson.databind.JsonNode = {
+      val p = FeatureServer.translateQuery(Map(
+        "geometry" -> "-120,25,-110,50",
+        "outFields" -> "c_custkey",
+        "resultRecordCount" -> "5", "resultOffset" -> offset.toString), sch)
+      val r = QueryEngine.query(df, sch, p)
+      val rows = r.df.collect().toSeq
+      mapper.readTree(graft.serializers.JsonSerializers.esriFeatureSet(
+        rows, r.df.schema, sch, r.exceededTransferLimit))
+    }
+    val p1 = page(0); val p2 = page(5)
+    def oids(n: com.fasterxml.jackson.databind.JsonNode): Set[Long] =
+      (0 until n.get("features").size).map(i =>
+        n.get("features").get(i).get("attributes").get("__oid").asLong).toSet
+    assert(oids(p1).size === 5 && oids(p2).size === 5)
+    assert(oids(p1).intersect(oids(p2)).isEmpty)
+    assert(p1.get("exceededTransferLimit").asBoolean)
+    assert(p1.get("features").get(0).get("geometry").has("x"))
+  }
+
   test("OGC items translation: property filters escape quotes; hits mode") {
     val p = OgcProvider.translateItems(
       offset = 20, limit = 10,
