@@ -58,6 +58,10 @@ object Serve {
     val arrow = ArrowIpc.serialize(rows, outSchema)
     println(s"== ArrowIPC: ${arrow.length} bytes")
 
+    val html = graft.serializers.HtmlRenderer.resultTable(
+      rows, outSchema, schema, result.count)
+    println(s"== HTML (${html.length}B): ${html.replaceAll("\\s+", " ").take(240)}")
+
     val out = java.nio.file.Files.createTempDirectory("serve").toString
     GeoParquetIO.writePage(rows, outSchema, "geom", s"$out/page.parquet",
       geometryTypes = Seq("Point"))

@@ -46,21 +46,32 @@ object Dedup {
     val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__sig", minhash_sig(col("__text"), numHashes, shingle))
     // band -> (bandIdx, xxhash64 of the band's slice)
-    val banded = sig.select(col("__id"), col("__text"),
+    val banded = sig.select(col("__id"), col("__text"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("__sig"), b * rows + 1, lit(rows)))).as(Seq("__band", "__bandsig")))
       .withColumn("__bucket", xxhash64(col("__band"), concat_ws(",", col("__bandsig"))))
-      .select(col("__id"), col("__text"), col("__band"), col("__bucket"))
+      .select(col("__id"), col("__text"), col("__sig"), col("__band"), col("__bucket"))
 
     val a = banded.select(col("__id").as("id_a"), col("__text").as("__text_a"),
-      col("__band"), col("__bucket"))
+      col("__sig").as("__sig_a"), col("__band"), col("__bucket"))
     val b = banded.select(col("__id").as("id_b"), col("__text").as("__text_b"),
-      col("__band").as("__band_b"), col("__bucket").as("__bucket_b"))
+      col("__sig").as("__sig_b"), col("__band").as("__band_b"),
+      col("__bucket").as("__bucket_b"))
+
+    // estimated-jaccard pre-filter (sig overlap, std ~ sqrt(j(1-j)/k)):
+    // kills the bulk of low-similarity band collisions before the exact
+    // shingle Jaccard, which is the expensive refine at corpus scale.
+    val estMargin = 2.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val sigOverlap = org.apache.spark.sql.graftbridge.column(SigOverlap(
+      org.apache.spark.sql.graftbridge.expression(col("__sig_a")),
+      org.apache.spark.sql.graftbridge.expression(col("__sig_b"))))
 
     a.join(b, col("__band") === col("__band_b") &&
         col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__text_a"), col("__text_b"))
+      .select(col("id_a"), col("id_b"), col("__text_a"), col("__text_b"),
+        col("__sig_a"), col("__sig_b"))
       .dropDuplicates("id_a", "id_b")
+      .filter(sigOverlap >= threshold - estMargin)
       .withColumn("jaccard",
         jaccard_shingle(col("__text_a"), col("__text_b"), shingle))
       .filter(col("jaccard") >= threshold)

@@ -34,6 +34,15 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  def sigOverlap(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   def dot(a: ArrayData, b: ArrayData, floatInput: Boolean): Double = {
     val n = a.numElements()
     var acc = 0.0
@@ -75,6 +84,31 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.pipeline.VectorOps.cosine($a, $b, $elementIsFloat)")
   override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Fraction of positions where two equal-length array<long> signatures
+  * agree — the unbiased MinHash Jaccard estimator (std ≈ sqrt(j(1-j)/k)).
+  * Used as a cheap pre-filter before exact shingle Jaccard. */
+case class SigOverlap(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sig_overlap expects two array<bigint>")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sigOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.pipeline.VectorOps.sigOverlap($a, $b)")
+  override def prettyName: String = "sig_overlap"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -258,6 +258,18 @@ class SerializerSpec extends SparkFunSuite {
     assert(json.get("features").get(2).get("geometry").isNull)
   }
 
+  test("HTML rendering: directory, layer page, result table with escaping") {
+    val dir = HtmlRenderer.serviceDirectory("demo", Seq(fs))
+    assert(dir.contains("<li>") && dir.contains("Point"))
+    val layer = HtmlRenderer.layerPage(fs, 0)
+    assert(layer.contains("temperature") && layer.contains("SRID 4326"))
+    val evil = Seq(Row(0L, "<script>x&y</script>", 1.0, pt(0, 0)))
+    val table = HtmlRenderer.resultTable(evil, schema, fs, Some(1L))
+    assert(!table.contains("<script>"))
+    assert(table.contains("&lt;script&gt;"))
+    assert(table.contains("&lt;wkb 21 bytes&gt;"))
+  }
+
   test("Arrow IPC round-trip") {
     val bytes = ArrowIpc.serialize(rows, schema)
     val alloc = new org.apache.arrow.memory.RootAllocator()
