@@ -100,6 +100,40 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Winnowing copy-detection (rows-only gate): explode each document's
+    // winnow fingerprints, self-join on fingerprint (inverted-index shape —
+    // an equi-join, the scale path for substring-reuse detection), keep
+    // pairs sharing enough fingerprints.
+    "doc_winnow_pairs" -> ((s, d) => {
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"), explode(
+          winnow_fingerprints(col("text"), shingle = 12, window = 16)).as("fp"))
+        .distinct()
+      // stop-fingerprint cap: a fingerprint in f docs contributes f^2/2
+      // pairs, so frequent (vocabulary-level) fingerprints dominate cost
+      // while carrying no copy signal. Capping document frequency bounds
+      // the join output linearly — the standard inverted-index guard.
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("fp"))
+      val pruned = fps.join(broadcast(rare), Seq("fp"))
+      val a = pruned.select(col("doc_id").as("id_a"), col("fp"))
+      val b = pruned.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+      a.join(b, col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Approximate-nearest-neighbor join (rows-only gate): seeded
+    // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
+    "emb_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annJoin(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64, k = 5, bits = 10, tables = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Brute-force cosine top-10 for one query vector (exact ANN baseline).
     "emb_cosine_topk" -> ((s, d) => {
       Similarity.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",

@@ -62,19 +62,20 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `bits` sign bits from dot products
-    * with seeded planes. Pure Catalyst expressions (aggregate over the
-    * vector per plane), so bucketing runs scan-side with no UDF. */
+    * with seeded planes. Uses the codegen'd [[DotProduct]] against float
+    * plane literals — bucketing runs scan-side inside whole-stage codegen
+    * (the HOF formulation interpreted ~dim lambdas per bit per row). */
   def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val vd = transform(vec, x => x.cast("double"))
-    val bitCols = (0 until bits).map { p =>
-      val dot = aggregate(
-        zip_with(vd,
-          array((0 until dim).map(j => lit(planeComponent(p, j, seed))): _*),
-          (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    def dotCol(p: Int): Column = {
+      val plane = array((0 until dim).map(j =>
+        lit(planeComponent(p, j, seed).toFloat)): _*)
+      org.apache.spark.sql.graftbridge.column(DotProduct(
+        org.apache.spark.sql.graftbridge.expression(vec),
+        org.apache.spark.sql.graftbridge.expression(plane)))
     }
-    bitCols.reduce(_ + _)
+    (0 until bits).map { p =>
+      when(dotCol(p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** ANN candidate join: rows sharing an LSH bucket in any of `tables`
