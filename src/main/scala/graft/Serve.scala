@@ -25,6 +25,13 @@ object Serve {
     graft.geo.GeoRegistry.install(spark)
 
     if (args.contains("stream")) { runStream(spark, sfDir); spark.stop(); return }
+    if (args.contains("dist")) {
+      val dir = java.nio.file.Files.createTempDirectory("geopq_dist").toString
+      sources.GeoParquetIO.writeDistributed(
+        operators.GeoSynth.points(spark, sfDir).repartition(4), "geom", dir)
+      println(s"== distributed GeoParquet: $dir -> ${new java.io.File(dir).list().sorted.mkString(", ")}")
+      spark.stop(); return
+    }
 
     val df = operators.GeoSynth.points(spark, sfDir)
     val schema = SchemaService.describe(df, "demo.points")

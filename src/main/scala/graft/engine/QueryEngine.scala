@@ -119,9 +119,18 @@ object QueryEngine {
     else df.select(cols: _*)
   }
 
+  sealed trait CountMode
+  object CountMode {
+    /** Full COUNT on the filtered plan (reference parity). */
+    case object Exact extends CountMode
+    /** Only the exceeded flag, via an early-stopping limit probe. */
+    case object ExceededOnly extends CountMode
+    case object None extends CountMode
+  }
+
   def query(base: DataFrame, schema: FeatureSchema, p: QueryParams,
       oidMode: Oid = Oid.Sequential,
-      computeCount: Boolean = true): QueryResult = {
+      countMode: CountMode = CountMode.Exact): QueryResult = {
     val n = numbered(base, schema, oidMode)
     val f = filtered(n, schema, p)
 
@@ -146,15 +155,20 @@ object QueryEngine {
     val limit = p.limit.getOrElse(schema.maxRecordCount)
     val page = ordered.offset(p.offset.toInt).limit(limit)
 
-    // exceededTransferLimit needs a count past the page boundary; the
-    // reference re-runs COUNT (engine.py:448-456). We count the filtered
-    // plan once (same second pass; at scale, replace with observe() or a
-    // limit(offset+limit+1) probe to avoid the extra full scan).
-    val (count, exceeded) =
-      if (computeCount) {
+    // exceededTransferLimit needs to know whether rows exist past the page
+    // boundary; the reference re-runs a full COUNT (engine.py:448-456).
+    // Exact mode reproduces that; ExceededOnly is the scale path — a
+    // limit(offset+limit+1) probe that stops scanning as soon as one extra
+    // row is found instead of counting 100 TB.
+    val (count, exceeded) = countMode match {
+      case CountMode.Exact =>
         val c = f.count()
         (Some(c), c > p.offset + limit)
-      } else (None, false)
+      case CountMode.ExceededOnly =>
+        val probe = f.limit((p.offset + limit + 1).toInt).count()
+        (None, probe > p.offset + limit)
+      case CountMode.None => (None, false)
+    }
 
     QueryResult(page, count, exceeded)
   }

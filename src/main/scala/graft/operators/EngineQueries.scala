@@ -39,7 +39,7 @@ object EngineQueries {
         returnGeometry = false,
         orderBy = Seq(OrderField("lat", descending = true)),
         limit = Some(50), offset = 10),
-        computeCount = false).df
+        countMode = QueryEngine.CountMode.None).df
     }),
 
     // count-only mode (A1).
@@ -68,7 +68,7 @@ object EngineQueries {
         objectIds = Some(Seq(5L, 6L, 7L, 100L, 101L, 500L)),
         outFields = Seq("c_custkey", "lon", "lat"),
         returnGeometry = false),
-        computeCount = false).df
+        countMode = QueryEngine.CountMode.None).df
     }),
 
     // WHERE passthrough with an allowlisted function + non-spatial table.
@@ -79,7 +79,7 @@ object EngineQueries {
         outFields = Seq("c_custkey", "c_acctbal", "c_mktsegment"),
         orderBy = Seq(OrderField("c_acctbal", descending = true)),
         limit = Some(100)),
-        computeCount = false).df
+        countMode = QueryEngine.CountMode.None).df
     }),
 
     // Oid.ById — the 100 TB path: id column as OID, no global window.
@@ -91,7 +91,7 @@ object EngineQueries {
         returnGeometry = false,
         limit = Some(1000)),
         oidMode = QueryEngine.Oid.ById,
-        computeCount = false).df
+        countMode = QueryEngine.CountMode.None).df
     }))
 
   private val numberedCte =

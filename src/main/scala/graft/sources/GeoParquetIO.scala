@@ -80,7 +80,29 @@ object GeoParquetIO {
     * first, `geo` footer metadata set. */
   def writePage(rows: Seq[Row], schema: StructType, geomCol: String,
       outPath: String, geometryTypes: Seq[String] = Seq("Point"),
-      bbox: Option[Bbox] = None): Unit = {
+      bbox: Option[Bbox] = None): Unit =
+    writePageWithMeta(rows.iterator, schema, geomCol, outPath,
+      geoMetadataJson(geomCol, geometryTypes, bbox))
+
+  /** Distributed GeoParquet export: every partition writes its own
+    * `part-NNNNN.parquet` with the `geo` footer — the multi-file path for
+    * large extracts (Spark's own writer exposes no footer hook, so each
+    * task runs the page writer; no driver collect, no shuffle). */
+  def writeDistributed(df: DataFrame, geomCol: String, outDir: String,
+      geometryTypes: Seq[String] = Seq("Point")): Unit = {
+    val schema = df.schema
+    val meta = geoMetadataJson(geomCol, geometryTypes, None)
+    new java.io.File(outDir).mkdirs()
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        writePageWithMeta(it, schema, geomCol, f"$outDir/part-$pid%05d.parquet", meta)
+      }
+    }
+  }
+
+  private[sources] def writePageWithMeta(rows: Iterator[Row], schema: StructType,
+      geomCol: String, outPath: String, metaJson: String): Unit = {
     val reordered = StructType(
       schema.fields.filter(_.name == geomCol) ++
         schema.fields.filterNot(_.name == geomCol))
@@ -90,8 +112,7 @@ object GeoParquetIO {
     val writer = ExampleParquetWriter.builder(new Path(outPath))
       .withConf(new Configuration())
       .withType(msg)
-      .withExtraMetaData(Map("geo" ->
-        geoMetadataJson(geomCol, geometryTypes, bbox)).asJava)
+      .withExtraMetaData(Map("geo" -> metaJson).asJava)
       .build()
     try {
       val srcIdx = reordered.fields.map(f => schema.fieldIndex(f.name))

@@ -47,7 +47,7 @@ class CatalogSpec extends SparkFunSuite {
     // same content as two offset pages in __oid order
     val offs = QueryEngine.query(df, schema,
       p.copy(limit = Some(40)), oidMode = QueryEngine.Oid.ById,
-      computeCount = false).df.select("__oid").as[Long].collect()
+      countMode = QueryEngine.CountMode.None).df.select("__oid").as[Long].collect()
     assert((page1 ++ page2).toSeq === offs.toSeq)
     // keyset plan has no global sort before the limit: filter pushes down
     val plan = QueryEngine.keysetPage(df, schema, p, Some(page1.last))

@@ -85,6 +85,17 @@ class EngineSpec extends SparkFunSuite {
     assert(!all.exceededTransferLimit)
   }
 
+  test("CountMode.ExceededOnly: correct flag without a full count") {
+    val r = QueryEngine.query(sensorPoints, pointSchema,
+      QueryParams(limit = Some(5), returnGeometry = false),
+      countMode = QueryEngine.CountMode.ExceededOnly)
+    assert(r.count.isEmpty && r.exceededTransferLimit)
+    val all = QueryEngine.query(sensorPoints, pointSchema,
+      QueryParams(limit = Some(200), returnGeometry = false),
+      countMode = QueryEngine.CountMode.ExceededOnly)
+    assert(!all.exceededTransferLimit)
+  }
+
   test("ORDER BY honored (verified by re-sorting the output)") {
     val r = QueryEngine.query(sensorPoints, pointSchema, QueryParams(
       orderBy = Seq(OrderField("temperature", descending = true)),
@@ -111,19 +122,19 @@ class EngineSpec extends SparkFunSuite {
       .df.as[Long].collect().toSeq
     assert(ids.nonEmpty)
     val fetched = QueryEngine.query(sensorPoints, pointSchema, QueryParams(
-      objectIds = Some(ids), returnGeometry = false), computeCount = false)
+      objectIds = Some(ids), returnGeometry = false), countMode = QueryEngine.CountMode.None)
     assert(fetched.df.select("__oid").as[Long].collect().toSet === ids.toSet)
   }
 
   test("OID is stable across query shapes (filter-independent)") {
     val unfiltered = QueryEngine.query(sensorPoints, pointSchema,
       QueryParams(outFields = Seq("sensor_id"), returnGeometry = false,
-        limit = Some(200)), computeCount = false)
+        limit = Some(200)), countMode = QueryEngine.CountMode.None)
       .df.select("__oid", "sensor_id").as[(Long, String)].collect().toMap
     val filtered = QueryEngine.query(sensorPoints, pointSchema,
       QueryParams(where = Some("temperature > 20"),
         outFields = Seq("sensor_id"), returnGeometry = false,
-        limit = Some(200)), computeCount = false)
+        limit = Some(200)), countMode = QueryEngine.CountMode.None)
       .df.select("__oid", "sensor_id").as[(Long, String)].collect()
     assert(filtered.nonEmpty)
     filtered.foreach { case (oid, sid) => assert(unfiltered(oid) === sid) }
@@ -139,10 +150,10 @@ class EngineSpec extends SparkFunSuite {
 
   test("projection: unselected columns excluded; empty -> _dummy") {
     val r = QueryEngine.query(sensorPoints, pointSchema, QueryParams(
-      outFields = Seq("sensor_id"), returnGeometry = false), computeCount = false)
+      outFields = Seq("sensor_id"), returnGeometry = false), countMode = QueryEngine.CountMode.None)
     assert(r.df.columns.toSeq === Seq("__oid", "sensor_id"))
     val dummy = QueryEngine.query(sensorPoints, pointSchema, QueryParams(
-      outFields = Seq.empty, returnGeometry = false), computeCount = false)
+      outFields = Seq.empty, returnGeometry = false), countMode = QueryEngine.CountMode.None)
     // '*' default: empty outFields means all fields per reference
     assert(dummy.df.columns.contains("sensor_id"))
   }
@@ -169,7 +180,7 @@ class EngineSpec extends SparkFunSuite {
   test("Oid.ById mode: no window exchange, oid == id column") {
     val r = QueryEngine.query(sensorPoints, pointSchema,
       QueryParams(returnGeometry = false, limit = Some(200)),
-      oidMode = QueryEngine.Oid.ById, computeCount = false)
+      oidMode = QueryEngine.Oid.ById, countMode = QueryEngine.CountMode.None)
     val pairs = r.df.select("__oid").as[Long].collect()
     assert(pairs.toSeq === (0L until 100L))
     val plan = QueryEngine.numbered(sensorPoints, pointSchema,

@@ -305,6 +305,22 @@ class SerializerSpec extends SparkFunSuite {
     assert(GeoIO.fromWkb(wkb).getCoordinate.x === -105.0)
   }
 
+  test("distributed GeoParquet export: per-partition files, footers intact") {
+    val dir = Files.createTempDirectory("geopq_dist").toString
+    val df = operators.GeoSynth.points(spark, sf()).repartition(3)
+    GeoParquetIO.writeDistributed(df, "geom", dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.length === 3)
+    parts.foreach { p =>
+      val Some((primary, enc)) = GeoParquetIO.readGeoMetadata(p.getPath)
+      assert(primary === "geom" && enc === "WKB")
+    }
+    val back = GeoParquetIO.read(spark, dir)
+    assert(back.count() === df.count())
+    assert(back.columns.head === "geom")
+  }
+
   test("GeoJSON source: FeatureCollection -> WKB frame; unify appends") {
     val gj =
       """{"type":"FeatureCollection","features":[
