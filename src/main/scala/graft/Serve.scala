@@ -65,6 +65,12 @@ object Serve {
     val arrow = ArrowIpc.serialize(rows, outSchema)
     println(s"== ArrowIPC: ${arrow.length} bytes")
 
+    // mode=aggregate at low zoom (the webmap's LOD request shape)
+    val res = api.Lod.aggregationResolution(5).getOrElse(api.Lod.DefaultResolution)
+    val lod = api.Lod.aggregate(df, col("geom"), res).limit(3).collect()
+    println(s"== LOD aggregate (zoom 5, res $res): " + lod.map(r =>
+      s"${r.getLong(1)} pts").mkString(", "))
+
     val html = graft.serializers.HtmlRenderer.resultTable(
       rows, outSchema, schema, result.count)
     println(s"== HTML (${html.length}B): ${html.replaceAll("\\s+", " ").take(240)}")

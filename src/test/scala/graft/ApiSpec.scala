@@ -106,6 +106,25 @@ class ApiSpec extends SparkFunSuite {
     assert(p1.get("features").get(0).get("geometry").has("x"))
   }
 
+  test("LOD policy: zoom ladder matches the reference's webmap") {
+    import graft.api.Lod
+    assert(Lod.simplifyTolerance(0).contains(360.0 / 256))
+    assert(Lod.simplifyTolerance(10).contains(360.0 / (1024 * 256)))
+    assert(Lod.simplifyTolerance(12).isEmpty)
+    assert(Lod.aggregationResolution(3).contains(5.0))
+    assert(Lod.aggregationResolution(5).contains(2.0))
+    assert(Lod.aggregationResolution(7).contains(0.5))
+    assert(Lod.aggregationResolution(9).contains(0.1))
+    assert(Lod.aggregationResolution(10).contains(0.05))
+    assert(Lod.aggregationResolution(11).isEmpty)
+    // aggregate plan over synthesized points: counts conserve rows
+    val pts = operators.GeoSynth.points(spark, sf())
+    val agg = Lod.aggregate(pts, org.apache.spark.sql.functions.col("geom"), 1.0)
+    val total = agg.agg(org.apache.spark.sql.functions.sum("feature_count"))
+      .collect()(0).getLong(0)
+    assert(total === pts.count())
+  }
+
   test("OGC items translation: property filters escape quotes; hits mode") {
     val p = OgcProvider.translateItems(
       offset = 20, limit = 10,
