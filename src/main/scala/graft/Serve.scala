@@ -25,6 +25,20 @@ object Serve {
     graft.geo.GeoRegistry.install(spark)
 
     if (args.contains("stream")) { runStream(spark, sfDir); spark.stop(); return }
+    if (args.contains("bucket")) {
+      // co-located join demo: both sides bucketed by the join key -> the
+      // executed plan has no shuffle Exchange on either side
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      joins.Layout.bucketize(Tables.orders(spark, sfDir), "demo_o", "o_orderkey", 8)
+      joins.Layout.bucketize(Tables.lineitem(spark, sfDir), "demo_l", "l_orderkey", 8)
+      val j = spark.table("demo_l").join(spark.table("demo_o"),
+        col("l_orderkey") === col("o_orderkey"))
+      println(s"== bucketed join: exchangeInPlan=${
+        j.queryExecution.executedPlan.toString.contains("Exchange")} rows=${j.count()}")
+      spark.sql("DROP TABLE demo_o"); spark.sql("DROP TABLE demo_l")
+      spark.stop(); return
+    }
     if (args.contains("dist")) {
       val dir = java.nio.file.Files.createTempDirectory("geopq_dist").toString
       sources.GeoParquetIO.writeDistributed(
