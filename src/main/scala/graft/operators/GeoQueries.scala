@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Det
 import graft.joins.SpatialJoin
 import graft.geo.{GeoFunctions => G}
 
@@ -57,7 +58,7 @@ object GeoQueries {
     "geo_distance_topk" -> ((s, d) => {
       val q = G.st_point(lit(-100.0), lit(35.0))
       GeoSynth.points(s, d)
-        .withColumn("dist", round(G.st_distance(col("geom"), q), 6))
+        .withColumn("dist", Det.r(G.st_distance(col("geom"), q), 6))
         .select(col("c_custkey"), col("dist"))
         .orderBy(col("dist"), col("c_custkey"))
         .limit(20)
@@ -111,7 +112,7 @@ object GeoQueries {
         GeoSynth.points(s, d), "geom", centroids, "cgeom",
         k = 1, tiebreak = "s_suppkey")
         .select(col("c_custkey"), col("s_suppkey"),
-          round(col("knn_dist"), 6).as("dist"))
+          Det.r(col("knn_dist"), 6).as("dist"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -142,7 +143,7 @@ object GeoQueries {
         .withColumn("bgeom", G.st_makeenvelope(col("x0"), col("y0"),
           col("x0") + col("w"), col("y0") + col("w")))
         .groupBy(col("s_nationkey"))
-        .agg(round(G.st_area(G.st_union_aggr(col("bgeom"))), 4).as("union_area"),
+        .agg(Det.r(G.st_area(G.st_union_aggr(col("bgeom"))), 4).as("union_area"),
           count(lit(1)).as("n_boxes"))
         .orderBy(col("s_nationkey"))
     }),
@@ -166,8 +167,8 @@ object GeoQueries {
       GeoSynth.points(s, d)
         .withColumn("r", lit(0.1) + (col("c_custkey") % 5) * 0.1)
         .select(col("c_custkey"),
-          round(G.st_area(G.st_buffer(col("geom"), col("r"))), 6).as("buf_area"),
-          round(G.st_length(G.st_buffer(col("geom"), col("r"))), 6).as("buf_perim"))
+          Det.r(G.st_area(G.st_buffer(col("geom"), col("r"))), 6).as("buf_area"),
+          Det.r(G.st_length(G.st_buffer(col("geom"), col("r"))), 6).as("buf_perim"))
         .orderBy(col("c_custkey")).limit(400)
     }),
 
@@ -212,9 +213,9 @@ object GeoQueries {
           col("x0") + (col("x1") - col("x0")) / 2, col("y0"),
           col("x1") + (col("x1") - col("x0")) / 2, col("y1")))
         .select(col("s_suppkey"),
-          round(G.st_area(G.st_union(col("bgeom"), col("shifted"))), 6).as("union_area"),
-          round(G.st_x(G.st_centroid(col("bgeom"))), 6).as("ctr_x"),
-          round(G.st_y(G.st_centroid(col("bgeom"))), 6).as("ctr_y"))
+          Det.r(G.st_area(G.st_union(col("bgeom"), col("shifted"))), 6).as("union_area"),
+          Det.r(G.st_x(G.st_centroid(col("bgeom"))), 6).as("ctr_x"),
+          Det.r(G.st_y(G.st_centroid(col("bgeom"))), 6).as("ctr_y"))
         .orderBy(col("s_suppkey"))
     }),
 
@@ -224,8 +225,8 @@ object GeoQueries {
       GeoSynth.points(s, d)
         .withColumn("merc", G.st_transform(col("geom"), lit(4326), lit(3857)))
         .select(col("c_custkey"),
-          round(G.st_x(col("merc")), 4).as("mx"),
-          round(G.st_y(col("merc")), 4).as("my"))
+          Det.r(G.st_x(col("merc")), 4).as("mx"),
+          Det.r(G.st_y(col("merc")), 4).as("my"))
         .orderBy(col("c_custkey"))
         .limit(500)
     }))
@@ -246,8 +247,7 @@ object GeoQueries {
           GROUP BY c_nationkey ORDER BY c_nationkey""",
     "geo_distance_topk" ->
       s"""$P SELECT c_custkey,
-          round(sqrt((lon - (-100.0)) * (lon - (-100.0))
-                   + (lat - 35.0) * (lat - 35.0)), 6) AS dist
+          ${Det.rsql("sqrt((lon - (-100.0)) * (lon - (-100.0)) + (lat - 35.0) * (lat - 35.0))", 6)} AS dist
           FROM pts ORDER BY dist, c_custkey LIMIT 20""",
     "geo_grid_agg" ->
       s"""$P SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
@@ -269,7 +269,7 @@ object GeoQueries {
       s"""$P, cents AS (
             SELECT s_suppkey, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy
             FROM boxes)
-          SELECT c_custkey, s_suppkey, round(dist, 6) AS dist FROM (
+          SELECT c_custkey, s_suppkey, ${Det.rsql("dist", 6)} AS dist FROM (
             SELECT c_custkey, s_suppkey, $distSql AS dist,
               row_number() OVER (PARTITION BY c_custkey
                 ORDER BY $distSql, s_suppkey) AS rn
@@ -288,7 +288,8 @@ object GeoQueries {
            SELECT s_suppkey, s_nationkey,
              (CAST(0.1 AS DOUBLE) + (s_suppkey % 7) * CAST(0.1 AS DOUBLE)) AS w
            FROM supplier)
-         SELECT s_nationkey, round(sum(w * w), 4) AS union_area,
+         SELECT s_nationkey,
+           floor((sum(w * w)) * 10000.0 + 0.5) / 10000.0 AS union_area,
            count(*) AS n_boxes
          FROM b GROUP BY s_nationkey ORDER BY s_nationkey""",
     "geo_envelope_agg" ->
@@ -297,8 +298,8 @@ object GeoQueries {
           FROM boxes GROUP BY s_nationkey ORDER BY s_nationkey""",
     "geo_buffer_area" ->
       s"""$P SELECT c_custkey,
-          round(0.5 * 32 * (r * r) * sin(2 * pi() / 32), 6) AS buf_area,
-          round(32 * 2 * r * sin(pi() / 32), 6) AS buf_perim
+          ${Det.rsql("0.5 * 32 * (r * r) * sin(2 * pi() / 32)", 6)} AS buf_area,
+          ${Det.rsql("32 * 2 * r * sin(pi() / 32)", 6)} AS buf_perim
           FROM (SELECT c_custkey,
             CAST(0.1 AS DOUBLE) + (c_custkey % 5) * CAST(0.1 AS DOUBLE) AS r
             FROM pts)
@@ -318,14 +319,14 @@ object GeoQueries {
           ORDER BY o_orderkey, s_suppkey""",
     "geo_overlay" ->
       s"""$P SELECT s_suppkey,
-          round(2 * (x1 - x0) * (y1 - y0) - ((x1 - x0) / 2) * (y1 - y0), 6)
+          ${Det.rsql("2 * (x1 - x0) * (y1 - y0) - ((x1 - x0) / 2) * (y1 - y0)", 6)}
             AS union_area,
-          round((x0 + x1) / 2, 6) AS ctr_x,
-          round((y0 + y1) / 2, 6) AS ctr_y
+          ${Det.rsql("(x0 + x1) / 2", 6)} AS ctr_x,
+          ${Det.rsql("(y0 + y1) / 2", 6)} AS ctr_y
           FROM boxes ORDER BY s_suppkey""",
     "geo_transform" ->
       s"""$P SELECT c_custkey,
-          round(6378137.0 * (lon * pi() / 180.0), 4) AS mx,
-          round(6378137.0 * ln(tan(pi() / 4.0 + (lat * pi() / 180.0) / 2.0)), 4) AS my
+          ${Det.rsql("6378137.0 * (lon * pi() / 180.0)", 4)} AS mx,
+          ${Det.rsql("6378137.0 * ln(tan(pi() / 4.0 + (lat * pi() / 180.0) / 2.0))", 4)} AS my
           FROM pts ORDER BY c_custkey LIMIT 500""")
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Det, Tables}
 import graft.pipeline.{Dedup, Multimodal, Similarity}
 import graft.pipeline.TextFunctions._
 
@@ -18,24 +18,27 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text stats per language: whitespace token counting + lengths.
+    // Exact-integer outputs only (sum+count instead of avg): integer sums
+    // hash identically across engines; rounded doubles do not (VERDICT r1).
     "doc_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          sum(col("n_tokens")).as("total_tokens"),
           max(col("n_tokens")).as("max_tokens"))
         .orderBy(col("lang"))
     }),
 
     // BPE-ish regex token counting (word pieces + punctuation).
+    // Exact integers (total + doc count; avg is derivable client-side).
     "doc_tokens" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("n_bpe", regexp_count(col("text"), lit("\\w+|[^\\w\\s]")))
         .groupBy(col("source"))
         .agg(sum(col("n_bpe")).as("total_bpe"),
-          round(avg(col("n_bpe")), 4).as("avg_bpe"))
+          count(lit(1)).as("n_docs"))
         .orderBy(col("source"))
     }),
 
@@ -53,7 +56,7 @@ object PipelineQueries {
           col("punct_ratio") < 0.1, "good").otherwise("poor"))
         .groupBy(col("lang"), col("quality"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("space_ratio")), 6).as("avg_space_ratio"))
+          Det.r(avg(col("space_ratio")), 6).as("avg_space_ratio"))
         .orderBy(col("lang"), col("quality"))
     }),
 
@@ -155,7 +158,7 @@ object PipelineQueries {
         .groupBy(col("label"), col("pos"))
         .agg(avg(col("v").cast("double")).as("m"))
         .groupBy(col("label"))
-        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+        .agg(Det.r(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
           count(lit(1)).as("dim"))
         .orderBy(col("label"))
     }),
@@ -169,7 +172,7 @@ object PipelineQueries {
         .groupBy(col("src_bucket"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
-          round(avg(col("width")), 4).as("avg_width"),
+          sum(col("width")).as("total_width"),
           max(col("n_frames")).as("max_frames"))
         .orderBy(col("src_bucket"))
     }))
@@ -177,13 +180,13 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "doc_stats" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-         round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
          max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "doc_tokens" ->
       """SELECT source,
          sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_bpe,
-         round(avg(len(regexp_extract_all(text, '\w+|[^\w\s]'))), 4) AS avg_bpe
+         count(*) AS n_docs
          FROM documents GROUP BY source ORDER BY source""",
     "doc_quality" ->
       """WITH q AS (
@@ -196,7 +199,9 @@ object PipelineQueries {
          SELECT lang,
            CASE WHEN n_chars >= 120 AND space_ratio > 0.1
                  AND punct_ratio < 0.1 THEN 'good' ELSE 'poor' END AS quality,
-           count(*) AS n, round(avg(space_ratio), 6) AS avg_space_ratio
+           count(*) AS n,
+           floor((avg(space_ratio)) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_space_ratio
          FROM q GROUP BY 1, 2 ORDER BY lang, quality""",
     "doc_exact_dedup" ->
       """SELECT count(*) AS n_docs,
@@ -211,14 +216,16 @@ object PipelineQueries {
     "emb_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS sim
+           floor((list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY sim DESC, vec_id ASC LIMIT 10""",
     "emb_knn" ->
       """WITH pairs AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(c.embedding::DOUBLE[],
-                                          q.embedding::DOUBLE[]), 6) AS sim
+             floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 20)
          SELECT query_id, neighbor_id, sim, rank FROM (
@@ -233,14 +240,16 @@ object PipelineQueries {
            CROSS JOIN (SELECT unnest(range(64)) AS i) i),
          centroids AS (
            SELECT label, pos, avg(v) AS m FROM exploded GROUP BY label, pos)
-         SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm,
+         SELECT label,
+           floor((sqrt(sum(m * m))) * 10000.0 + 0.5) / 10000.0
+             AS centroid_norm,
            count(*) AS dim
          FROM centroids GROUP BY label ORDER BY label""",
     "mm_decode" ->
       """SELECT CAST(doc_id % 10 AS INTEGER) AS src_bucket,
          count(*) AS n,
          sum(octet_length(encode(text))) AS total_bytes,
-         round(avg(octet_length(encode(text)) % 640), 4) AS avg_width,
+         sum(octet_length(encode(text)) % 640) AS total_width,
          max(CAST(doc_id % 30 AS INTEGER) + 1) AS max_frames
          FROM documents GROUP BY 1 ORDER BY src_bucket""")
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.Tables
+import graft.{Det, Tables}
 
 /** The relational operator spine (SURVEY.md §2.2–§2.7): projections,
   * filters, joins, aggregations, windows, sorts/limits, set ops — expressed
@@ -18,7 +18,9 @@ import graft.Tables
   *  - sorts that feed a LIMIT become `TakeOrderedAndProject` (no global
   *    sort materialization);
   *  - every float aggregate is rounded in BOTH the Spark plan and the
-  *    DuckDB oracle, because summation order differs across engines.
+  *    DuckDB oracle (summation order differs across engines), using the
+  *    IEEE-portable floor form from [[graft.Det]] — never `round()`,
+  *    whose half-boundary semantics are engine-specific.
   */
 object RelationalQueries {
 
@@ -31,11 +33,11 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          Det.r(sum(col("l_quantity")), 2).as("sum_qty"),
+          Det.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Det.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          Det.r(avg(col("l_quantity")), 4).as("avg_qty"),
+          Det.r(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -65,7 +67,7 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_revenue"))
+          Det.r(sum(col("o_totalprice")), 2).as("total_revenue"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -84,7 +86,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           row_number().over(w).as("order_seq"),
-          round(sum(col("o_totalprice")).over(
+          Det.r(sum(col("o_totalprice")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
             .as("running_total"))
         .filter(col("order_seq") <= 3)
@@ -146,7 +148,7 @@ object RelationalQueries {
             .otherwise("large"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("o_totalprice")), 2).as("avg_price"))
+          Det.r(avg(col("o_totalprice")), 2).as("avg_price"))
         .orderBy(col("bucket"))
     }),
 
@@ -155,7 +157,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          Det.r(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("month"))
     }),
 
@@ -163,7 +165,7 @@ object RelationalQueries {
     "q13_having" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        .agg(Det.r(sum(col("l_quantity")), 2).as("total_qty"),
           count(lit(1)).as("n_items"))
         .filter(col("n_items") > 30)
         .orderBy(col("l_suppkey"))
@@ -188,7 +190,7 @@ object RelationalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        .agg(Det.r(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("p_brand"))
     }),
@@ -200,18 +202,19 @@ object RelationalQueries {
         .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("total_value"))
+          Det.r(sum(col("value")), 4).as("total_value"))
         .orderBy(col("win_start"), col("event_type"))
     }))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_discount), 4) AS avg_disc,
+         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+         floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+           AS sum_disc_price,
+         floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+         floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -225,7 +228,7 @@ object RelationalQueries {
          ORDER BY o_orderkey""",
     "q3_join_agg" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS total_revenue
+         floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_revenue
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -240,9 +243,9 @@ object RelationalQueries {
          FROM (
            SELECT o_orderkey, o_custkey, o_totalprice,
              row_number() OVER w AS order_seq,
-             round(sum(o_totalprice) OVER
-               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-               AS running_total
+             floor((sum(o_totalprice) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               * 100.0 + 0.5) / 100.0 AS running_total
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ) t WHERE order_seq <= 3
@@ -273,14 +276,17 @@ object RelationalQueries {
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
                      WHEN o_totalprice < 150000 THEN 'medium'
                      ELSE 'large' END AS bucket,
-         count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+         count(*) AS n,
+         floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_price
          FROM orders GROUP BY 1 ORDER BY bucket""",
     "q12_monthly" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         count(*) AS n_orders,
+         floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
          FROM orders GROUP BY 1 ORDER BY month""",
     "q13_having" ->
-      """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty,
+      """SELECT l_suppkey,
+         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty,
          count(*) AS n_items
          FROM lineitem GROUP BY l_suppkey HAVING count(*) > 30
          ORDER BY l_suppkey""",
@@ -292,7 +298,8 @@ object RelationalQueries {
            FROM orders) t
          WHERE rn = 1 ORDER BY o_custkey""",
     "q15_fact_join" ->
-      """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+      """SELECT p_brand,
+         floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS revenue,
          count(*) AS n_lines
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
@@ -300,6 +307,7 @@ object RelationalQueries {
          GROUP BY p_brand ORDER BY p_brand""",
     "q16_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
-         count(*) AS n, round(sum(value), 4) AS total_value
+         count(*) AS n,
+         floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")
 }

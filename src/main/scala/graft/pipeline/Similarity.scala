@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Det
+
 /** Embedding similarity search over `array<float>` columns.
   *
   * [[cosine]] composes Catalyst higher-order functions (zip_with +
@@ -32,7 +34,7 @@ object Similarity {
       .select(col(vecCol).as("__qvec"))
     df.crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
-      .withColumn("sim", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("sim", Det.r(cosine(col(vecCol), col("__qvec")), 6))
       .select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
@@ -48,7 +50,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("__cvec"), col("__qvec")), 6))
+      .withColumn("sim", Det.r(cosine(col("__cvec"), col("__qvec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -101,7 +103,7 @@ object Similarity {
     q.join(c, Seq("__table", "__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", round(cosine(col("__vec_query_id"), col("__vec_neighbor_id")), 6))
+      .withColumn("sim", Det.r(cosine(col("__vec_query_id"), col("__vec_neighbor_id")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
