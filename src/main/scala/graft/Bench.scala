@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Bench main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, fully materializing results through the noop sink
   * (count() alone lets Catalyst prune projections and undercounts the real
-  * work), prints ONE JSON line.
+  * work), prints ONE JSON line — and ALSO writes it to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json` in the repo root),
+  * because stdout arrives at the driver under sbt's `[info]` prefix and
+  * failed to parse in round 1 (BENCH_r01.json `parsed: null`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,7 +44,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    System.err.println(s"[bench] wrote $outPath")
     spark.stop()
   }
 }
