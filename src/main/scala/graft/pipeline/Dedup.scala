@@ -45,18 +45,27 @@ object Dedup {
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__sig", minhash_sig(col("__text"), numHashes, shingle))
-    // band -> (bandIdx, xxhash64 of the band's slice)
-    val banded = sig.select(col("__id"), col("__text"), col("__sig"),
+
+    // band -> (bandIdx, xxhash64 of the band's slice). ONLY (id, band,
+    // bucket) rides the band explode + bucket-join shuffle: at corpus
+    // scale carrying text here would push ~bands x the corpus through
+    // the wire before any pruning (round-1 verdict). Text and signatures
+    // are re-attached by id below, for deduped candidates only —
+    // mirroring simhashPairs' sig-only join shape.
+    val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("__sig"), b * rows + 1, lit(rows)))).as(Seq("__band", "__bandsig")))
       .withColumn("__bucket", xxhash64(col("__band"), concat_ws(",", col("__bandsig"))))
-      .select(col("__id"), col("__text"), col("__sig"), col("__band"), col("__bucket"))
+      .select(col("__id"), col("__band"), col("__bucket"))
 
-    val a = banded.select(col("__id").as("id_a"), col("__text").as("__text_a"),
-      col("__sig").as("__sig_a"), col("__band"), col("__bucket"))
-    val b = banded.select(col("__id").as("id_b"), col("__text").as("__text_b"),
-      col("__sig").as("__sig_b"), col("__band").as("__band_b"),
-      col("__bucket").as("__bucket_b"))
+    val a = banded.select(col("__id").as("id_a"), col("__band"), col("__bucket"))
+    val b = banded.select(col("__id").as("id_b"),
+      col("__band").as("__band_b"), col("__bucket").as("__bucket_b"))
+
+    val candidates = a.join(b, col("__band") === col("__band_b") &&
+        col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
     // estimated-jaccard pre-filter (sig overlap, std ~ sqrt(j(1-j)/k)):
     // kills the bulk of low-similarity band collisions before the exact
@@ -66,11 +75,12 @@ object Dedup {
       org.apache.spark.sql.graftbridge.expression(col("__sig_a")),
       org.apache.spark.sql.graftbridge.expression(col("__sig_b"))))
 
-    a.join(b, col("__band") === col("__band_b") &&
-        col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__text_a"), col("__text_b"),
-        col("__sig_a"), col("__sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    val left = sig.select(col("__id").as("id_a"),
+      col("__sig").as("__sig_a"), col("__text").as("__text_a"))
+    val right = sig.select(col("__id").as("id_b"),
+      col("__sig").as("__sig_b"), col("__text").as("__text_b"))
+
+    candidates.join(left, Seq("id_a")).join(right, Seq("id_b"))
       .filter(sigOverlap >= threshold - estMargin)
       .withColumn("jaccard",
         jaccard_shingle(col("__text_a"), col("__text_b"), shingle))
