@@ -96,6 +96,25 @@ object EngineQueries {
         countMode = QueryEngine.CountMode.None).df
     }),
 
+    // S2 snapshot pinning under the oracle gate: build a versioned table
+    // in a scratch catalog, append more rows as v2, read pinned v1
+    // (`VERSION AS OF` analogue) — the oracle re-derives v1's content.
+    "catalog_pin" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_cat_pin_" + new java.io.File(d).getName)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root) // hermetic: versions restart at 1 every run
+      val cat = new graft.sources.ParquetCatalog(s, root.getPath)
+      val cust = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      cat.createOrReplace("gate", "cust", cust.filter(col("c_custkey") <= 100))
+      cat.append("gate", "cust",
+        cust.filter(col("c_custkey") > 100 && col("c_custkey") <= 200))
+      cat.loadAt("gate", "cust", 1L).orderBy(col("c_custkey"))
+    }),
+
     // Oid.Sequential — opt-in reference-parity numbering (dense 0-based
     // row_number): the oracle reproduces it with a row_number CTE.
     "engine_oid_seq" -> ((s, d) => {
@@ -155,5 +174,8 @@ object EngineQueries {
       s"""$numberedCte
           SELECT __oid, c_custkey, c_nationkey, lat FROM numbered
           WHERE lon >= -110.0 AND lon <= -80.0 AND lat >= 30.0 AND lat <= 45.0
-          ORDER BY lat DESC, __oid LIMIT 50 OFFSET 10""")
+          ORDER BY lat DESC, __oid LIMIT 50 OFFSET 10""",
+    "catalog_pin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey <= 100 ORDER BY c_custkey""")
 }

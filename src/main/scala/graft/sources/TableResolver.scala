@@ -1,20 +1,30 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Catalog abstraction (SURVEY §7 environment note): the serving layer
   * resolves `namespace.table` through this trait so the storage backend is
   * swappable. In production the implementation is one line per method over
   * an Iceberg catalog (`spark.table("lakehouse.ns.tbl")`,
-  * `df.writeTo(...).append()`, `SHOW NAMESPACES` — the reference's own
-  * Spark wiring, sedona-defaults.conf:5-21); `iceberg-spark-runtime` is not
-  * in this offline image, so tests run on [[ParquetCatalog]], which gives
-  * the same surface over a directory tree of parquet tables.
+  * `df.writeTo(...).append()`, `SELECT ... VERSION AS OF`, `SHOW
+  * NAMESPACES` — the reference's own Spark wiring,
+  * sedona-defaults.conf:5-21); `iceberg-spark-runtime` is not in this
+  * offline image, so tests run on [[ParquetCatalog]], which gives the same
+  * surface — including snapshot pinning (S2) and a snapshot-keyed scan
+  * cache (reference engine.py:26-28,190-229) — over a directory tree of
+  * parquet tables.
   *
-  * Covers S3 (discovery), S6/S9 (create/append), S11 (namespace DDL).
+  * Covers S2 (snapshot pinning), S3 (discovery), S6/S9 (create/append),
+  * S11 (namespace DDL).
   */
 trait TableResolver {
+  /** Load the table at its CURRENT snapshot. */
   def load(namespace: String, table: String): DataFrame
+  /** Load the table pinned at `version` (Iceberg: `VERSION AS OF`). */
+  def loadAt(namespace: String, table: String, version: Long): DataFrame
+  /** Snapshot ids, oldest first (Iceberg: the `.snapshots` metadata table). */
+  def snapshots(namespace: String, table: String): Seq[Long]
   def listNamespaces(): Seq[String]
   def listTables(namespace: String): Seq[String]
   def createOrReplace(namespace: String, table: String, df: DataFrame): Unit
@@ -22,29 +32,107 @@ trait TableResolver {
   def dropNamespace(namespace: String): Unit
 }
 
-/** Directory-backed implementation: `root/<namespace>/<table>` parquet
-  * dirs. Nested namespaces use '.'-separated path segments (the Iceberg
-  * REST 0x1F separator maps to '/' here). */
-final class ParquetCatalog(spark: SparkSession, root: String) extends TableResolver {
+/** Directory-backed implementation with Iceberg-like snapshot semantics:
+  *
+  * {{{
+  * root/<namespace>/<table>/
+  *   d3/part-*.parquet     write dirs (one per commit, immutable)
+  *   v3.manifest           snapshot = newline list of write dirs
+  * }}}
+  *
+  * Every commit writes a NEW data dir plus a NEW manifest: `replace` lists
+  * only its own dir, `append` lists the previous manifest's dirs plus its
+  * own — so old snapshots stay readable (time travel) without rewriting
+  * data, exactly the Iceberg metadata shape at directory granularity.
+  * A flat legacy dir of bare `*.parquet` files reads as snapshot 1 (the
+  * manifest line `.` denotes the table dir itself).
+  *
+  * Snapshot-keyed cache (reference engine.py:26-28,190-229): `load`/
+  * `loadAt` return a persisted plan keyed `(ns, table, version)`, so
+  * repeated queries on an unchanged snapshot never re-plan the scan, and
+  * loading a table whose current snapshot advanced evicts the stale
+  * versions' cache entries. Disable with `cacheSnapshots = false`.
+  * Nested namespaces use '.'-separated path segments (the Iceberg REST
+  * 0x1F separator maps to '/' here).
+  */
+final class ParquetCatalog(spark: SparkSession, root: String,
+    cacheSnapshots: Boolean = true) extends TableResolver {
+
   private def nsDir(ns: String) = new java.io.File(root, ns.replace('.', '/'))
   private def tblDir(ns: String, t: String) = new java.io.File(nsDir(ns), t)
 
-  override def load(namespace: String, table: String): DataFrame = {
+  private val registry =
+    scala.collection.mutable.Map.empty[(String, String, Long), DataFrame]
+
+  private def hasFlatParquet(dir: java.io.File): Boolean =
+    Option(dir.listFiles()).exists(_.exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")))
+
+  private def manifestVersions(dir: java.io.File): Seq[Long] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted.toSeq
+
+  override def snapshots(namespace: String, table: String): Seq[Long] = {
     val dir = tblDir(namespace, table)
     require(dir.exists(), s"no such table: $namespace.$table")
-    spark.read.parquet(dir.getPath)
+    val ms = manifestVersions(dir)
+    if (ms.nonEmpty) ms else if (hasFlatParquet(dir)) Seq(1L) else Seq.empty
+  }
+
+  private def currentVersion(ns: String, t: String): Long = {
+    val snaps = snapshots(ns, t)
+    require(snaps.nonEmpty, s"empty table: $ns.$t")
+    snaps.last
+  }
+
+  /** Uncached read of one snapshot's file list. */
+  private def readAt(ns: String, t: String, version: Long): DataFrame = {
+    val dir = tblDir(ns, t)
+    val mf = new java.io.File(dir, s"v$version.manifest")
+    if (mf.exists()) {
+      val dirs = java.nio.file.Files.readAllLines(mf.toPath)
+      val paths = dirs.toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+        .map(d => if (d == ".") dir.getPath else new java.io.File(dir, d).getPath)
+      spark.read.parquet(paths: _*)
+    } else {
+      require(version == 1L && hasFlatParquet(dir),
+        s"no such snapshot: $ns.$t v$version")
+      spark.read.parquet(dir.getPath)
+    }
+  }
+
+  override def load(namespace: String, table: String): DataFrame =
+    loadAt(namespace, table, currentVersion(namespace, table))
+
+  override def loadAt(namespace: String, table: String, version: Long): DataFrame = {
+    require(snapshots(namespace, table).contains(version),
+      s"no such snapshot: $namespace.$table v$version")
+    if (!cacheSnapshots) return readAt(namespace, table, version)
+    synchronized {
+      // stale-snapshot eviction: a newer current snapshot invalidates
+      // older versions' cached scans (engine.py:213-229 semantics)
+      val cur = currentVersion(namespace, table)
+      registry.keys
+        .filter { case (n, t, v) => n == namespace && t == table && v < cur }
+        .toSeq.foreach { k => registry.remove(k).foreach(_.unpersist(false)) }
+      registry.getOrElseUpdate((namespace, table, version),
+        readAt(namespace, table, version)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    }
   }
 
   override def listNamespaces(): Seq[String] = {
+    def isTableDir(d: java.io.File) =
+      hasFlatParquet(d) || manifestVersions(d).nonEmpty
     def walk(dir: java.io.File, prefix: String): Seq[String] = {
       val subs = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory)
       subs.flatMap { d =>
         val name = if (prefix.isEmpty) d.getName else s"$prefix.${d.getName}"
-        // a namespace is a dir whose children include table dirs (parquet)
-        val isTableDir = Option(d.listFiles()).exists(_.exists(f =>
-          f.isFile && f.getName.endsWith(".parquet")))
-        if (isTableDir) Seq.empty else name +: walk(d, name)
+        if (isTableDir(d)) Seq.empty else name +: walk(d, name)
       }.toSeq
     }
     walk(new java.io.File(root), "").sorted
@@ -53,20 +141,47 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends TableResol
   override def listTables(namespace: String): Seq[String] =
     Option(nsDir(namespace).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory &&
-        Option(d.listFiles()).exists(_.exists(f => f.getName.endsWith(".parquet"))))
+        (hasFlatParquet(d) || manifestVersions(d).nonEmpty))
       .map(_.getName).sorted.toSeq
 
-  override def createOrReplace(namespace: String, table: String, df: DataFrame): Unit = {
-    nsDir(namespace).mkdirs()
-    df.write.mode(SaveMode.Overwrite).parquet(tblDir(namespace, table).getPath)
+  private def commit(ns: String, t: String, df: DataFrame,
+      carryForward: Boolean): Unit = synchronized {
+    val dir = tblDir(ns, t)
+    dir.mkdirs()
+    val prev = snapshots(ns, t)
+    val v = prev.lastOption.getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(new java.io.File(dir, s"d$v").getPath)
+    val prevDirs =
+      if (!carryForward || prev.isEmpty) Seq.empty
+      else {
+        val lastMf = new java.io.File(dir, s"v${prev.last}.manifest")
+        if (lastMf.exists())
+          java.nio.file.Files.readAllLines(lastMf.toPath)
+            .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+        else Seq(".") // legacy flat layout is snapshot 1's file list
+      }
+    val lines = (prevDirs :+ s"d$v").mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, s"v$v.manifest").toPath, lines)
   }
 
+  override def createOrReplace(namespace: String, table: String, df: DataFrame): Unit =
+    commit(namespace, table, df, carryForward = false)
+
   override def append(namespace: String, table: String, df: DataFrame): Unit = {
-    require(tblDir(namespace, table).exists(), s"no such table: $namespace.$table")
-    df.write.mode(SaveMode.Append).parquet(tblDir(namespace, table).getPath)
+    require(tblDir(namespace, table).exists() &&
+      snapshots(namespace, table).nonEmpty,
+      s"no such table: $namespace.$table")
+    commit(namespace, table, df, carryForward = true)
   }
 
   override def dropNamespace(namespace: String): Unit = {
+    synchronized {
+      registry.keys.filter { case (n, _, _) =>
+        n == namespace || n.startsWith(namespace + ".")
+      }.toSeq.foreach { k => registry.remove(k).foreach(_.unpersist(false)) }
+    }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()

@@ -30,6 +30,40 @@ class CatalogSpec extends SparkFunSuite {
     assert(!cat.listNamespaces().contains("colorado.parks"))
   }
 
+  test("snapshot pinning: loadAt reads the pinned version; replace keeps history") {
+    val root = Files.createTempDirectory("snap").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("ns", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    assert(cat.snapshots("ns", "t") === Seq(1L))
+    cat.append("ns", "t", Seq((3L, "c")).toDF("id", "name"))
+    assert(cat.snapshots("ns", "t") === Seq(1L, 2L))
+    assert(cat.loadAt("ns", "t", 1L).count() === 2)   // VERSION AS OF 1
+    assert(cat.load("ns", "t").count() === 3)
+    // replace = a new snapshot listing only its own files; time travel
+    // to the appended and original snapshots still works
+    cat.createOrReplace("ns", "t", Seq((9L, "z")).toDF("id", "name"))
+    assert(cat.snapshots("ns", "t") === Seq(1L, 2L, 3L))
+    assert(cat.load("ns", "t").count() === 1)
+    assert(cat.loadAt("ns", "t", 2L).count() === 3)
+    assertThrows[IllegalArgumentException](cat.loadAt("ns", "t", 4L))
+  }
+
+  test("snapshot cache: same-version load reuses the plan; new version evicts") {
+    val root = Files.createTempDirectory("snapcache").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("ns", "t", Seq((1L, "a")).toDF("id", "name"))
+    val d1 = cat.load("ns", "t")
+    assert(d1.storageLevel.useMemory || d1.storageLevel.useDisk,
+      "loaded snapshot must be persisted")
+    assert(cat.load("ns", "t") eq d1, "same snapshot -> same cached plan")
+    cat.append("ns", "t", Seq((2L, "b")).toDF("id", "name"))
+    val d2 = cat.load("ns", "t")
+    assert(!(d2 eq d1))
+    assert(d2.count() === 2)
+    assert(d1.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "stale snapshot must be evicted from the cache registry")
+  }
+
   test("keyset pagination: disjoint pages, matches offset pagination content") {
     val df = Tables.customer(spark, sf())
     val schema = FeatureSchema("customer", None, None, 4326, Seq.empty,
