@@ -64,16 +64,18 @@ object Serve {
     val result = QueryEngine.query(df, schema, params)
     val rows = result.df.collect().toSeq
     val outSchema = result.df.schema
+    // serializers must report the OUTPUT spatial reference (outSR applied)
+    val servedSchema = schema.copy(srid = result.srid)
     println(s"== rows=${rows.size} totalCount=${result.count}" +
-      s" exceeded=${result.exceededTransferLimit}")
+      s" exceeded=${result.exceededTransferLimit} srid=${result.srid}")
 
     val geojson = JsonSerializers.geoJsonFeatureCollection(
-      rows, outSchema, schema, result.count)
+      rows, outSchema, servedSchema, result.count)
     println(s"== GeoJSON (${geojson.length}B): ${geojson.take(300)}")
-    val esri = JsonSerializers.esriFeatureSet(rows, outSchema, schema,
+    val esri = JsonSerializers.esriFeatureSet(rows, outSchema, servedSchema,
       result.exceededTransferLimit)
     println(s"== EsriJSON (${esri.length}B): ${esri.take(300)}")
-    val pbf = EsriPbf.serialize(rows, outSchema, schema,
+    val pbf = EsriPbf.serialize(rows, outSchema, servedSchema,
       result.exceededTransferLimit)
     println(s"== PBF: ${pbf.length} bytes")
     val arrow = ArrowIpc.serialize(rows, outSchema)

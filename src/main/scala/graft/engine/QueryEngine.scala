@@ -106,6 +106,17 @@ object QueryEngine {
     df
   }
 
+  /** Apply `outSR` (§1.4 flagged improvement: the reference parses it,
+    * feature_server.py:271-295, but never transforms — we parse, carry,
+    * AND apply): reproject the output geometry before serialization when
+    * the requested SR differs from the layer SR. */
+  def applyOutSr(df: DataFrame, schema: FeatureSchema, p: QueryParams): DataFrame =
+    (p.outSr, schema.geometryColumn) match {
+      case (Some(sr), Some(g)) if sr != schema.srid && df.columns.contains(g) =>
+        df.withColumn(g, G.st_transform(col(g), lit(schema.srid), lit(sr)))
+      case _ => df
+    }
+
   /** Projection (P1): requested fields or *, geometry appended when
     * returning geometry, internals excluded, empty -> `1 AS _dummy`. */
   def projected(df: DataFrame, schema: FeatureSchema, p: QueryParams): DataFrame = {
@@ -141,14 +152,16 @@ object QueryEngine {
     if (p.countOnly) {
       val c = f.count()
       return QueryResult(
-        f.sparkSession.range(0).toDF(), Some(c), exceededTransferLimit = false)
+        f.sparkSession.range(0).toDF(), Some(c), exceededTransferLimit = false,
+        srid = schema.srid)
     }
     if (p.idsOnly) {
       val ids = f.select(col(OidCol)).orderBy(col(OidCol))
-      return QueryResult(ids, None, exceededTransferLimit = false)
+      return QueryResult(ids, None, exceededTransferLimit = false,
+        srid = schema.srid)
     }
 
-    val proj = projected(f, schema, p)
+    val proj = applyOutSr(projected(f, schema, p), schema, p)
     val ordered =
       if (p.orderBy.nonEmpty)
         proj.orderBy(p.orderBy.map(o =>
@@ -174,7 +187,7 @@ object QueryEngine {
       case CountMode.None => (None, false)
     }
 
-    QueryResult(page, count, exceeded)
+    QueryResult(page, count, exceeded, srid = p.outSr.getOrElse(schema.srid))
   }
 
   /** Keyset pagination — the 100 TB path (SURVEY §7): `OFFSET n` must sort
@@ -186,7 +199,7 @@ object QueryEngine {
     val n = numbered(base, schema, oidMode)
     val f = filtered(n, schema, p)
     val after = lastOid.map(o => f.filter(col(OidCol) > o)).getOrElse(f)
-    projected(after, schema, p)
+    applyOutSr(projected(after, schema, p), schema, p)
       .orderBy(col(OidCol))
       .limit(p.limit.getOrElse(schema.maxRecordCount))
   }

@@ -51,8 +51,11 @@ final case class FeatureSchema(
 
 final case class FieldDef(name: String, dataType: String, alias: String)
 
-/** Result: a lazily-planned DataFrame + serving metadata. */
+/** Result: a lazily-planned DataFrame + serving metadata. `srid` is the
+  * spatial reference of the OUTPUT geometry (= `outSr` when a reprojection
+  * was applied, else the layer srid) — serializers must report this one. */
 final case class QueryResult(
     df: org.apache.spark.sql.DataFrame,
     count: Option[Long],
-    exceededTransferLimit: Boolean)
+    exceededTransferLimit: Boolean,
+    srid: Int = 4326)

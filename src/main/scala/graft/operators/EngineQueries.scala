@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Det
 import graft.engine._
+import graft.geo.{GeoFunctions => G}
 
 /** The QueryParams->DataFrame pipeline (SURVEY.md §3) under the
   * differential gate: each entry drives the REAL engine (numbering,
@@ -96,6 +98,25 @@ object EngineQueries {
         countMode = QueryEngine.CountMode.None).df
     }),
 
+    // outSR applied end-to-end (§1.4): the engine reprojects the output
+    // geometry to web mercator before serialization; the oracle computes
+    // the same closed-form transform on raw coordinates.
+    "engine_outsr" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      val r = QueryEngine.query(df, sch, QueryParams(
+        bbox = Some(Bbox(-110.0, 30.0, -90.0, 45.0)),
+        outFields = Seq("c_custkey"),
+        returnGeometry = true,
+        outSr = Some(3857),
+        limit = Some(300)),
+        countMode = QueryEngine.CountMode.None)
+      require(r.srid == 3857)
+      r.df.select(col("__oid"), col("c_custkey"),
+        Det.r(G.st_x(col("geom")), 4).as("mx"),
+        Det.r(G.st_y(col("geom")), 4).as("my"))
+        .orderBy(col("__oid"))
+    }),
+
     // S2 snapshot pinning under the oracle gate: build a versioned table
     // in a scratch catalog, append more rows as v2, read pinned v1
     // (`VERSION AS OF` analogue) — the oracle re-derives v1's content.
@@ -177,5 +198,13 @@ object EngineQueries {
           ORDER BY lat DESC, __oid LIMIT 50 OFFSET 10""",
     "catalog_pin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE c_custkey <= 100 ORDER BY c_custkey""")
+         WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    "engine_outsr" ->
+      s"""${GeoSynth.oraclePrelude}
+          SELECT c_custkey AS __oid, c_custkey,
+            ${Det.rsql("6378137.0 * (lon * pi() / 180.0)", 4)} AS mx,
+            ${Det.rsql("6378137.0 * ln(tan(pi() / 4.0 + (lat * pi() / 180.0) / 2.0))", 4)} AS my
+          FROM pts
+          WHERE lon >= -110.0 AND lon <= -90.0 AND lat >= 30.0 AND lat <= 45.0
+          ORDER BY __oid LIMIT 300""")
 }

@@ -106,6 +106,29 @@ class ApiSpec extends SparkFunSuite {
     assert(p1.get("features").get(0).get("geometry").has("x"))
   }
 
+  test("outSR applied end-to-end: reprojected GeoJSON coords + reported wkid") {
+    import graft.engine.{QueryEngine, SchemaService}
+    val df = operators.GeoSynth.points(spark, sf())
+    val sch = SchemaService.describe(df, "demo.points")
+    val p = FeatureServer.translateQuery(Map(
+      "geometry" -> "-120,25,-110,50", "outFields" -> "c_custkey",
+      "outSR" -> "3857", "resultRecordCount" -> "5"), sch)
+    val r = QueryEngine.query(df, sch, p, countMode = QueryEngine.CountMode.None)
+    assert(r.srid === 3857)
+    val rows = r.df.collect().toSeq
+    assert(rows.nonEmpty)
+    val served = sch.copy(srid = r.srid)
+    val esri = mapper.readTree(graft.serializers.JsonSerializers.esriFeatureSet(
+      rows, r.df.schema, served, r.exceededTransferLimit))
+    assert(esri.get("spatialReference").get("wkid").asInt === 3857)
+    val geo = mapper.readTree(graft.serializers.JsonSerializers
+      .geoJsonFeatureCollection(rows, r.df.schema, served, None))
+    val coords = geo.get("features").get(0).get("geometry").get("coordinates")
+    // lon in [-120,-110] deg -> mercator x in [-13.36e6, -12.25e6]
+    val x = coords.get(0).asDouble
+    assert(x < -1.22e7 && x > -1.34e7, s"x not reprojected: $x")
+  }
+
   test("LOD policy: zoom ladder matches the reference's webmap") {
     import graft.api.Lod
     assert(Lod.simplifyTolerance(0).contains(360.0 / 256))
