@@ -130,6 +130,35 @@ class PipelineSpec extends SparkFunSuite {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("multimodal decode: real PNG via ImageIO — dims, frames, histogram") {
+    // generate a real 20x10 PNG: left half black, right half white
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((1L, "image/png", png),
+      (2L, "text/plain", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    val decoded = Multimodal.decode(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val real = decoded(1L)
+    assert(real.getAs[Int]("width") === 20)
+    assert(real.getAs[Int]("height") === 10)
+    assert(real.getAs[Int]("n_frames") === 1)
+    assert(real.getAs[Long]("n_bytes") === png.length.toLong)
+    val hist = real.getSeq[Float](real.fieldIndex("feature"))
+    // half black (bin 0), half white (bin 7), nothing in between
+    assert(math.abs(hist(0) - 0.5f) < 1e-6)
+    assert(math.abs(hist(7) - 0.5f) < 1e-6)
+    assert((1 to 6).forall(hist(_) === 0f))
+    // non-image payload falls back to the deterministic stub
+    val stub = decoded(2L)
+    assert(stub.getAs[Int]("width") === "not an image".length % 640)
+  }
+
   test("multimodal decode: schema contract, null payloads, batch shape") {
     val media = Multimodal.fromDocuments(docs.limit(100))
       .union(Seq((999999L, "image/stub", null.asInstanceOf[Array[Byte]]))
