@@ -161,33 +161,51 @@ object QueryEngine {
         srid = schema.srid)
     }
 
-    val proj = applyOutSr(projected(f, schema, p), schema, p)
-    val ordered =
-      if (p.orderBy.nonEmpty)
-        proj.orderBy(p.orderBy.map(o =>
-          if (o.descending) col(checkIdent(o.name)).desc
-          else col(checkIdent(o.name)).asc) :+ col(OidCol).asc: _*)
-      else proj.orderBy(col(OidCol))
-
     val limit = p.limit.getOrElse(schema.maxRecordCount)
-    val page = ordered.offset(p.offset.toInt).limit(limit)
-
-    // exceededTransferLimit needs to know whether rows exist past the page
-    // boundary; the reference re-runs a full COUNT (engine.py:448-456).
-    // Exact mode reproduces that; ExceededOnly is the scale path — a
-    // limit(offset+limit+1) probe that stops scanning as soon as one extra
-    // row is found instead of counting 100 TB.
-    val (count, exceeded) = countMode match {
-      case CountMode.Exact =>
-        val c = f.count()
-        (Some(c), c > p.offset + limit)
-      case CountMode.ExceededOnly =>
-        val probe = f.limit((p.offset + limit + 1).toInt).count()
-        (None, probe > p.offset + limit)
-      case CountMode.None => (None, false)
+    def pageOf(src: DataFrame): DataFrame = {
+      val proj = applyOutSr(projected(src, schema, p), schema, p)
+      val ordered =
+        if (p.orderBy.nonEmpty)
+          proj.orderBy(p.orderBy.map(o =>
+            if (o.descending) col(checkIdent(o.name)).desc
+            else col(checkIdent(o.name)).asc) :+ col(OidCol).asc: _*)
+        else proj.orderBy(col(OidCol))
+      ordered.offset(p.offset.toInt).limit(limit)
     }
 
-    QueryResult(page, count, exceeded, srid = p.outSr.getOrElse(schema.srid))
+    // ExceededOnly is the scale path — a limit(offset+limit+1) probe that
+    // stops scanning as soon as one extra row is found instead of
+    // counting 100 TB.
+    countMode match {
+      case CountMode.Exact =>
+        // SURVEY §3.3 shared plan: pin the filtered rows once so the full
+        // COUNT and the page read the SAME scan instead of re-scanning
+        // the source (the reference's known wart, engine.py:448-456).
+        // The pin lives only for this call: the page (bounded by
+        // maxRecordCount) is materialized eagerly — the serving layer
+        // collects it immediately anyway — and the cache is dropped
+        // before returning. (An Observation below the page's sort is NOT
+        // a correct single-pass count: global-sort range partitioning
+        // runs a boundary-sampling pass that executes the metrics
+        // subtree a second time.)
+        val fc = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val c = fc.count()
+          val page = pageOf(fc)
+          val rows = page.collect()
+          val local = f.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), page.schema)
+          QueryResult(local, Some(c), c > p.offset + limit,
+            srid = p.outSr.getOrElse(schema.srid))
+        } finally { fc.unpersist(false); () }
+      case CountMode.ExceededOnly =>
+        val probe = f.limit((p.offset + limit + 1).toInt).count()
+        QueryResult(pageOf(f), scala.None, probe > p.offset + limit,
+          srid = p.outSr.getOrElse(schema.srid))
+      case CountMode.None =>
+        QueryResult(pageOf(f), scala.None, exceededTransferLimit = false,
+          srid = p.outSr.getOrElse(schema.srid))
+    }
   }
 
   /** Keyset pagination — the 100 TB path (SURVEY §7): `OFFSET n` must sort

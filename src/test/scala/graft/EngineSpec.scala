@@ -196,6 +196,43 @@ class EngineSpec extends SparkFunSuite {
     assert(!plan.contains("Window"), "ById path must not plan a window")
   }
 
+  test("CountMode.Exact: page reads the count's pinned scan, not the source") {
+    val dir = java.nio.file.Files.createTempDirectory("sharedscan").toString
+    sensorPoints.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val sch = SchemaService.describe(pq, "t")
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val r = QueryEngine.query(pq, sch,
+        QueryParams(limit = Some(5), returnGeometry = false))
+      assert(r.count.contains(100L))
+      assert(r.df.count() === 5)
+      // the returned page is already local: collecting it again plans no
+      // source scan
+      assert(r.df.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"), "Exact-mode page must be a local relation")
+      // QueryExecutionListener delivery is async — wait for both actions
+      val deadline = System.currentTimeMillis() + 15000
+      while (plans.size() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      // the page action must read the pinned filtered rows, not re-scan
+      // the parquet source — that is the §3.3 shared-plan guarantee
+      import scala.jdk.CollectionConverters._
+      assert(plans.asScala.exists(_.contains("InMemoryTableScan")),
+        s"no action read the pinned scan:\n${plans.asScala.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("extent matches min/max of coordinates") {
     val ext = SchemaService.extent(sensorPoints, "geometry").get
     import graft.geo.{GeoFunctions => G}
