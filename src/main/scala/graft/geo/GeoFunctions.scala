@@ -38,8 +38,13 @@ object GeoFunctions {
   // serialization
   def st_astext(g: Column): Column = c(StAsText(x(g)))
   def st_asgeojson(g: Column): Column = c(StAsGeoJson(x(g)))
-  def st_aswkb(g: Column): Column = st_geomfromwkb(g)
-  def st_asbinary(g: Column): Column = st_geomfromwkb(g)
+  // Geometry IS WKB in this engine, so the writer direction is a true
+  // identity: the input bytes pass through untouched (an NDR-encoded
+  // input stays NDR). Use st_normalize_wkb to parse + re-write into the
+  // engine's canonical encoding instead.
+  def st_aswkb(g: Column): Column = g
+  def st_asbinary(g: Column): Column = g
+  def st_normalize_wkb(g: Column): Column = c(StGeomFromWKB(x(g)))
 
   def st_envelope_bounds(g: Column): Column = c(StEnvelopeBounds(x(g)))
 
@@ -91,8 +96,9 @@ object GeoRegistry {
     f("st_geomfromwkt") { case Seq(a) => StGeomFromText(a) }
     f("st_geomfromwkb") { case Seq(a) => StGeomFromWKB(a) }
     f("st_geomfromgeojson") { case Seq(a) => StGeomFromGeoJson(a) }
-    f("st_aswkb") { case Seq(a) => StGeomFromWKB(a) }
-    f("st_asbinary") { case Seq(a) => StGeomFromWKB(a) }
+    f("st_aswkb") { case Seq(a) => a } // identity: geometry is stored as WKB
+    f("st_asbinary") { case Seq(a) => a }
+    f("st_normalize_wkb") { case Seq(a) => StGeomFromWKB(a) }
     f("st_x") { case Seq(a) => StX(a) }
     f("st_y") { case Seq(a) => StY(a) }
     f("st_xmin") { case Seq(a) => StXMin(a) }

@@ -157,6 +157,23 @@ class GeoSpec extends SparkFunSuite {
     assert(r(0).isNullAt(0) && r(1).getDouble(0) === 0.0)
   }
 
+  test("st_aswkb is identity; st_normalize_wkb canonicalizes NDR input") {
+    import org.locationtech.jts.io.{WKBWriter, ByteOrderValues}
+    val pt = graft.geo.GeoIO.point(-105.25, 39.75)
+    // NDR (little-endian) encoding — NOT the engine's canonical order
+    val ndr = new WKBWriter(2, ByteOrderValues.LITTLE_ENDIAN).write(pt)
+    val canonical = graft.geo.GeoIO.toWkb(pt)
+    assert(!ndr.sameElements(canonical), "test requires a non-canonical input")
+    val df = Seq(Tuple1(ndr)).toDF("geom")
+    val Row(aswkb: Array[Byte], norm: Array[Byte], x: Double) = df.select(
+      G.st_aswkb(col("geom")),
+      G.st_normalize_wkb(col("geom")),
+      G.st_x(col("geom"))).collect()(0)
+    assert(aswkb.sameElements(ndr), "st_aswkb must pass bytes through untouched")
+    assert(norm.sameElements(canonical), "st_normalize_wkb must re-encode")
+    assert(x === -105.25) // readers accept either byte order
+  }
+
   test("st_simplify reduces vertices, st_buffer grows area") {
     val line = wkbOf((0 to 100).map(i => s"$i ${if (i % 2 == 0) 0.001 else -0.001}")
       .mkString("LINESTRING (", ", ", ")"))
