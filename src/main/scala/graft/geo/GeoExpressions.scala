@@ -281,6 +281,33 @@ case class StUnion(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+case class StIntersection(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any = wkb(g(l).intersection(g(r)))
+  override def prettyName: String = "st_intersection"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+case class StDifference(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any = wkb(g(l).difference(g(r)))
+  override def prettyName: String = "st_difference"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+case class StSymDifference(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any = wkb(g(l).symDifference(g(r)))
+  override def prettyName: String = "st_symdifference"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
 case class StDWithin(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {
   override def inputTypes =

@@ -63,6 +63,9 @@ object GeoFunctions {
   // binary ops
   def st_distance(a: Column, b: Column): Column = c(StDistance(x(a), x(b)))
   def st_union(a: Column, b: Column): Column = c(StUnion(x(a), x(b)))
+  def st_intersection(a: Column, b: Column): Column = c(StIntersection(x(a), x(b)))
+  def st_difference(a: Column, b: Column): Column = c(StDifference(x(a), x(b)))
+  def st_symdifference(a: Column, b: Column): Column = c(StSymDifference(x(a), x(b)))
 
   // geometry + scalar
   def st_buffer(g: Column, d: Column): Column = c(StBuffer(x(g), x(d)))
@@ -125,6 +128,9 @@ object GeoRegistry {
       case Seq(a, b) => StUnion(a, b)
       case Seq(a) => StUnionAggr(a).toAggregateExpression()
     }
+    f("st_intersection") { case Seq(a, b) => StIntersection(a, b) }
+    f("st_difference") { case Seq(a, b) => StDifference(a, b) }
+    f("st_symdifference") { case Seq(a, b) => StSymDifference(a, b) }
     f("st_union_aggr") { case Seq(a) => StUnionAggr(a).toAggregateExpression() }
     f("st_envelope_aggr") { case Seq(a) => StEnvelopeAggr(a).toAggregateExpression() }
     f("st_extent") { case Seq(a) => StEnvelopeAggr(a).toAggregateExpression() }

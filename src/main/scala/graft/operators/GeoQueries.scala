@@ -219,6 +219,24 @@ object GeoQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Boolean overlay ops (st_intersection/difference/symdifference) on a
+    // box vs its half-width-shifted copy — every area has a closed form:
+    // intersection (w/2)*h, difference (w/2)*h, symdifference w*h.
+    "geo_boolean_ops" -> ((s, d) => {
+      GeoSynth.boxes(s, d)
+        .withColumn("shifted", G.st_makeenvelope(
+          col("x0") + (col("x1") - col("x0")) / 2, col("y0"),
+          col("x1") + (col("x1") - col("x0")) / 2, col("y1")))
+        .select(col("s_suppkey"),
+          Det.r(G.st_area(G.st_intersection(col("bgeom"), col("shifted"))), 6)
+            .as("inter_area"),
+          Det.r(G.st_area(G.st_difference(col("bgeom"), col("shifted"))), 6)
+            .as("diff_area"),
+          Det.r(G.st_area(G.st_symdifference(col("bgeom"), col("shifted"))), 6)
+            .as("symdiff_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // CRS: web-mercator transform (honoring outSR, which the reference
     // parses but never applies — SURVEY §1.4).
     "geo_transform" -> ((s, d) => {
@@ -323,6 +341,12 @@ object GeoQueries {
             AS union_area,
           ${Det.rsql("(x0 + x1) / 2", 6)} AS ctr_x,
           ${Det.rsql("(y0 + y1) / 2", 6)} AS ctr_y
+          FROM boxes ORDER BY s_suppkey""",
+    "geo_boolean_ops" ->
+      s"""$P SELECT s_suppkey,
+          ${Det.rsql("((x1 - x0) / 2) * (y1 - y0)", 6)} AS inter_area,
+          ${Det.rsql("((x1 - x0) / 2) * (y1 - y0)", 6)} AS diff_area,
+          ${Det.rsql("(x1 - x0) * (y1 - y0)", 6)} AS symdiff_area
           FROM boxes ORDER BY s_suppkey""",
     "geo_transform" ->
       s"""$P SELECT c_custkey,

@@ -163,6 +163,27 @@ object PipelineQueries {
         .orderBy(col("label"))
     }),
 
+    // TF-IDF top terms: tokenize -> per-doc term counts (map-side partial
+    // agg) -> document frequency -> idf-weighted ranking. The corpus-size
+    // scalar rides a broadcast, so the only shuffles are the two term
+    // aggregations — the canonical inverted-index build shape at 100 TB.
+    "doc_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val terms = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => length(t) >= 3)).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      stats.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("tfidf", Det.r(
+          col("total_tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .select(col("term"), col("df"), col("total_tf"), col("tfidf"))
+        .orderBy(col("tfidf").desc, col("term"))
+        .limit(50)
+    }),
+
     // Multimodal stub-decode plumbing: binary payloads -> typed metadata,
     // aggregated per source (deterministic stub => SQL-oracle-checkable).
     "mm_decode" -> ((s, d) => {
@@ -245,6 +266,21 @@ object PipelineQueries {
              AS centroid_norm,
            count(*) AS dim
          FROM centroids GROUP BY label ORDER BY label""",
+    "doc_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, t.term FROM documents,
+             LATERAL unnest(string_split_regex(lower(text), '[^a-z]+'))
+               AS t(term)
+           WHERE len(t.term) >= 3),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         stats AS (SELECT term, count(*) AS df, sum(tf) AS total_tf
+                   FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT term, df, total_tf,
+           floor((total_tf * ln(CAST(n_docs AS DOUBLE) / df))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+         FROM stats, n
+         ORDER BY tfidf DESC, term LIMIT 50""",
     "mm_decode" ->
       """SELECT CAST(doc_id % 10 AS INTEGER) AS src_bucket,
          count(*) AS n,
