@@ -137,6 +137,15 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-flat ANN (rows-only gate; recall is asserted in PipelineSpec):
+    // coarse k-means cells as the inverted file, nprobe-cell probing.
+    "emb_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfJoin(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Brute-force cosine top-10 for one query vector (exact ANN baseline).
     "emb_cosine_topk" -> ((s, d) => {
       Similarity.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",

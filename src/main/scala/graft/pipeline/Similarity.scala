@@ -80,6 +80,86 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF coarse quantizer: `nlist` centroids trained with `iters` Lloyd
+    * rounds, fully distributed — assignment is a broadcast argmax over
+    * codegen'd dot products, the update a (cluster, pos) groupBy-avg.
+    * Deterministic init: the `nlist` lowest-id vectors seed the
+    * centroids. Returns the (small, driver-held) codebook. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = df
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = df.select(col(vecCol).as("__v"))
+        .withColumn("__cluster", nearestCentroid(col("__v"), centroids))
+      val updated = assigned
+        .select(col("__cluster"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cluster"), col("__pos"))
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val dim = centroids(0).length
+      val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
+      updated.foreach { r =>
+        next(r.getAs[Int]("__cluster"))(r.getAs[Int]("__pos")) =
+          r.getAs[Double]("__m").toFloat
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the max-dot-product centroid (broadcast literal planes,
+    * codegen'd dot products — runs scan-side). */
+  private def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val sims = centroids.map { cen =>
+      org.apache.spark.sql.graftbridge.column(DotProduct(
+        org.apache.spark.sql.graftbridge.expression(vec),
+        org.apache.spark.sql.graftbridge.expression(
+          array(cen.map(lit(_)): _*))))
+    }
+    val arr = array(sims: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** IVF-flat ANN join: corpus rows are bucketed by nearest centroid
+    * (the inverted file); each query probes its `nprobe` nearest
+    * centroids and exact-refines only within those buckets — the
+    * candidate set is ~nprobe/nlist of the corpus instead of all of it.
+    * Same contract as [[knnJoin]]. */
+  def ivfJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .withColumn("__cluster", nearestCentroid(col("__cvec"), centroids))
+    // query side: explode the nprobe nearest centroid ids
+    val sims = centroids.map { cen =>
+      org.apache.spark.sql.graftbridge.column(DotProduct(
+        org.apache.spark.sql.graftbridge.expression(col("__qvec")),
+        org.apache.spark.sql.graftbridge.expression(array(cen.map(lit(_)): _*))))
+    }
+    val simArr = array(sims: _*)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__probe", slice(reverse(array_sort(zip_with(
+        simArr, sequence(lit(0), lit(nlist - 1)),
+        (s2, i) => struct(s2.as("s"), i.as("i"))))), 1, nprobe))
+      .select(col("query_id"), col("__qvec"),
+        explode(col("__probe").getField("i")).as("__cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probed.join(c, Seq("__cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Det.r(cosine(col("__qvec"), col("__cvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** ANN candidate join: rows sharing an LSH bucket in any of `tables`
     * independent hash tables. Returns (query_id, neighbor_id, sim) for
     * candidates, exact-cosine refined and top-k'd — same contract as

@@ -114,6 +114,23 @@ class PipelineSpec extends SparkFunSuite {
     assert(hits >= 18, s"ANN top-1 recall $hits/20")
   }
 
+  test("IVF ANN finds planted high-similarity neighbours (top-1 recall >= 90%)") {
+    // same planted-near-duplicate regime as the LSH test: a perturbed
+    // copy (cosine ~0.99) lands in the same coarse cell as its source
+    // almost surely, and probing nprobe cells covers boundary cases
+    val sources = emb.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val perturbed = sources.toSeq.map { case (id, v) =>
+      val r = new scala.util.Random(id)
+      (id + 10000L, v.map(x => x + (r.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfJoin(perturbed, emb, "vec_id", "embedding",
+      k = 1, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = sources.count { case (id, _) => ivf.get(id + 10000L).contains(id) }
+    assert(hits >= 18, s"IVF top-1 recall $hits/20")
+  }
+
   test("cosine HOF matches scala computation") {
     val rows = emb.limit(3).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
