@@ -124,6 +124,58 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** Iceberg `.snapshots` metadata-table analogue (S10): one row per
+    * snapshot — (version, n_dirs, operation, committed_at). `operation`
+    * is inferred from the manifest: a snapshot whose file list extends
+    * the previous one is an append, otherwise a replace. */
+  def snapshotsTable(namespace: String, table: String): DataFrame = {
+    val dir = tblDir(namespace, table)
+    val versions = snapshots(namespace, table)
+    def dirsOf(v: Long): Seq[String] = {
+      val mf = new java.io.File(dir, s"v$v.manifest")
+      if (mf.exists())
+        java.nio.file.Files.readAllLines(mf.toPath)
+          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      else Seq(".")
+    }
+    val rows = versions.zipWithIndex.map { case (v, i) =>
+      val ds = dirsOf(v)
+      val op =
+        if (i == 0) "replace"
+        else if (ds.startsWith(dirsOf(versions(i - 1)))) "append"
+        else "replace"
+      val mf = new java.io.File(dir, s"v$v.manifest")
+      val committed = if (mf.exists()) mf.lastModified() else dir.lastModified()
+      (v, ds.size, op, committed)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_dirs", "operation", "committed_at")
+  }
+
+  /** Iceberg `.files` metadata-table analogue (S10): the data files of
+    * one snapshot (current by default) — (path, size_bytes). */
+  def filesTable(namespace: String, table: String,
+      version: Option[Long] = scala.None): DataFrame = {
+    val dir = tblDir(namespace, table)
+    val v = version.getOrElse(currentVersion(namespace, table))
+    require(snapshots(namespace, table).contains(v),
+      s"no such snapshot: $namespace.$table v$v")
+    val mf = new java.io.File(dir, s"v$v.manifest")
+    val dataDirs =
+      if (mf.exists())
+        java.nio.file.Files.readAllLines(mf.toPath)
+          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+          .map(d => if (d == ".") dir else new java.io.File(dir, d))
+      else Seq(dir)
+    val files = dataDirs.flatMap { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length()))
+    }.sortBy(_._1)
+    import spark.implicits._
+    files.toDF("path", "size_bytes")
+  }
+
   override def listNamespaces(): Seq[String] = {
     def isTableDir(d: java.io.File) =
       hasFlatParquet(d) || manifestVersions(d).nonEmpty

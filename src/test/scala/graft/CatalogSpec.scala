@@ -64,6 +64,24 @@ class CatalogSpec extends SparkFunSuite {
       "stale snapshot must be evicted from the cache registry")
   }
 
+  test("metadata tables: .snapshots operations and .files per snapshot") {
+    val root = Files.createTempDirectory("meta").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("ns", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    cat.append("ns", "t", Seq((3L, "c")).toDF("id", "name"))
+    cat.createOrReplace("ns", "t", Seq((9L, "z")).toDF("id", "name"))
+    val snaps = cat.snapshotsTable("ns", "t")
+      .select("version", "n_dirs", "operation")
+      .as[(Long, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(snaps.map(s => (s._1, s._3)) ===
+      Seq((1L, "replace"), (2L, "append"), (3L, "replace")))
+    assert(snaps.map(_._2) === Seq(1, 2, 1))
+    val curFiles = cat.filesTable("ns", "t").as[(String, Long)].collect()
+    assert(curFiles.nonEmpty && curFiles.forall(_._2 > 0))
+    val v2Files = cat.filesTable("ns", "t", Some(2L)).count()
+    assert(v2Files > curFiles.length, "append snapshot spans more files")
+  }
+
   test("keyset pagination: disjoint pages, matches offset pagination content") {
     val df = Tables.customer(spark, sf())
     val schema = FeatureSchema("customer", None, None, 4326, Seq.empty,
