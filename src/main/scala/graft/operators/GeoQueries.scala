@@ -219,6 +219,32 @@ object GeoQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // LOD simplification under the gate: collinear lines collapse to their
+    // 2 endpoints at any tolerance; zigzags with amplitude 1.0 >> tol 0.05
+    // keep every vertex (each interior vertex deviates from any containing
+    // chord by far more than the tolerance) — so vertex counts have a
+    // closed form the oracle recomputes.
+    "geo_simplify" -> ((s, d) => {
+      val base = graft.Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 7 + 3).cast("int").as("npts"),
+          (lit(-120.0) + (col("o_orderkey") % 190) * 0.25).as("x0"),
+          (lit(25.0) + ((col("o_orderkey") * 3) % 95) * 0.25).as("y0"),
+          (col("o_orderkey") % 2 === 0).as("straight"))
+      val lines = base.withColumn("geom", G.st_geomfromtext(
+        concat(lit("LINESTRING ("),
+          concat_ws(", ", transform(sequence(lit(0), col("npts") - 1),
+            i => concat(
+              (col("x0") + i.cast("double") * 0.1).cast("string"), lit(" "),
+              (col("y0") + when(col("straight"), lit(0.0))
+                .otherwise((i % 2).cast("double"))).cast("string")))),
+          lit(")"))))
+      lines.select(col("o_orderkey"),
+        G.st_npoints(col("geom")).as("npts_in"),
+        G.st_npoints(G.st_simplify(col("geom"), lit(0.05))).as("npts_out"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Boolean overlay ops (st_intersection/difference/symdifference) on a
     // box vs its half-width-shifted copy — every area has a closed form:
     // intersection (w/2)*h, difference (w/2)*h, symdifference w*h.
@@ -342,6 +368,12 @@ object GeoQueries {
           ${Det.rsql("(x0 + x1) / 2", 6)} AS ctr_x,
           ${Det.rsql("(y0 + y1) / 2", 6)} AS ctr_y
           FROM boxes ORDER BY s_suppkey""",
+    "geo_simplify" ->
+      """SELECT o_orderkey,
+          CAST(o_orderkey % 7 + 3 AS INTEGER) AS npts_in,
+          CASE WHEN o_orderkey % 2 = 0 THEN 2
+               ELSE CAST(o_orderkey % 7 + 3 AS INTEGER) END AS npts_out
+          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
     "geo_boolean_ops" ->
       s"""$P SELECT s_suppkey,
           ${Det.rsql("((x1 - x0) / 2) * (y1 - y0)", 6)} AS inter_area,

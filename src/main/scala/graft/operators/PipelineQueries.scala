@@ -172,6 +172,18 @@ object PipelineQueries {
         .orderBy(col("label"))
     }),
 
+    // Exact length quantiles per language (type-7 linear interpolation on
+    // both engines; floor-rounded for cross-engine hash stability).
+    "doc_quantiles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          Det.r(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          Det.r(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // TF-IDF top terms: tokenize -> per-doc term counts (map-side partial
     // agg) -> document frequency -> idf-weighted ranking. The corpus-size
     // scalar rides a broadcast, so the only shuffles are the two term
@@ -275,6 +287,14 @@ object PipelineQueries {
              AS centroid_norm,
            count(*) AS dim
          FROM centroids GROUP BY label ORDER BY label""",
+    "doc_quantiles" ->
+      """SELECT lang, count(*) AS n,
+         floor((quantile_cont(n_chars, 0.5)) * 10000.0 + 0.5) / 10000.0
+           AS p50,
+         floor((quantile_cont(n_chars, 0.9)) * 10000.0 + 0.5) / 10000.0
+           AS p90,
+         max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     "doc_tfidf" ->
       """WITH terms AS (
            SELECT doc_id, t.term FROM documents,
