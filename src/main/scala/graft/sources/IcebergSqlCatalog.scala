@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The production [[TableResolver]]: an Iceberg catalog driven entirely
+  * through Spark's public SQL surface and the `DataFrameWriterV2` API —
+  * no Iceberg classes are referenced, so this compiles (and is
+  * unit-testable at the SQL-text level) without `iceberg-spark-runtime`
+  * on the classpath; at runtime it requires a session configured with an
+  * Iceberg catalog (the reference's own wiring, sedona-defaults.conf:5-21).
+  *
+  * Statement shapes (all public Spark/Iceberg SQL):
+  *  - load:       `spark.table("cat.ns.tbl")`
+  *  - loadAt:     `SELECT * FROM cat.ns.tbl VERSION AS OF <snapshot>`
+  *  - snapshots:  `SELECT snapshot_id FROM cat.ns.tbl.snapshots ORDER BY committed_at`
+  *  - create:     `df.writeTo("cat.ns.tbl").createOrReplace()`
+  *  - append:     `df.writeTo("cat.ns.tbl").append()`
+  *  - namespaces: `SHOW NAMESPACES IN cat`
+  *  - drop:       `DROP NAMESPACE cat.ns CASCADE`
+  *
+  * Identifiers are validated against the same `[A-Za-z_][A-Za-z0-9_]*`
+  * per-segment rule the serving layer enforces (api/main.py:28-29), so
+  * interpolation into SQL text is injection-safe by construction.
+  */
+final class IcebergSqlCatalog(spark: SparkSession, catalog: String)
+    extends TableResolver {
+  import IcebergSqlCatalog._
+
+  require(validIdent(catalog), s"invalid catalog name: $catalog")
+
+  override def load(namespace: String, table: String): DataFrame =
+    spark.table(fqn(catalog, namespace, table))
+
+  override def loadAt(namespace: String, table: String, version: Long): DataFrame =
+    spark.sql(loadAtSql(catalog, namespace, table, version))
+
+  override def snapshots(namespace: String, table: String): Seq[Long] =
+    spark.sql(snapshotsSql(catalog, namespace, table))
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Iceberg metadata tables, verbatim (S10). */
+  def snapshotsTable(namespace: String, table: String): DataFrame =
+    spark.table(fqn(catalog, namespace, table) + ".snapshots")
+  def filesTable(namespace: String, table: String): DataFrame =
+    spark.table(fqn(catalog, namespace, table) + ".files")
+
+  override def listNamespaces(): Seq[String] =
+    spark.sql(s"SHOW NAMESPACES IN $catalog")
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  override def listTables(namespace: String): Seq[String] =
+    spark.sql(s"SHOW TABLES IN ${nsFqn(catalog, namespace)}")
+      .collect().map(_.getAs[String]("tableName")).sorted.toSeq
+
+  override def createOrReplace(namespace: String, table: String, df: DataFrame): Unit =
+    df.writeTo(fqn(catalog, namespace, table)).createOrReplace()
+
+  override def append(namespace: String, table: String, df: DataFrame): Unit =
+    df.writeTo(fqn(catalog, namespace, table)).append()
+
+  override def dropNamespace(namespace: String): Unit = {
+    spark.sql(s"DROP NAMESPACE IF EXISTS ${nsFqn(catalog, namespace)} CASCADE")
+    ()
+  }
+}
+
+object IcebergSqlCatalog {
+  private val IdentRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  def validIdent(s: String): Boolean =
+    s.nonEmpty && s.split("\\.").forall(p => IdentRe.findFirstIn(p).isDefined)
+
+  /** `cat.ns.tbl` with every segment validated (injection-safe). */
+  def fqn(catalog: String, namespace: String, table: String): String = {
+    require(validIdent(namespace), s"invalid namespace: $namespace")
+    require(validIdent(table) && !table.contains("."), s"invalid table: $table")
+    s"$catalog.$namespace.$table"
+  }
+
+  def nsFqn(catalog: String, namespace: String): String = {
+    require(validIdent(namespace), s"invalid namespace: $namespace")
+    s"$catalog.$namespace"
+  }
+
+  def loadAtSql(catalog: String, ns: String, table: String, version: Long): String =
+    s"SELECT * FROM ${fqn(catalog, ns, table)} VERSION AS OF $version"
+
+  def snapshotsSql(catalog: String, ns: String, table: String): String =
+    s"SELECT snapshot_id FROM ${fqn(catalog, ns, table)}.snapshots " +
+      "ORDER BY committed_at"
+}

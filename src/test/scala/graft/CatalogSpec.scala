@@ -64,6 +64,20 @@ class CatalogSpec extends SparkFunSuite {
       "stale snapshot must be evicted from the cache registry")
   }
 
+  test("IcebergSqlCatalog emits injection-safe, runtime-correct SQL") {
+    import graft.sources.IcebergSqlCatalog._
+    assert(fqn("lake", "geo.parks", "points") === "lake.geo.parks.points")
+    assert(loadAtSql("lake", "ns", "t", 42L) ===
+      "SELECT * FROM lake.ns.t VERSION AS OF 42")
+    assert(snapshotsSql("lake", "ns", "t") ===
+      "SELECT snapshot_id FROM lake.ns.t.snapshots ORDER BY committed_at")
+    // every segment validated -> interpolation cannot smuggle SQL
+    assertThrows[IllegalArgumentException](fqn("lake", "ns; DROP TABLE x", "t"))
+    assertThrows[IllegalArgumentException](fqn("lake", "ns", "t--"))
+    assertThrows[IllegalArgumentException](
+      new graft.sources.IcebergSqlCatalog(spark, "bad catalog"))
+  }
+
   test("metadata tables: .snapshots operations and .files per snapshot") {
     val root = Files.createTempDirectory("meta").toString
     val cat = new ParquetCatalog(spark, root)
