@@ -38,7 +38,8 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.Det.r(sum(col("value")), 4).as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -85,4 +86,26 @@ object EventStream {
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each `leftType` event matched to the
+    * same user's `rightType` events arriving within `within` AFTER it.
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark can expire join state — the canonical
+    * bounded-state stream-stream join shape. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      watermark: String = "2 hours", within: String = "30 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
 }

@@ -70,6 +70,37 @@ class StreamingSpec extends SparkFunSuite {
       s.total_value === 3.0))
   }
 
+  test("stream-stream interval join == batch interval join on the same files") {
+    val dir = eventsDir
+    val src = EventStream.source(spark, dir)
+    val q = EventStream.intervalJoin(src, "click", "purchase",
+      within = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivjoin").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("ivjoin")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // batch twin: same filters and time-range condition on the same files
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    val batch = l.join(r, col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no joinable pairs")
+    // stream side may hold back pairs whose watermark never closed under
+    // AvailableNow; every emitted pair must be a batch pair, and the bulk
+    // must be emitted
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size * 9 / 10,
+      s"stream emitted ${streamed.size} of ${batch.size} pairs")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = Files.createTempDirectory("dup").toString
     def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
