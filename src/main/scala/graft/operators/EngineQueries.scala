@@ -98,6 +98,25 @@ object EngineQueries {
         countMode = QueryEngine.CountMode.None).df
     }),
 
+    // Keyset pagination (O2 scale path) under the gate: two consecutive
+    // keyset pages must equal the oracle's single ORDER BY __oid LIMIT 80
+    // — proving page disjointness, ordering, and the `__oid > last`
+    // range-predicate contract against SQL.
+    "engine_keyset" -> ((s, d) => {
+      val (df, sch) = pointsSchema(s, d)
+      // bbox chosen inside the synthesized lon range AT EVERY SF (lon
+      // starts at -120 and only reaches -112.5 at sf0.001)
+      val p = QueryParams(bbox = Some(Bbox(-120.0, 20.0, -112.0, 55.0)),
+        outFields = Seq("c_custkey", "lat"), returnGeometry = false,
+        limit = Some(40))
+      val page1 = QueryEngine.keysetPage(df, sch, p, None)
+      val lastRow = page1.agg(max(col(QueryEngine.OidCol))).collect()(0)
+      val page2 =
+        if (lastRow.isNullAt(0)) page1.limit(0)
+        else QueryEngine.keysetPage(df, sch, p, Some(lastRow.getLong(0)))
+      page1.union(page2).orderBy(col(QueryEngine.OidCol))
+    }),
+
     // outSR applied end-to-end (§1.4): the engine reprojects the output
     // geometry to web mercator before serialization; the oracle computes
     // the same closed-form transform on raw coordinates.
@@ -199,6 +218,11 @@ object EngineQueries {
     "catalog_pin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    "engine_keyset" ->
+      s"""${GeoSynth.oraclePrelude}
+          SELECT c_custkey AS __oid, c_custkey, lat FROM pts
+          WHERE lon >= -120.0 AND lon <= -112.0 AND lat >= 20.0 AND lat <= 55.0
+          ORDER BY __oid LIMIT 80""",
     "engine_outsr" ->
       s"""${GeoSynth.oraclePrelude}
           SELECT c_custkey AS __oid, c_custkey,
