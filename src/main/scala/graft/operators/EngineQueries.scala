@@ -98,6 +98,20 @@ object EngineQueries {
         countMode = QueryEngine.CountMode.None).df
     }),
 
+    // WHERE breadth through the sanitizer: LIKE + BETWEEN + IN in one
+    // predicate (the reference's most common client-authored shapes).
+    "engine_where_like" -> ((s, d) => {
+      val (df, sch) = custSchema(s, d)
+      QueryEngine.query(df, sch, QueryParams(
+        where = Some("c_mktsegment LIKE 'BUIL%' AND " +
+          "c_acctbal BETWEEN 100.0 AND 5000.0 AND " +
+          "c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7)"),
+        outFields = Seq("c_custkey", "c_nationkey", "c_acctbal"),
+        orderBy = Seq(OrderField("c_custkey")),
+        limit = Some(200)),
+        countMode = QueryEngine.CountMode.None).df
+    }),
+
     // Keyset pagination (O2 scale path) under the gate: two consecutive
     // keyset pages must equal the oracle's single ORDER BY __oid LIMIT 80
     // — proving page disjointness, ordering, and the `__oid > last`
@@ -218,6 +232,13 @@ object EngineQueries {
     "catalog_pin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    "engine_where_like" ->
+      """SELECT c_custkey AS __oid, c_custkey, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_mktsegment LIKE 'BUIL%'
+           AND c_acctbal BETWEEN 100.0 AND 5000.0
+           AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7)
+         ORDER BY c_custkey LIMIT 200""",
     "engine_keyset" ->
       s"""${GeoSynth.oraclePrelude}
           SELECT c_custkey AS __oid, c_custkey, lat FROM pts

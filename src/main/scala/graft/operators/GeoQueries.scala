@@ -116,6 +116,21 @@ object GeoQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // J4 at k=3: same broadcast STRtree join, multi-neighbor output.
+    "geo_knn3" -> ((s, d) => {
+      val centroids = GeoSynth.boxes(s, d).select(
+        col("s_suppkey"),
+        ((col("x0") + col("x1")) / 2).as("cx"),
+        ((col("y0") + col("y1")) / 2).as("cy"))
+        .withColumn("cgeom", G.st_point(col("cx"), col("cy")))
+      SpatialJoin.knnBroadcast(
+        GeoSynth.points(s, d), "geom", centroids, "cgeom",
+        k = 3, tiebreak = "s_suppkey")
+        .select(col("c_custkey"), col("s_suppkey"),
+          Det.r(col("knn_dist"), 6).as("dist"))
+        .orderBy(col("c_custkey"), col("dist"), col("s_suppkey"))
+    }),
+
     // J3: distance (buffer) join via grid join with envelope expansion.
     "geo_dwithin_join" -> ((s, d) => {
       val centroids = GeoSynth.boxes(s, d).select(
@@ -319,6 +334,16 @@ object GeoQueries {
                 ORDER BY $distSql, s_suppkey) AS rn
             FROM pts CROSS JOIN cents) t
           WHERE rn = 1 ORDER BY c_custkey""",
+    "geo_knn3" ->
+      s"""$P, cents AS (
+            SELECT s_suppkey, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy
+            FROM boxes)
+          SELECT c_custkey, s_suppkey, ${Det.rsql("dist", 6)} AS dist FROM (
+            SELECT c_custkey, s_suppkey, $distSql AS dist,
+              row_number() OVER (PARTITION BY c_custkey
+                ORDER BY $distSql, s_suppkey) AS rn
+            FROM pts CROSS JOIN cents) t
+          WHERE rn <= 3 ORDER BY c_custkey, dist, s_suppkey""",
     "geo_dwithin_join" ->
       s"""$P, cents AS (
             SELECT s_suppkey, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy
