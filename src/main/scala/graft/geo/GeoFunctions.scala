@@ -89,6 +89,8 @@ object GeoFunctions {
   * `spark.sql` with these names installed. */
 object GeoRegistry {
   def install(spark: SparkSession): Unit = {
+    // spatial theta-joins rewrite to the grid equi-join automatically
+    graft.plans.SpatialJoinRule.install(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.geo.{StContains, StDWithin, StEnvelopeBounds, StIntersects, StWithin}
+
+/** Catalyst optimizer rule: rewrite a spatial theta-join into the PBSM
+  * grid equi-join automatically.
+  *
+  * `left.join(right, st_intersects(lgeom, rgeom))` is a cross join with a
+  * post-filter to Spark — planned as BroadcastNestedLoopJoin, O(n·m), a
+  * non-starter at 100 TB. [[graft.joins.SpatialJoin.grid]] is the scale
+  * shape, but callers must know to use it. This rule closes that gap at
+  * the OPTIMIZER level: any inner join whose sole condition is a
+  * supported spatial predicate (st_intersects / st_within / st_contains /
+  * st_dwithin-with-literal-distance) is rewritten into exactly the
+  * grid-join plan — per-side envelope bounds, cell-id explodes, an
+  * equi-join on (ix, iy), the reference-point dedup filter, and the
+  * original predicate as the exact refine — so naive user code gets the
+  * scalable plan.
+  *
+  * The rewritten join's condition is the pure cell equality, so the rule
+  * cannot re-match its own output (it fires only when the single join
+  * conjunct is spatial). Output attributes are preserved exactly
+  * (`left.output ++ right.output`), making the rewrite transparent to
+  * every downstream operator.
+  *
+  * Install per session via [[SpatialJoinRule.install]] (experimental
+  * extraOptimizations) or at session build time via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`). Tunables:
+  * `spark.graft.spatialJoin.enabled` (default true) and
+  * `spark.graft.spatialJoin.cellSize` (default 0.5 degrees).
+  */
+object SpatialJoinRule extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.spatialJoin.enabled"
+  val CellSizeKey = "spark.graft.spatialJoin.cellSize"
+
+  /** Idempotently register on an existing session. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val cell = conf.getConfString(CellSizeKey, "0.5").toDouble
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
+        matchSpatial(cond, left, right) match {
+          case Some((lGeom, rGeom, expand)) =>
+            rewrite(left, right, cond, lGeom, rGeom, expand, cell, hint)
+          case scala.None => j
+        }
+    }
+  }
+
+  /** The single join conjunct must be a supported spatial predicate with
+    * one geometry per side. Returns (leftGeom, rightGeom, expand). */
+  private def matchSpatial(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
+    def orient(a: Expression, b: Expression, d: Double) =
+      if (a.references.nonEmpty && b.references.nonEmpty &&
+        a.references.subsetOf(left.outputSet) &&
+        b.references.subsetOf(right.outputSet)) Some((a, b, d))
+      else if (a.references.nonEmpty && b.references.nonEmpty &&
+        b.references.subsetOf(left.outputSet) &&
+        a.references.subsetOf(right.outputSet)) Some((b, a, d))
+      else scala.None
+    cond match {
+      case StIntersects(a, b) => orient(a, b, 0.0)
+      case StWithin(a, b) => orient(a, b, 0.0)
+      case StContains(a, b) => orient(a, b, 0.0)
+      case StDWithin(a, b, Literal(d: Double, DoubleType)) => orient(a, b, d)
+      case _ => scala.None
+    }
+  }
+
+  /** One side's cell pipeline: bounds project -> min/max project -> two
+    * cell-id explodes. Mirrors SpatialJoin.withCells exactly. */
+  private def cellSide(child: LogicalPlan, geom: Expression, cell: Double,
+      pfx: String, expand: Double)
+      : (LogicalPlan, Attribute, Attribute, Attribute, Attribute) = {
+    val b = Alias(StEnvelopeBounds(geom), s"${pfx}b")()
+    val p1 = Project(child.output :+ b, child)
+    def elem(i: Int): Expression = ElementAt(b.toAttribute, Literal(i))
+    val xmin = Alias(Subtract(elem(1), Literal(expand)), s"${pfx}xmin")()
+    val ymin = Alias(Subtract(elem(2), Literal(expand)), s"${pfx}ymin")()
+    val xmax = Alias(Add(elem(3), Literal(expand)), s"${pfx}xmax")()
+    val ymax = Alias(Add(elem(4), Literal(expand)), s"${pfx}ymax")()
+    val p2 = Project(child.output ++ Seq(xmin, ymin, xmax, ymax), p1)
+    def cellOf(e: Expression) = Floor(Divide(e, Literal(cell)))
+    def explodeRange(lo: Attribute, hi: Attribute, name: String,
+        src: LogicalPlan): (LogicalPlan, Attribute) = {
+      // Sequence is TimeZoneAwareExpression: without a zone it reports
+      // unresolved and fails optimizer plan validation
+      val gen = Explode(new Sequence(cellOf(lo), cellOf(hi), scala.None,
+        Some(conf.sessionLocalTimeZone)))
+      val f = gen.elementSchema.head
+      val attr = AttributeReference(name, f.dataType, f.nullable)()
+      (Generate(gen, Nil, outer = false, scala.None, Seq(attr), src), attr)
+    }
+    val (g1, ix) = explodeRange(xmin.toAttribute, xmax.toAttribute, s"${pfx}ix", p2)
+    val (g2, iy) = explodeRange(ymin.toAttribute, ymax.toAttribute, s"${pfx}iy", g1)
+    (g2, ix, iy, xmin.toAttribute, ymin.toAttribute)
+  }
+
+  private def rewrite(left: LogicalPlan, right: LogicalPlan,
+      spatialCond: Expression, lGeom: Expression, rGeom: Expression,
+      expand: Double, cell: Double, hint: JoinHint): LogicalPlan = {
+    val (lp, lix, liy, lxmin, lymin) = cellSide(left, lGeom, cell, "__l_", 0.0)
+    val (rp, rix, riy, rxmin, rymin) = cellSide(right, rGeom, cell, "__r_", expand)
+    val cellEq = And(EqualTo(lix, rix), EqualTo(liy, riy))
+    // reference-point dedup: emit the pair only in the cell holding the
+    // min corner of the envelope intersection
+    def refCell(a: Attribute, bb: Attribute) =
+      Floor(Divide(Greatest(Seq(a, bb)), Literal(cell)))
+    val refOk = And(EqualTo(lix, refCell(lxmin, rxmin)),
+      EqualTo(liy, refCell(lymin, rymin)))
+    val joined = Join(lp, rp, Inner, Some(cellEq), hint)
+    val filtered = Filter(And(refOk, spatialCond), joined)
+    Project((left.output ++ right.output).map(a => a: NamedExpression), filtered)
+  }
+}
+
+/** Session-build-time registration (`--conf
+  * spark.sql.extensions=graft.plans.GraftExtensions`): the same rule, the
+  * official SparkSessionExtensions path. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SpatialJoinRule)
+    ()
+  }
+}

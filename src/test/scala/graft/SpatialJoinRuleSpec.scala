@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.{GeoIO, GeoFunctions => G}
+import graft.plans.SpatialJoinRule
+
+/** The optimizer rule must turn a naive spatial theta-join (which Spark
+  * plans as BroadcastNestedLoopJoin) into the grid equi-join, producing
+  * exactly the naive join's rows. */
+class SpatialJoinRuleSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val pts = (0 until 200).map { i =>
+    val lon = -120.0 + (i % 50) * 0.2
+    val lat = 25.0 + (i / 50) * 0.3
+    (i.toLong, GeoIO.toWkb(GeoIO.point(lon, lat)))
+  }.toDF("pid", "geom")
+
+  private lazy val boxes = (0 until 20).map { j =>
+    val x = -120.0 + j * 0.5
+    val y = 25.0 + (j % 5) * 0.4
+    (j.toLong, GeoIO.toWkb(GeoIO.envelope(x, y, x + 0.6, y + 0.5)))
+  }.toDF("bid", "bgeom")
+
+  private def naivePairs(cond: org.apache.spark.sql.Column): Set[(Long, Long)] = {
+    spark.conf.set(SpatialJoinRule.EnabledKey, "false")
+    try {
+      val naive = pts.join(boxes, cond)
+      assert(naive.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "control run must be the nested-loop plan")
+      naive.select("pid", "bid").as[(Long, Long)].collect().toSet
+    } finally spark.conf.set(SpatialJoinRule.EnabledKey, "true")
+  }
+
+  test("st_within theta-join rewrites to grid equi-join, same rows") {
+    SpatialJoinRule.install(spark)
+    val joined = pts.join(boxes, G.st_within(col("geom"), col("bgeom")))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire:\n${phys.take(1500)}")
+    assert(phys.contains("Generate explode"), "cell explode missing")
+    val got = joined.select("pid", "bid").as[(Long, Long)].collect().toSet
+    val want = naivePairs(G.st_within(col("geom"), col("bgeom")))
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("st_dwithin(literal) theta-join rewrites with envelope expansion") {
+    SpatialJoinRule.install(spark)
+    val cond = G.st_dwithin(col("geom"), col("bgeom"), lit(0.313))
+    val joined = pts.join(boxes, cond)
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val got = joined.select("pid", "bid").as[(Long, Long)].collect().toSet
+    val want = naivePairs(cond)
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("swapped-side and reversed predicates still orient correctly") {
+    SpatialJoinRule.install(spark)
+    // geometry args reversed: right side's geometry first
+    val joined = pts.join(boxes, G.st_contains(col("bgeom"), col("geom")))
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val got = joined.select("pid", "bid").as[(Long, Long)].collect().toSet
+    val want = naivePairs(G.st_contains(col("bgeom"), col("geom")))
+    assert(got === want)
+  }
+
+  test("multi-conjunct and non-spatial joins are left untouched") {
+    SpatialJoinRule.install(spark)
+    // grid-join output (cell equality + refine) must NOT re-match
+    val grid = graft.joins.SpatialJoin.grid(pts, col("geom"), boxes,
+      col("bgeom"), (l, r) => G.st_within(l, r), cellSize = 0.5)
+    assert(grid.count() > 0)
+    // plain equi-join unaffected
+    val eq = pts.join(boxes, col("pid") === col("bid"))
+    assert(eq.count() === 20)
+  }
+}
