@@ -88,6 +88,18 @@ object GeoQueries {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // J1 via the OPTIMIZER RULE: the naive theta-join syntax — which
+    // Spark alone would plan as a nested-loop cross join — relies on
+    // SpatialJoinRule to become the grid equi-join; the oracle is the
+    // same closed-form point-in-box join as geo_pip_join.
+    "geo_rule_join" -> ((s, d) => {
+      graft.plans.SpatialJoinRule.install(s)
+      GeoSynth.points(s, d).join(GeoSynth.boxes(s, d),
+        G.st_within(col("geom"), col("bgeom")))
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // J5: count points per polygon, zeros included (left-outer shape).
     "geo_pip_count" -> ((s, d) => {
       val joined = SpatialJoin.grid(
@@ -316,6 +328,10 @@ object GeoQueries {
           (CAST(floor(lat / 0.5) AS BIGINT) + 0.5) * 0.5 AS cy
           FROM pts GROUP BY 1, 2, 4, 5 ORDER BY cell_x, cell_y""",
     "geo_pip_join" ->
+      s"""$P SELECT c_custkey, s_suppkey FROM pts JOIN boxes
+          ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+          ORDER BY c_custkey, s_suppkey""",
+    "geo_rule_join" ->
       s"""$P SELECT c_custkey, s_suppkey FROM pts JOIN boxes
           ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
           ORDER BY c_custkey, s_suppkey""",
