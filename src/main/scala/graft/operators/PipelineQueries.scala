@@ -172,6 +172,22 @@ object PipelineQueries {
         .orderBy(col("label"))
     }),
 
+    // Stopword-ratio quality signal (the third leg of length/punct/
+    // stopword scoring): exact integer counts on both sides — stopword
+    // tokens and total tokens per source.
+    "doc_stopwords" -> ((s, d) => {
+      val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+        "that", "it", "for", "on", "with", "as")
+      Tables.documents(s, d)
+        .withColumn("toks",
+          filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 1))
+        .groupBy(col("source"))
+        .agg(sum(size(col("toks"))).as("n_tokens"),
+          sum(size(filter(col("toks"),
+            t => t.isin(stop.map(lit): _*)))).as("n_stopwords"))
+        .orderBy(col("source"))
+    }),
+
     // Exact length quantiles per language (type-7 linear interpolation on
     // both engines; floor-rounded for cross-engine hash stability).
     "doc_quantiles" -> ((s, d) => {
@@ -287,6 +303,18 @@ object PipelineQueries {
              AS centroid_norm,
            count(*) AS dim
          FROM centroids GROUP BY label ORDER BY label""",
+    "doc_stopwords" ->
+      """WITH toks AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> len(t) >= 1) AS toks
+           FROM documents)
+         SELECT source,
+           sum(len(toks)) AS n_tokens,
+           sum(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of',
+             'and', 'to', 'in', 'is', 'that', 'it', 'for', 'on', 'with',
+             'as')))) AS n_stopwords
+         FROM toks GROUP BY source ORDER BY source""",
     "doc_quantiles" ->
       """SELECT lang, count(*) AS n,
          floor((quantile_cont(n_chars, 0.5)) * 10000.0 + 0.5) / 10000.0
