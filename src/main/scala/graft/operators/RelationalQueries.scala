@@ -195,6 +195,49 @@ object RelationalQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // lead/lag window navigation (raw doubles pass through unrounded —
+    // per-row values hash identically).
+    "q17_leadlag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ROLLUP hierarchy totals (exact counts; NULL subtotal keys hash as
+    // NULL on both sides).
+    "q18_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // Batch sessionization via window composition (lag -> gap flag ->
+    // running sum = session id -> per-session aggregate): the SQL-
+    // expressible twin of the streaming flatMapGroupsWithState operator.
+    "q19_sessions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("long").as("start_s"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
     // Event-time tumbling aggregation expressed in batch (streaming parity
     // uses the same plan via readStream; see streaming package).
     "q16_event_windows" -> ((s, d) => {
@@ -305,6 +348,37 @@ object RelationalQueries {
          JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
          JOIN part ON l_partkey = p_partkey AND p_size >= 40
          GROUP BY p_brand ORDER BY p_brand""",
+    "q17_leadlag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q18_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "q19_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+           FROM events),
+         f AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800
+               THEN 1 ELSE 0 END AS new_sess
+           FROM o),
+         s AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM f)
+         SELECT user_id, sess_id, count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s
+         FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
     "q16_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
          count(*) AS n,
