@@ -96,6 +96,19 @@ class CatalogSpec extends SparkFunSuite {
     assert(v2Files > curFiles.length, "append snapshot spans more files")
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val dir = Files.createTempDirectory("part").toString
+    val ev = Tables.events(spark, sf())
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = scan.queryExecution.executedPlan.toString
+    // the partition predicate must prune directories, not filter rows
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    assert(plan.contains("event_type"), plan.take(600))
+    assert(scan.count() ===
+      ev.filter(col("event_type") === "click").count())
+  }
+
   test("keyset pagination: disjoint pages, matches offset pagination content") {
     val df = Tables.customer(spark, sf())
     val schema = FeatureSchema("customer", None, None, 4326, Seq.empty,
