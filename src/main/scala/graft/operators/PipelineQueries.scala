@@ -76,6 +76,23 @@ object PipelineQueries {
         countDistinct(fingerprint64(col("text"))).as("n_distinct_fp"))
     }),
 
+    // Duplicate-cluster resolution: exact-dup pairs (same md5) fed through
+    // the distributed connected-components operator; components of a
+    // same-hash clique are exactly the md5 groups, so the oracle is the
+    // closed-form GROUP BY md5 HAVING count > 1. (Transitive, non-clique
+    // convergence is asserted separately in PipelineSpec.)
+    "doc_dup_clusters" -> ((s, d) => {
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val a = hashes.select(col("doc_id").as("id_a"), col("h"))
+      val b = hashes.select(col("doc_id").as("id_b"), col("h").as("h2"))
+      val pairs = a.join(b, col("h") === col("h2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp")).agg(count(lit(1)).as("n_dups"))
+        .orderBy(col("comp"))
+    }),
+
     // Language ID heuristic over the corpus (rows-only gate; accuracy is
     // asserted in PipelineSpec on real multilingual sentences).
     "doc_langid" -> ((s, d) => {
@@ -303,6 +320,10 @@ object PipelineQueries {
              AS centroid_norm,
            count(*) AS dim
          FROM centroids GROUP BY label ORDER BY label""",
+    "doc_dup_clusters" ->
+      """SELECT min(doc_id) AS comp, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1
+         ORDER BY comp""",
     "doc_stopwords" ->
       """WITH toks AS (
            SELECT source,

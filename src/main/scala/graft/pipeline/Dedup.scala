@@ -113,6 +113,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over an undirected duplicate-pair edge list —
+    * the cluster-resolution step every dedup pipeline needs after pair
+    * generation (keep one representative per component, drop the rest).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum component label among itself and its neighbours; converges
+    * in O(component diameter) rounds. Near-dup components are shallow
+    * (dups of dups of one source), so the default cap is generous; each
+    * round is two shuffles (join + groupBy), fully distributed — the
+    * same plan shape GraphX Pregel would produce, without the dependency.
+    * Returns (id, comp) where comp = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("new_comp"))
+        .persist()
+      converged = updated.filter(col("new_comp") < col("comp"))
+        .limit(1).count() == 0
+      val next = updated.select(col("id"), col("new_comp").as("comp")).persist()
+      next.count() // materialize before dropping parents (bounded lineage)
+      labels.unpersist(false)
+      updated.unpersist(false)
+      labels = next
+      i += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
   /** Brute-force exact n-gram Jaccard over all pairs — the test oracle for
     * the LSH paths (O(n²); never use at scale). */
   def bruteForcePairs(df: DataFrame, idCol: String, textCol: String,

@@ -114,6 +114,19 @@ class PipelineSpec extends SparkFunSuite {
     assert(hits >= 18, s"ANN top-1 recall $hits/20")
   }
 
+  test("connected components: transitive chains and isolated pairs") {
+    // path 1-2-3-4 (diameter 3), pair 7-8, triangle 10-11-12: min-label
+    // propagation must close transitively, not just within cliques
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(7L) === 7L && comp(8L) === 7L)
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+  }
+
   test("IVF ANN finds planted high-similarity neighbours (top-1 recall >= 90%)") {
     // same planted-near-duplicate regime as the LSH test: a perturbed
     // copy (cosine ~0.99) lands in the same coarse cell as its source
