@@ -131,7 +131,7 @@ object Dedup {
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist()
+    var prevCached: Option[DataFrame] = scala.None
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -142,13 +142,14 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("new_comp"))
         .persist()
+      // ONE action per round: the convergence probe materializes the
+      // persisted round result; the next round's labels read it lazily
+      // (bounded lineage — each round roots at the previous persist)
       converged = updated.filter(col("new_comp") < col("comp"))
         .limit(1).count() == 0
-      val next = updated.select(col("id"), col("new_comp").as("comp")).persist()
-      next.count() // materialize before dropping parents (bounded lineage)
-      labels.unpersist(false)
-      updated.unpersist(false)
-      labels = next
+      prevCached.foreach(_.unpersist(false))
+      prevCached = Some(updated)
+      labels = updated.select(col("id"), col("new_comp").as("comp"))
       i += 1
     }
     sym.unpersist(false)
