@@ -246,6 +246,44 @@ object GeoQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // S4/F2 under the gate: points -> GeoJSON FeatureCollection text ->
+    // file -> distributed GeoJSON read -> coordinates. Shortest-repr
+    // double printing round-trips exactly, so the oracle is the raw
+    // coordinates.
+    "geojson_roundtrip" -> ((s, d) => {
+      val pts = GeoSynth.points(s, d).filter(col("c_custkey") <= 200)
+        .withColumn("__oid", col("c_custkey"))
+        .select(col("__oid"), col("c_custkey"), col("geom"))
+      val rows = pts.orderBy(col("c_custkey")).collect().toSeq
+      val fs = graft.engine.FeatureSchema("pts", Some("geom"), Some("Point"),
+        4326, Seq.empty, Some("c_custkey"), 10000)
+      val json = graft.serializers.JsonSerializers.geoJsonFeatureCollection(
+        rows, pts.schema, fs, scala.None)
+      val f = java.nio.file.Files.createTempFile("gjrt", ".json")
+      java.nio.file.Files.writeString(f, json)
+      graft.sources.GeoJsonSource.read(s, f.toString)
+        .select(col("c_custkey"),
+          G.st_x(col("geometry")).as("x"), G.st_y(col("geometry")).as("y"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // S5/S7 under the gate: points -> GeoParquet page (geo footer) ->
+    // GeoParquet read -> coordinates.
+    "geoparquet_roundtrip" -> ((s, d) => {
+      val pts = GeoSynth.points(s, d).filter(col("c_custkey") <= 300)
+        .withColumn("__oid", col("c_custkey"))
+        .select(col("__oid"), col("c_custkey"), col("geom"))
+      val rows = pts.orderBy(col("c_custkey")).collect().toSeq
+      val out = java.nio.file.Files.createTempDirectory("gprt").toString +
+        "/page.parquet"
+      graft.sources.GeoParquetIO.writePage(rows, pts.schema, "geom", out,
+        geometryTypes = Seq("Point"))
+      graft.sources.GeoParquetIO.read(s, out)
+        .select(col("c_custkey"),
+          G.st_x(col("geom")).as("x"), G.st_y(col("geom")).as("y"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // LOD simplification under the gate: collinear lines collapse to their
     // 2 endpoints at any tolerance; zigzags with amplitude 1.0 >> tol 0.05
     // keep every vertex (each interior vertex deviates from any containing
@@ -409,6 +447,12 @@ object GeoQueries {
           ${Det.rsql("(x0 + x1) / 2", 6)} AS ctr_x,
           ${Det.rsql("(y0 + y1) / 2", 6)} AS ctr_y
           FROM boxes ORDER BY s_suppkey""",
+    "geojson_roundtrip" ->
+      s"""$P SELECT c_custkey, lon AS x, lat AS y FROM pts
+          WHERE c_custkey <= 200 ORDER BY c_custkey""",
+    "geoparquet_roundtrip" ->
+      s"""$P SELECT c_custkey, lon AS x, lat AS y FROM pts
+          WHERE c_custkey <= 300 ORDER BY c_custkey""",
     "geo_simplify" ->
       """SELECT o_orderkey,
           CAST(o_orderkey % 7 + 3 AS INTEGER) AS npts_in,
