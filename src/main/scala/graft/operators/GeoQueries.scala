@@ -362,8 +362,10 @@ object GeoQueries {
       s"""$P SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
           CAST(floor(lat / 0.5) AS BIGINT) AS cell_y,
           count(*) AS feature_count,
-          (CAST(floor(lon / 0.5) AS BIGINT) + 0.5) * 0.5 AS cx,
-          (CAST(floor(lat / 0.5) AS BIGINT) + 0.5) * 0.5 AS cy
+          CAST((CAST(floor(lon / 0.5) AS BIGINT) + 0.5) * 0.5 AS DOUBLE)
+            AS cx,
+          CAST((CAST(floor(lat / 0.5) AS BIGINT) + 0.5) * 0.5 AS DOUBLE)
+            AS cy
           FROM pts GROUP BY 1, 2, 4, 5 ORDER BY cell_x, cell_y""",
     "geo_pip_join" ->
       s"""$P SELECT c_custkey, s_suppkey FROM pts JOIN boxes

@@ -254,13 +254,16 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "doc_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
          max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "doc_tokens" ->
       """SELECT source,
-         sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_bpe,
+         CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+           AS total_bpe,
          count(*) AS n_docs
          FROM documents GROUP BY source ORDER BY source""",
     "doc_quality" ->
@@ -331,10 +334,10 @@ object PipelineQueries {
                          t -> len(t) >= 1) AS toks
            FROM documents)
          SELECT source,
-           sum(len(toks)) AS n_tokens,
-           sum(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of',
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of',
              'and', 'to', 'in', 'is', 'that', 'it', 'for', 'on', 'with',
-             'as')))) AS n_stopwords
+             'as')))) AS BIGINT) AS n_stopwords
          FROM toks GROUP BY source ORDER BY source""",
     "doc_quantiles" ->
       """SELECT lang, count(*) AS n,
@@ -351,7 +354,8 @@ object PipelineQueries {
                AS t(term)
            WHERE len(t.term) >= 3),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         stats AS (SELECT term, count(*) AS df, sum(tf) AS total_tf
+         stats AS (SELECT term, count(*) AS df,
+                     CAST(sum(tf) AS BIGINT) AS total_tf
                    FROM tf GROUP BY 1),
          n AS (SELECT count(*) AS n_docs FROM documents)
          SELECT term, df, total_tf,
@@ -362,8 +366,8 @@ object PipelineQueries {
     "mm_decode" ->
       """SELECT CAST(doc_id % 10 AS INTEGER) AS src_bucket,
          count(*) AS n,
-         sum(octet_length(encode(text))) AS total_bytes,
-         sum(octet_length(encode(text)) % 640) AS total_width,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         CAST(sum(octet_length(encode(text)) % 640) AS BIGINT) AS total_width,
          max(CAST(doc_id % 30 AS INTEGER) + 1) AS max_frames
          FROM documents GROUP BY 1 ORDER BY src_bucket""")
 }

@@ -373,8 +373,10 @@ object RelationalQueries {
            FROM o),
          s AS (
            SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sess_id
            FROM f)
          SELECT user_id, sess_id, count(*) AS n_events,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s

@@ -17,6 +17,14 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Types that survive the driver's DuckDB->comparison conversion losslessly.
+# HUGEINT (duckdb's sum(INTEGER/BIGINT) result) and DECIMAL are NOT safe:
+# the driver's fetch path widens them to float/decimal repr and the hash
+# diverges from Spark's BIGINT/DOUBLE (round-2: all 6 driver hash-fails
+# were HUGEINT columns that passed locally via lossless fetchall()).
+SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+              "VARCHAR", "TIMESTAMP", "DATE", "BOOLEAN", "BLOB"}
+
 
 def norm(v):
     if v is None:
@@ -65,11 +73,20 @@ def main():
         g_rows = [tuple(c[i].as_py() for c in got.columns)
                   for i in range(got.num_rows)]
         try:
-            cur = con.execute(sql)
-            e_names = [d[0] for d in cur.description]
-            e_rows = cur.fetchall()
+            rel = con.sql(sql)
+            e_names = list(rel.columns)
+            e_types = [str(t) for t in rel.types]
+            e_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        bad_types = [(c, t) for c, t in zip(e_names, e_types)
+                     if t not in SAFE_TYPES]
+        if bad_types:
+            print(f"FAIL {name}: driver-unsafe oracle column types "
+                  f"{bad_types} — CAST them (e.g. sum(int) -> "
+                  f"CAST(... AS BIGINT))")
             n_fail += 1
             continue
         ok_schema = sorted(g_names) == sorted(e_names)
