@@ -51,9 +51,12 @@ final case class FeatureSchema(
 
 final case class FieldDef(name: String, dataType: String, alias: String)
 
-/** Result: a lazily-planned DataFrame + serving metadata. `srid` is the
-  * spatial reference of the OUTPUT geometry (= `outSr` when a reprojection
-  * was applied, else the layer srid) — serializers must report this one. */
+/** Result: the page DataFrame + serving metadata. Under `CountMode.Exact`
+  * the page is an eagerly collected LocalRelation (driver-local, bounded
+  * by maxRecordCount — one scan serves both rows and count); every other
+  * mode stays a lazily-planned DataFrame. `srid` is the spatial reference
+  * of the OUTPUT geometry (= `outSr` when a reprojection was applied, else
+  * the layer srid) — serializers must report this one. */
 final case class QueryResult(
     df: org.apache.spark.sql.DataFrame,
     count: Option[Long],

@@ -43,15 +43,23 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sig", minhash_sig(col("__text"), numHashes, shingle))
+    // Narrow (id, sig) projection, persisted: the signature (shingle +
+    // numHashes hash passes over full text) is the expensive scan, and
+    // three legs below read it (banding + both candidate sig joins) —
+    // without the persist each leg would recompute it from source. The
+    // cache entry is one long[numHashes] per doc (no text); it stays
+    // cached for plan reuse until the session evicts it.
+    val sig = df.select(col(idCol).as("__id"),
+      minhash_sig(col(textCol), numHashes, shingle).as("__sig"))
+      .persist()
 
     // band -> (bandIdx, xxhash64 of the band's slice). ONLY (id, band,
     // bucket) rides the band explode + bucket-join shuffle: at corpus
     // scale carrying text here would push ~bands x the corpus through
-    // the wire before any pruning (round-1 verdict). Text and signatures
-    // are re-attached by id below, for deduped candidates only —
-    // mirroring simhashPairs' sig-only join shape.
+    // the wire before any pruning (round-1 verdict). Signatures are
+    // re-attached by id below for deduped candidates only, and text only
+    // after the sig-overlap pre-filter — mirroring simhashPairs'
+    // sig-only join shape.
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("__sig"), b * rows + 1, lit(rows)))).as(Seq("__band", "__bandsig")))
@@ -75,13 +83,18 @@ object Dedup {
       org.apache.spark.sql.graftbridge.expression(col("__sig_a")),
       org.apache.spark.sql.graftbridge.expression(col("__sig_b"))))
 
-    val left = sig.select(col("__id").as("id_a"),
-      col("__sig").as("__sig_a"), col("__text").as("__text_a"))
-    val right = sig.select(col("__id").as("id_b"),
-      col("__sig").as("__sig_b"), col("__text").as("__text_b"))
+    val texts = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
 
-    candidates.join(left, Seq("id_a")).join(right, Seq("id_b"))
+    candidates
+      .join(sig.select(col("__id").as("id_a"), col("__sig").as("__sig_a")),
+        Seq("id_a"))
+      .join(sig.select(col("__id").as("id_b"), col("__sig").as("__sig_b")),
+        Seq("id_b"))
       .filter(sigOverlap >= threshold - estMargin)
+      .join(texts.select(col("__id").as("id_a"),
+        col("__text").as("__text_a")), Seq("id_a"))
+      .join(texts.select(col("__id").as("id_b"),
+        col("__text").as("__text_b")), Seq("id_b"))
       .withColumn("jaccard",
         jaccard_shingle(col("__text_a"), col("__text_b"), shingle))
       .filter(col("jaccard") >= threshold)
@@ -153,6 +166,13 @@ object Dedup {
       i += 1
     }
     sym.unpersist(false)
+    if (!converged)
+      // unconverged labels silently split a component into several
+      // clusters — surface it so callers can raise maxIter (component
+      // diameter exceeded it, e.g. a long duplication chain)
+      System.err.println(s"[graft] connectedComponents: NOT converged " +
+        s"after $maxIter rounds; labels may split wide components — " +
+        s"raise maxIter")
     labels
   }
 

@@ -63,6 +63,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   private val registry =
     scala.collection.mutable.Map.empty[(String, String, Long), DataFrame]
+  // last current version observed per table: stale-eviction triggers only
+  // when this ADVANCES, so a pinned old snapshot stays cached across
+  // repeated time-travel reads of an unchanged table
+  private val lastSeenCurrent =
+    scala.collection.mutable.Map.empty[(String, String), Long]
 
   private def hasFlatParquet(dir: java.io.File): Boolean =
     Option(dir.listFiles()).exists(_.exists(f =>
@@ -112,12 +117,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       s"no such snapshot: $namespace.$table v$version")
     if (!cacheSnapshots) return readAt(namespace, table, version)
     synchronized {
-      // stale-snapshot eviction: a newer current snapshot invalidates
-      // older versions' cached scans (engine.py:213-229 semantics)
+      // stale-snapshot eviction: evict older versions' cached scans only
+      // when the table's current snapshot ADVANCES (engine.py:213-229
+      // semantics) — not on every loadAt, which would unpersist a pinned
+      // old snapshot that was deliberately cached for time travel
       val cur = currentVersion(namespace, table)
-      registry.keys
-        .filter { case (n, t, v) => n == namespace && t == table && v < cur }
-        .toSeq.foreach { k => registry.remove(k).foreach(_.unpersist(false)) }
+      if (lastSeenCurrent.get((namespace, table)).exists(_ < cur)) {
+        registry.keys
+          .filter { case (n, t, v) => n == namespace && t == table && v < cur }
+          .toSeq.foreach { k => registry.remove(k).foreach(_.unpersist(false)) }
+      }
+      lastSeenCurrent((namespace, table)) = cur
       registry.getOrElseUpdate((namespace, table, version),
         readAt(namespace, table, version)
           .persist(StorageLevel.MEMORY_AND_DISK))
@@ -233,6 +243,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       registry.keys.filter { case (n, _, _) =>
         n == namespace || n.startsWith(namespace + ".")
       }.toSeq.foreach { k => registry.remove(k).foreach(_.unpersist(false)) }
+      lastSeenCurrent.keys.filter { case (n, _) =>
+        n == namespace || n.startsWith(namespace + ".")
+      }.toSeq.foreach(lastSeenCurrent.remove)
     }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
