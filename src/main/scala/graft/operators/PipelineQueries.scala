@@ -250,6 +250,56 @@ object PipelineQueries {
           sum(col("width")).as("total_width"),
           max(col("n_frames")).as("max_frames"))
         .orderBy(col("src_bucket"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs — exact baseline (the fifth
+    // dedup family next to exact/fingerprint/minhash/simhash). Threshold
+    // sits below the synthetic corpus' max pairwise cosine so the gate is
+    // non-empty at every SF; membership compares the Det-rounded sim.
+    "emb_neardup" -> ((s, d) => {
+      Similarity.bruteNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.42)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH-bucketed near-dup variant (rows-only gate; pair-subset and
+    // recall vs brute are asserted in PipelineSpec). At this low
+    // threshold recall is partial by design — the scale path trades
+    // recall for candidate-bounded cost; at real near-dup thresholds
+    // (>=0.9) the same knobs give >99%.
+    "emb_neardup_lsh" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, threshold = 0.42,
+        bits = 4, tables = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Multimodal resize plumbing: decode -> aspect-preserving fit into
+    // 256x256 (real AWT redraw for decodable images, closed-form metadata
+    // transform for stub payloads => SQL-oracle-checkable).
+    "mm_resize" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      Multimodal.resize(Multimodal.decode(media), 256, 256)
+        .withColumn("src_bucket", (col("media_id") % 10).cast("int"))
+        .groupBy(col("src_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("out_width")).as("total_out_w"),
+          sum(col("out_height")).as("total_out_h"))
+        .orderBy(col("src_bucket"))
+    }),
+
+    // Multimodal frame sampling: decode -> every-7th-frame sample, frame
+    // payload = equal byte slice (generator-shaped flatMap; frame count
+    // and slice sizes are closed-form => SQL-oracle-checkable).
+    "mm_frames" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      Multimodal.sampleFrames(Multimodal.decode(media), stride = 7)
+        .withColumn("src_bucket", (col("media_id") % 10).cast("int"))
+        .groupBy(col("src_bucket"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_payload")).cast("long"))
+            .as("total_frame_bytes"))
+        .orderBy(col("src_bucket"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -369,5 +419,51 @@ object PipelineQueries {
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          CAST(sum(octet_length(encode(text)) % 640) AS BIGINT) AS total_width,
          max(CAST(doc_id % 30 AS INTEGER) + 1) AS max_frames
-         FROM documents GROUP BY 1 ORDER BY src_bucket""")
+         FROM documents GROUP BY 1 ORDER BY src_bucket""",
+    "emb_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+             / 1000000.0 AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+             / 1000000.0 >= 0.42
+         ORDER BY id_a, id_b""",
+    "mm_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             octet_length(encode(text)) % 640 AS w,
+             octet_length(encode(text)) % 480 AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id, w, h,
+             CASE WHEN w <= 0 OR h <= 0 THEN CAST(0 AS DOUBLE)
+               ELSE least(CAST(256 AS DOUBLE) / w,
+                          CAST(256 AS DOUBLE) / h,
+                          CAST(1 AS DOUBLE)) END AS scale
+           FROM m)
+         SELECT CAST(doc_id % 10 AS INTEGER) AS src_bucket,
+           count(*) AS n,
+           CAST(sum(CASE WHEN w <= 0 THEN 0
+             ELSE greatest(1, CAST(floor(w * scale) AS BIGINT)) END)
+             AS BIGINT) AS total_out_w,
+           CAST(sum(CASE WHEN h <= 0 THEN 0
+             ELSE greatest(1, CAST(floor(h * scale) AS BIGINT)) END)
+             AS BIGINT) AS total_out_h
+         FROM r GROUP BY 1 ORDER BY src_bucket""",
+    "mm_frames" ->
+      """WITH m AS (
+           SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             CAST(doc_id % 30 AS INTEGER) + 1 AS frames
+           FROM documents),
+         s AS (
+           SELECT doc_id, frames,
+             (frames - 1) // 7 + 1 AS sampled,
+             n_bytes // frames AS k
+           FROM m)
+         SELECT CAST(doc_id % 10 AS INTEGER) AS src_bucket,
+           CAST(sum(sampled) AS BIGINT) AS n_frames,
+           CAST(sum(sampled * k) AS BIGINT) AS total_frame_bytes
+         FROM s GROUP BY 1 ORDER BY src_bucket""")
 }

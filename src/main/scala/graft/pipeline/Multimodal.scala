@@ -109,6 +109,98 @@ object Multimodal {
     }(Encoders.row(StructType(media.schema.fields ++ decodedSchema.fields.drop(3))))
   }
 
+  /** Aspect-preserving resize to fit within (maxW, maxH), never upscaling:
+    * scale = min(maxW/w, maxH/h, 1), out dims = floor(dim * scale)
+    * (min 1 when the input dim is positive; 0-dim stubs pass through).
+    *
+    * Readable images are REALLY resized (AWT bilinear redraw, PNG
+    * re-encode); other payloads keep their bytes and only the metadata
+    * transform applies — which keeps the stub path closed-form
+    * (oracle-checkable). Input must be [[decode]] output (needs
+    * width/height). Pure per-row map: no shuffle, scan-side at any scale. */
+  def resize(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val payloadIdx = decoded.schema.fieldIndex("payload")
+    val wIdx = decoded.schema.fieldIndex("width")
+    val hIdx = decoded.schema.fieldIndex("height")
+    val outSchema = StructType(decoded.schema.fields ++ Seq(
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false),
+      StructField("out_payload", BinaryType, nullable = true)))
+    decoded.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        val w = row.getInt(wIdx); val h = row.getInt(hIdx)
+        val scale =
+          if (w <= 0 || h <= 0) 0.0
+          else math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val outW = if (w <= 0) 0 else math.max(1, math.floor(w * scale).toInt)
+        val outH = if (h <= 0) 0 else math.max(1, math.floor(h * scale).toInt)
+        val outPayload = resizeImage(payload, outW, outH).getOrElse(payload)
+        Row.fromSeq(row.toSeq ++ Seq(outW, outH, outPayload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Real image resize: decode, bilinear-redraw at (w, h), re-encode PNG.
+    * None when the payload is not a readable image — callers keep the
+    * original bytes (stub path). */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.length == 0 || w <= 0 || h <= 0)
+      return scala.None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) scala.None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => scala.None }
+  }
+
+  /** Frame sampling: one output row per sampled frame index
+    * (0, stride, 2·stride, … < n_frames), with the frame payload cut as
+    * an equal byte slice of the source payload (slice k = n_bytes /
+    * n_frames — the deterministic stand-in for a real video splitter;
+    * a codec would plug in at the slice step). Generator-shaped
+    * (flatMap): distributed, no shuffle; output rows per doc are bounded
+    * by n_frames / stride. Input must be [[decode]] output. */
+  def sampleFrames(decoded: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val idIdx = decoded.schema.fieldIndex("media_id")
+    val payloadIdx = decoded.schema.fieldIndex("payload")
+    val framesIdx = decoded.schema.fieldIndex("n_frames")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_payload", BinaryType, nullable = true)))
+    decoded.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        val frames = row.getInt(framesIdx)
+        val n = if (payload == null) 0 else payload.length
+        val k = if (frames > 0) n / frames else 0
+        (0 until frames by stride).iterator.map { f =>
+          val slice =
+            if (payload == null || k == 0) Array.empty[Byte]
+            else java.util.Arrays.copyOfRange(payload, f * k, f * k + k)
+          Row(id, f, slice)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Synthesize a media table from documents (payload = utf-8 bytes of the
     * text) — the test/bench input until real binary assets exist. */
   def fromDocuments(docs: DataFrame): DataFrame =

@@ -160,6 +160,61 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs — brute all-pairs
+    * baseline (O(n²); the test oracle and small-corpus path, like
+    * [[knnJoin]] for ANN). Returns (id_a, id_b, sim) with id_a < id_b and
+    * rounded sim >= threshold; the threshold compares the Det-rounded
+    * value so pair membership can't flip on a 1-ulp engine divergence. */
+  def bruteNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Det.r(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed — the scale
+    * path: candidates are rows sharing a hyperplane-LSH bucket in any of
+    * `tables` independent tables (equi-join on (table, bucket) — only
+    * (id, bucket) rides the candidate shuffle), exact-cosine refined to
+    * `threshold`. Recall rises with `tables` and falls with `bits`
+    * (collision prob per table ≈ (1 - θ/π)^bits); at near-dup thresholds
+    * (cos ≥ 0.9, θ ≤ 26°) defaults give >99% recall. Vectors are
+    * re-attached by id only for deduped candidates. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 8, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    // bucket per (row, table), computed from the vector scan-side
+    val withBucket = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__table", explode(array((0 until tables).map(lit): _*)))
+      .withColumn("__bucket",
+        (0 until tables).foldLeft(lit(0L)) { (acc, t) =>
+          when(col("__table") === t,
+            lshBucket(col("__v"), dim, bits, seed + t * 7919L))
+            .otherwise(acc)
+        })
+      .select(col("__id"), col("__table"), col("__bucket"))
+    val a = withBucket.select(col("__id").as("id_a"),
+      col("__table"), col("__bucket"))
+    val b = withBucket.select(col("__id").as("id_b"),
+      col("__table").as("__table_b"), col("__bucket").as("__bucket_b"))
+    val candidates = a.join(b, col("__table") === col("__table_b") &&
+        col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    candidates
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")),
+        Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")),
+        Seq("id_b"))
+      .withColumn("sim", Det.r(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** ANN candidate join: rows sharing an LSH bucket in any of `tables`
     * independent hash tables. Returns (query_id, neighbor_id, sim) for
     * candidates, exact-cosine refined and top-k'd — same contract as

@@ -189,6 +189,77 @@ class PipelineSpec extends SparkFunSuite {
     assert(stub.getAs[Int]("width") === "not an image".length % 640)
   }
 
+  test("cosine near-dup pairs: LSH subset of brute, planted recall >= 90%") {
+    // plant 20 perturbed copies (cosine ~0.99 with their source) among the
+    // 500-vector corpus; at threshold .9 the only qualifying pairs are
+    // (source, copy), so brute finds exactly those and LSH must recover
+    // nearly all of them
+    val sources = emb.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val perturbed = sources.toSeq.map { case (id, v) =>
+      val r = new scala.util.Random(id)
+      (id + 10000L, v.map(x => x + (r.nextFloat() - 0.5f) * 0.05f))
+    }
+    val corpus = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val all = (corpus ++ perturbed).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteNearDupPairs(all, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 18, s"planted pairs not above threshold: ${brute.size}")
+    assert(brute.forall { case (a, b) => b == a + 10000L })
+    val lsh = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, bits = 8, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact refine makes LSH ⊆ brute always; recall is the LSH knob
+    assert(lsh.subsetOf(brute))
+    assert(lsh.size >= brute.size * 9 / 10,
+      s"LSH near-dup recall too low: ${lsh.size}/${brute.size}")
+  }
+
+  test("multimodal resize: real image redrawn to fit, stub metadata-only") {
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val stubBytes = ("x" * 700).getBytes("UTF-8") // stub: w=700%640=60, h=700%480=220
+    val media = Seq((1L, "image/png", png), (2L, "text/plain", stubBytes))
+      .toDF("media_id", "media_type", "payload")
+    val resized = Multimodal.resize(Multimodal.decode(media), 8, 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // real image 20x10 fit into 8x8: scale = min(8/20, 8/10, 1) = 0.4 -> 8x4
+    val real = resized(1L)
+    assert(real.getAs[Int]("out_width") === 8)
+    assert(real.getAs[Int]("out_height") === 4)
+    val outImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(real.getAs[Array[Byte]]("out_payload")))
+    assert(outImg.getWidth === 8 && outImg.getHeight === 4)
+    // stub 60x220 fit into 8x8: scale = min(8/60, 8/220, 1) = 8/220
+    val stub = resized(2L)
+    assert(stub.getAs[Int]("out_width") ===
+      math.max(1, math.floor(60 * (8.0 / 220)).toInt))
+    assert(stub.getAs[Int]("out_height") === 8)
+    // stub path keeps the original bytes
+    assert(stub.getAs[Array[Byte]]("out_payload").sameElements(stubBytes))
+  }
+
+  test("multimodal frame sampling: stride, counts, byte slices") {
+    // media_id=9 -> (9%30)+1 = 10 frames; 100-byte payload -> k=10
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    val media = Seq((9L, "video/stub", payload))
+      .toDF("media_id", "media_type", "payload")
+    val frames = Multimodal.sampleFrames(Multimodal.decode(media), stride = 3)
+      .collect().map(r => r.getInt(1) -> r.getAs[Array[Byte]](2)).toMap
+    // sampled indexes: 0, 3, 6, 9
+    assert(frames.keySet === Set(0, 3, 6, 9))
+    assert(frames.values.forall(_.length === 10))
+    assert(frames(0).sameElements(payload.slice(0, 10)))
+    assert(frames(3).sameElements(payload.slice(30, 40)))
+    assert(frames(9).sameElements(payload.slice(90, 100)))
+  }
+
   test("multimodal decode: schema contract, null payloads, batch shape") {
     val media = Multimodal.fromDocuments(docs.limit(100))
       .union(Seq((999999L, "image/stub", null.asInstanceOf[Array[Byte]]))
