@@ -64,6 +64,68 @@ class CatalogSpec extends SparkFunSuite {
       "stale snapshot must be evicted from the cache registry")
   }
 
+  test("snapshot cache: repeated pinned reads stay cached while current is unchanged") {
+    val root = Files.createTempDirectory("snappin").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("ns", "t", Seq((1L, "a")).toDF("id", "name"))
+    cat.append("ns", "t", Seq((2L, "b")).toDF("id", "name"))
+    // pin the OLD snapshot, then keep reading it and the current one:
+    // no eviction may happen — the current version never advances
+    val pinned = cat.loadAt("ns", "t", 1L)
+    assert(cat.loadAt("ns", "t", 1L) eq pinned)
+    cat.load("ns", "t")
+    assert(cat.loadAt("ns", "t", 1L) eq pinned,
+      "pinned old snapshot must survive unrelated current-version loads")
+    assert(pinned.storageLevel.useMemory || pinned.storageLevel.useDisk)
+    // only an actual version advance evicts it
+    cat.append("ns", "t", Seq((3L, "c")).toDF("id", "name"))
+    cat.load("ns", "t")
+    assert(pinned.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("schema cache: TTL hit, version-aware revalidation, invalidate") {
+    val root = Files.createTempDirectory("schemacache").toString
+    val cat = new ParquetCatalog(spark, root)
+    // counting wrapper: loadAt is what triggers the expensive describe probe
+    var loads = 0
+    val counting = new graft.sources.TableResolver {
+      def load(ns: String, t: String) = cat.load(ns, t)
+      def loadAt(ns: String, t: String, v: Long) = { loads += 1; cat.loadAt(ns, t, v) }
+      def snapshots(ns: String, t: String) = cat.snapshots(ns, t)
+      def listNamespaces() = cat.listNamespaces()
+      def listTables(ns: String) = cat.listTables(ns)
+      def createOrReplace(ns: String, t: String, df: org.apache.spark.sql.DataFrame) =
+        cat.createOrReplace(ns, t, df)
+      def append(ns: String, t: String, df: org.apache.spark.sql.DataFrame) =
+        cat.append(ns, t, df)
+      def dropNamespace(ns: String) = cat.dropNamespace(ns)
+    }
+    cat.createOrReplace("ns", "t", Seq((1L, "a")).toDF("id", "name"))
+    var now = 0L
+    val sc = new SchemaCache(counting, ttlMillis = 60000L, clock = () => now)
+    val s1 = sc.describe("ns", "t")
+    assert(s1.idField.contains("id") && loads === 1)
+    now = 59999L
+    sc.describe("ns", "t")                       // within TTL: pure cache hit
+    assert(loads === 1)
+    now = 60000L
+    sc.describe("ns", "t")                       // expired, version unchanged:
+    assert(loads === 1, "revalidation must not re-probe")   // no re-probe
+    now = 119999L
+    sc.describe("ns", "t")                       // re-stamped at 60000
+    assert(loads === 1)
+    cat.append("ns", "t", Seq((2L, "b")).toDF("id", "name"))
+    sc.describe("ns", "t")                       // still within TTL: stale OK
+    assert(loads === 1, "snapshot advance is visible only after TTL")
+    now = 120000L
+    sc.describe("ns", "t")                       // expired + version advanced
+    assert(loads === 2)
+    sc.invalidate("ns", "t")
+    sc.describe("ns", "t")
+    assert(loads === 3)
+  }
+
   test("IcebergSqlCatalog emits injection-safe, runtime-correct SQL") {
     import graft.sources.IcebergSqlCatalog._
     assert(fqn("lake", "geo.parks", "points") === "lake.geo.parks.points")
