@@ -127,6 +127,28 @@ class PipelineSpec extends SparkFunSuite {
     assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
   }
 
+  test("connected components: 60-link chain converges in O(log n) rounds") {
+    // a duplication chain of diameter 59 — label propagation needs 59
+    // rounds (and used to silently split it at maxIter=10); large-star/
+    // small-star contraction closes it in a handful of rounds. The worst
+    // orientation (descending ids) exercises both star directions.
+    val chain = (1 to 59).map(i => (100L - i, 100L - i - 1)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponentsResult(chain, maxIter = 20)
+    assert(r.converged, s"not converged after ${r.rounds} rounds")
+    assert(r.rounds <= 10, s"took ${r.rounds} rounds for a 60-node chain")
+    val comp = r.labels.as[(Long, Long)].collect().toMap
+    assert(comp.size === 60)
+    assert((40L to 99L).forall(comp(_) == 40L))
+  }
+
+  test("connected components: strict wrapper throws when capped below convergence") {
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
   test("IVF ANN finds planted high-similarity neighbours (top-1 recall >= 90%)") {
     // same planted-near-duplicate regime as the LSH test: a perturbed
     // copy (cosine ~0.99) lands in the same coarse cell as its source
