@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Tables}
@@ -300,7 +300,219 @@ object PipelineQueries {
           sum(length(col("frame_payload")).cast("long"))
             .as("total_frame_bytes"))
         .orderBy(col("src_bucket"))
+    }),
+
+    // ---- soundness certificates (round-3 verdict item #4) --------------
+    //
+    // The LSH/heuristic families can't hash-match a SQL oracle (seeded
+    // hashes, partial recall), but their SOUNDNESS can: each certificate
+    // recomputes the emitted pairs' similarity through an INDEPENDENT
+    // implementation path (Spark built-in set ops / higher-order
+    // functions instead of the custom codegen'd expressions) and emits
+    // (closed-form anchor, n_violations) — DuckDB computes the anchor
+    // from the base table and asserts violations = 0, certifying zero
+    // false positives at every SF. Recall stays ScalaTest-gated.
+
+    // MinHash-LSH soundness: every emitted pair's Jaccard, recomputed
+    // from raw text via built-in substring/array_intersect/array_union
+    // (no TextHash, no custom expression), must clear the threshold and
+    // agree with the emitted value. Margin 0.01 absorbs fnv-collision
+    // noise between hashed-shingle and string-shingle set sizes.
+    "doc_minhash_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 8, shingle = 5, threshold = 0.7)
+      val texts = docs.select(col("doc_id"), col("text"))
+      val checked = pairs
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+          Seq("id_a"))
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("__tb")),
+          Seq("id_b"))
+        .withColumn("__jb", builtinJaccard(col("__ta"), col("__tb"), 5))
+        .withColumn("__viol",
+          when(col("__jb") < 0.7 - 0.01 ||
+            abs(col("__jb") - col("jaccard")) > 0.01, 1L).otherwise(0L))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        checked.agg(coalesce(sum(col("__viol")), lit(0L))
+          .cast("long").as("n_violations")))
+    }),
+
+    // SimHash soundness: the hamming distance attached through the
+    // banding join must equal bit_count(xor) of freshly recomputed
+    // signatures (catches signature misattachment) and respect the cap.
+    "doc_simhash_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      val sims = docs.select(col("doc_id"), simhash64(col("text")).as("__s"))
+      val checked = pairs
+        .join(sims.select(col("doc_id").as("id_a"), col("__s").as("__sa")),
+          Seq("id_a"))
+        .join(sims.select(col("doc_id").as("id_b"), col("__s").as("__sb")),
+          Seq("id_b"))
+        .withColumn("__viol",
+          when(col("hamming") > 6 ||
+            col("hamming") =!= bit_count(col("__sa").bitwiseXOR(col("__sb"))),
+            1L).otherwise(0L))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        checked.agg(coalesce(sum(col("__viol")), lit(0L))
+          .cast("long").as("n_violations")))
+    }),
+
+    // Winnowing soundness: a pair sharing >= 10 winnow fingerprints must
+    // share actual 12-char substrings — verified against GROUND TRUTH
+    // built-in 12-gram sets of the normalized texts (a fingerprint is the
+    // min shingle-hash of a window, so shared fingerprints are shared
+    // shingles up to hash collisions; requiring >= 5 true shared grams
+    // leaves margin for collisions while catching any real unsoundness).
+    "doc_winnow_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fps = docs
+        .select(col("doc_id"), explode(
+          winnow_fingerprints(col("text"), shingle = 12, window = 16)).as("fp"))
+        .distinct()
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("fp"))
+      val pruned = fps.join(broadcast(rare), Seq("fp"))
+      val a = pruned.select(col("doc_id").as("id_a"), col("fp"))
+      val b = pruned.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+      val pairs = a.join(b, col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 10)
+      val texts = docs.select(col("doc_id"), col("text"))
+      val checked = pairs
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+          Seq("id_a"))
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("__tb")),
+          Seq("id_b"))
+        .withColumn("__shared", size(array_intersect(
+          builtinShingles(col("__ta"), 12), builtinShingles(col("__tb"), 12))))
+        .withColumn("__viol", when(col("__shared") < 5, 1L).otherwise(0L))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        checked.agg(coalesce(sum(col("__viol")), lit(0L))
+          .cast("long").as("n_violations")))
+    }),
+
+    // Language-ID soundness: every document classifies (non-null) into
+    // the documented label set — total docs anchors the scan cross-SF.
+    "doc_langid_sound" -> ((s, d) => {
+      val labels = Seq("en", "de", "fr", "es", "it", "pt",
+        "ja", "ko", "zh", "ru", "und")
+      Tables.documents(s, d)
+        .withColumn("__pred", langid(col("text")))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("__pred").isNull ||
+            !col("__pred").isin(labels.map(lit): _*), 1L).otherwise(0L)),
+            lit(0L)).cast("long").as("n_violations"))
+    }),
+
+    // Embedding near-dup LSH soundness: emitted pairs re-scored with the
+    // HOF zip_with/aggregate cosine (independent of the codegen'd
+    // CosineSim) must clear the threshold and agree to 1e-6.
+    "emb_neardup_lsh_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosineNearDupPairs(emb,
+        "vec_id", "embedding", dim = 64, threshold = 0.42,
+        bits = 4, tables = 8)
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val checked = pairs
+        .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("__va")),
+          Seq("id_a"))
+        .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("__vb")),
+          Seq("id_b"))
+        .withColumn("__hof", hofCosine(col("__va"), col("__vb")))
+        .withColumn("__viol",
+          when(col("__hof") < 0.42 - 1e-5 ||
+            abs(Det.r(col("__hof"), 6) - col("sim")) > 1e-6, 1L).otherwise(0L))
+      emb.agg(count(lit(1)).as("n_vecs")).crossJoin(
+        checked.agg(coalesce(sum(col("__viol")), lit(0L))
+          .cast("long").as("n_violations")))
+    }),
+
+    // Hyperplane-LSH ANN soundness: every emitted neighbour's similarity
+    // re-verified via the HOF cosine, rank within [1, k], no self-match.
+    "emb_ann_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ann = Similarity.annJoin(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64, k = 5, bits = 10, tables = 4)
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val checked = ann
+        .join(vecs.select(col("vec_id").as("query_id"),
+          col("embedding").as("__vq")), Seq("query_id"))
+        .join(vecs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__vn")), Seq("neighbor_id"))
+        .withColumn("__viol",
+          when(abs(Det.r(hofCosine(col("__vq"), col("__vn")), 6)
+              - col("sim")) > 1e-6 ||
+            col("rank") < 1 || col("rank") > 5 ||
+            col("query_id") === col("neighbor_id"), 1L).otherwise(0L))
+      emb.filter(col("vec_id") < 10).agg(count(lit(1)).as("n_queries"))
+        .crossJoin(checked.agg(coalesce(sum(col("__viol")), lit(0L))
+          .cast("long").as("n_violations")))
+    }),
+
+    // IVF-flat ANN soundness: same certificate over the nprobe-bucketed
+    // path (catches centroid-assignment or probe-join misattachment).
+    "emb_ivf_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = Similarity.ivfJoin(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val checked = ivf
+        .join(vecs.select(col("vec_id").as("query_id"),
+          col("embedding").as("__vq")), Seq("query_id"))
+        .join(vecs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__vn")), Seq("neighbor_id"))
+        .withColumn("__viol",
+          when(abs(Det.r(hofCosine(col("__vq"), col("__vn")), 6)
+              - col("sim")) > 1e-6 ||
+            col("rank") < 1 || col("rank") > 5 ||
+            col("query_id") === col("neighbor_id"), 1L).otherwise(0L))
+      emb.filter(col("vec_id") < 10).agg(count(lit(1)).as("n_queries"))
+        .crossJoin(checked.agg(coalesce(sum(col("__viol")), lit(0L))
+          .cast("long").as("n_violations")))
     }))
+
+  /** Normalized text the way TextHash.normalize does it (lowercase,
+    * whitespace runs collapsed, trimmed) — built-ins only, for the
+    * soundness certificates' independent recompute path. */
+  private[graft] def builtinNorm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Distinct character n-gram set of the normalized text via built-in
+    * sequence/substr/array_distinct — the certificate-side mirror of the
+    * custom shingle hashing (operates on STRINGS, not hashes, so a hash
+    * collision in the operator under test cannot hide here). */
+  private[graft] def builtinShingles(c: Column, n: Int): Column = {
+    val norm = builtinNorm(c)
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n)))))
+  }
+
+  /** Exact string-shingle Jaccard via built-ins (both-empty => 1.0,
+    * matching TextHash.jaccard). */
+  private[graft] def builtinJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = builtinShingles(a, n)
+    val sb = builtinShingles(b, n)
+    when(size(sa) === 0 && size(sb) === 0, lit(1.0))
+      .otherwise(size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)).cast("double"))
+  }
+
+  /** Cosine via built-in higher-order functions (zip_with + aggregate),
+    * left-to-right fold like VectorOps.cosine — the independent
+    * implementation the embedding certificates compare against. */
+  private[graft] def hofCosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
+      lit(0.0), (s, v) => s + v)
+    val na = aggregate(ad, lit(0.0), (s, v) => s + v * v)
+    val nb = aggregate(bd, lit(0.0), (s, v) => s + v * v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "doc_stats" ->
@@ -465,5 +677,30 @@ object PipelineQueries {
          SELECT CAST(doc_id % 10 AS INTEGER) AS src_bucket,
            CAST(sum(sampled) AS BIGINT) AS n_frames,
            CAST(sum(sampled * k) AS BIGINT) AS total_frame_bytes
-         FROM s GROUP BY 1 ORDER BY src_bucket""")
+         FROM s GROUP BY 1 ORDER BY src_bucket""",
+    // Soundness certificates: the anchor column is closed-form over the
+    // base table (SF-independent SQL), and the oracle asserts ZERO
+    // violations among the emitted pairs — certifying no false positives
+    // from the seeded-hash operators without needing their exact output.
+    "doc_minhash_sound" ->
+      """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+         FROM documents""",
+    "doc_simhash_sound" ->
+      """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+         FROM documents""",
+    "doc_winnow_sound" ->
+      """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+         FROM documents""",
+    "doc_langid_sound" ->
+      """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+         FROM documents""",
+    "emb_neardup_lsh_sound" ->
+      """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings""",
+    "emb_ann_sound" ->
+      """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 10""",
+    "emb_ivf_sound" ->
+      """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 10""")
 }

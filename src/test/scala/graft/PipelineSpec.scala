@@ -141,6 +141,42 @@ class PipelineSpec extends SparkFunSuite {
     assert((40L to 99L).forall(comp(_) == 40L))
   }
 
+  test("soundness-certificate recomputes agree with the custom expressions and catch violations") {
+    import graft.operators.PipelineQueries
+    // independent built-in shingle Jaccard vs the custom hashed-shingle
+    // expression: equal (within collision margin) on near-dups, and the
+    // certificate-side value is LOW on unrelated texts — i.e. an unsound
+    // emitted pair would be counted as a violation, not waved through
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick  brown fox JUMPS over the lazy dog again and again"),
+      (3L, "entirely unrelated content speaking of parquet shuffles only"))
+      .toDF("id", "text")
+    val a = df.select(col("id").as("ia"), col("text").as("ta"))
+    val b = df.select(col("id").as("ib"), col("text").as("tb"))
+    val both = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        PipelineQueries.builtinJaccard(col("ta"), col("tb"), 5).as("jb"),
+        graft.pipeline.TextFunctions.jaccard_shingle(
+          col("ta"), col("tb"), 5).as("jc"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    both.values.foreach { case (jb, jc) =>
+      assert(math.abs(jb - jc) < 0.01, s"builtin $jb vs custom $jc") }
+    assert(both((1L, 2L))._1 > 0.9)
+    assert(both((1L, 3L))._1 < 0.2, "certificate must flag unrelated pairs")
+    // HOF cosine (zip_with/aggregate) vs the codegen'd CosineSim: same
+    // fold order => bit-identical doubles
+    val vecs = emb.limit(5).select(col("vec_id"), col("embedding"))
+    val va = vecs.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val vb = vecs.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val diffs = va.crossJoin(vb).filter(col("ia") < col("ib"))
+      .select(abs(PipelineQueries.hofCosine(col("va"), col("vb")) -
+        graft.pipeline.Similarity.cosine(col("va"), col("vb"))).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(diffs === 0.0, s"HOF vs codegen cosine diverged by $diffs")
+  }
+
   test("connected components: strict wrapper throws when capped below convergence") {
     val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
