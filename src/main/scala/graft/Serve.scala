@@ -19,6 +19,9 @@ object Serve {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // serving policy (SURVEY §4): FAIR scheduling so RequestGate's pool
+      // tags share executor slots across request classes
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,7 +64,13 @@ object Serve {
       "orderByFields" -> "lat DESC",
       "resultRecordCount" -> "5",
       "f" -> "pbf"), schema)
-    val result = QueryEngine.query(df, schema, params)
+    // all request execution passes the admission gate (bounded concurrent
+    // queries + request-class pool, mirroring the reference's bounded
+    // connection pool)
+    val gate = new api.RequestGate(maxConcurrent = 4)
+    val result = gate.run(spark, "interactive") {
+      QueryEngine.query(df, schema, params)
+    }
     val rows = result.df.collect().toSeq
     val outSchema = result.df.schema
     // serializers must report the OUTPUT spatial reference (outSR applied)

@@ -10,8 +10,49 @@ import graft.engine._
   * server calls [[translateQuery]] then `QueryEngine.query` then a §2.9
   * serializer picked by `f=`.
   */
+/** Esri-style API error (`{"error":{code,message,details}}`) thrown at the
+  * request boundary — servers serialize [[toJson]] with HTTP 200 the way
+  * ArcGIS clients expect (feature_server.py returns the same shape). */
+final class EsriApiException(val code: Int, message: String,
+    val details: Seq[String] = Nil)
+    extends IllegalArgumentException(message) {
+  def toJson: String = {
+    val m = new ObjectMapper()
+    val o = m.createObjectNode()
+    val e = o.putObject("error")
+    e.put("code", code)
+    e.put("message", message)
+    val d = e.putArray("details")
+    details.foreach(d.add)
+    m.writeValueAsString(o)
+  }
+}
+
 object FeatureServer {
   private val mapper = new ObjectMapper()
+
+  /** Output spatial references the engine actually honors: `st_transform`
+    * implements the closed-form 4326↔3857 web-mercator pair (SURVEY §1.4).
+    * The reference carries arbitrary WKIDs without ever applying them
+    * (feature_server.py:271-295) — silently unhonorable; here an
+    * unsupported `outSR` is REJECTED at the boundary with an Esri-style
+    * error instead of surfacing as a deep expression failure or, worse,
+    * untransformed coordinates labeled with the wrong SR. */
+  val SupportedWkids: Set[Int] = Set(4326, 3857)
+
+  /** Esri's legacy web-mercator alias, normalized to its modern WKID. */
+  private val WkidAliases: Map[Int, Int] = Map(102100 -> 3857)
+
+  /** Normalize aliases, then enforce the supported-WKID contract. */
+  def validateOutSr(wkid: Int): Int = {
+    val n = WkidAliases.getOrElse(wkid, wkid)
+    if (!SupportedWkids(n))
+      throw new EsriApiException(400,
+        s"outSR $wkid is not supported by this service",
+        Seq(s"supported WKIDs: ${(SupportedWkids.map(_.toString) ++
+          WkidAliases.keys.map(k => s"$k (alias)")).toSeq.sorted.mkString(", ")}"))
+    n
+  }
 
   /** `geometry=` param: envelope JSON, point JSON, rings JSON, or the
     * "x0,y0,x1,y1" shorthand (feature_server.py:298-337). Returns either a
@@ -95,7 +136,7 @@ object FeatureServer {
       countOnly = p("returnCountOnly").contains("true"),
       idsOnly = p("returnIdsOnly").contains("true"),
       objectIds = objectIds,
-      outSr = p("outSR").flatMap(parseOutSr))
+      outSr = p("outSR").flatMap(parseOutSr).map(validateOutSr))
   }
 
   private val NameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r

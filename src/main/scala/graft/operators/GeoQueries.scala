@@ -284,6 +284,33 @@ object GeoQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // S7 at scale under the gate: the DISTRIBUTED GeoParquet writer — no
+    // driver collect, each task writes its own footer-carrying part file
+    // (round-3 verdict #6: the collected page writer stays for API-page
+    // parity, but the df-level path is the one that must hold at scale).
+    // 10x the page gate's row cap, multi-partition; every part file's
+    // geo footer is verified before the distributed read-back.
+    "geoparquet_dist" -> ((s, d) => {
+      val pts = GeoSynth.points(s, d).filter(col("c_custkey") <= 3000)
+        .select(col("c_custkey"), col("geom"))
+      val out = java.nio.file.Files.createTempDirectory("gpdist").toString
+      graft.sources.GeoParquetIO.writeDistributed(
+        pts.repartition(8, col("c_custkey")), "geom", out,
+        geometryTypes = Seq("Point"))
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.nonEmpty, "distributed writer produced no part files")
+      parts.foreach { f =>
+        require(graft.sources.GeoParquetIO.readGeoMetadata(f.getPath)
+          .contains(("geom", "WKB")),
+          s"missing/invalid geo footer: ${f.getName}")
+      }
+      graft.sources.GeoParquetIO.read(s, out)
+        .select(col("c_custkey"),
+          G.st_x(col("geom")).as("x"), G.st_y(col("geom")).as("y"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // LOD simplification under the gate: collinear lines collapse to their
     // 2 endpoints at any tolerance; zigzags with amplitude 1.0 >> tol 0.05
     // keep every vertex (each interior vertex deviates from any containing
@@ -455,6 +482,9 @@ object GeoQueries {
     "geoparquet_roundtrip" ->
       s"""$P SELECT c_custkey, lon AS x, lat AS y FROM pts
           WHERE c_custkey <= 300 ORDER BY c_custkey""",
+    "geoparquet_dist" ->
+      s"""$P SELECT c_custkey, lon AS x, lat AS y FROM pts
+          WHERE c_custkey <= 3000 ORDER BY c_custkey""",
     "geo_simplify" ->
       """SELECT o_orderkey,
           CAST(o_orderkey % 7 + 3 AS INTEGER) AS npts_in,

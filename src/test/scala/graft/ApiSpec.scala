@@ -148,6 +148,64 @@ class ApiSpec extends SparkFunSuite {
     assert(total === pts.count())
   }
 
+  test("outSR contract: unsupported WKIDs rejected with an Esri-style error") {
+    // UTM 13N — the reference would carry it silently without applying it;
+    // here the boundary rejects it before any plan is built
+    val ex = intercept[graft.api.EsriApiException] {
+      FeatureServer.translateQuery(Map("outSR" -> "26913"), schema)
+    }
+    assert(ex.code === 400)
+    val err = mapper.readTree(ex.toJson).get("error")
+    assert(err.get("code").asInt === 400)
+    assert(err.get("message").asText.contains("26913"))
+    assert(err.get("details").get(0).asText.contains("4326"))
+    // JSON SR object form takes the same path
+    intercept[graft.api.EsriApiException] {
+      FeatureServer.translateQuery(Map("outSR" -> """{"wkid":26913}"""), schema)
+    }
+    // supported WKIDs and the 102100 legacy alias pass, normalized
+    assert(FeatureServer.translateQuery(Map("outSR" -> "3857"), schema)
+      .outSr.contains(3857))
+    assert(FeatureServer.translateQuery(Map("outSR" -> "102100"), schema)
+      .outSr.contains(3857))
+    assert(FeatureServer.translateQuery(Map("outSR" -> "4326"), schema)
+      .outSr.contains(4326))
+  }
+
+  test("request gate: 8 concurrent queries bounded to 4, all served, pools tagged") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val gate = new graft.api.RequestGate(maxConcurrent = 4)
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pools = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    try {
+      val futures = (1 to 8).map { i =>
+        Future {
+          gate.run(spark, if (i % 2 == 0) "interactive" else "bulk") {
+            val n = inFlight.incrementAndGet()
+            peak.getAndUpdate(p => math.max(p, n))
+            pools.add(spark.sparkContext.getLocalProperty("spark.scheduler.pool"))
+            Thread.sleep(150) // hold the permit long enough to force queueing
+            val s = spark.range(1000).selectExpr("sum(id)").collect()(0).getLong(0)
+            inFlight.decrementAndGet()
+            s
+          }
+        }
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.forall(_ === 499500L))
+      assert(peak.get() <= 4, s"admission bound violated: peak ${peak.get()}")
+      assert(gate.peak <= 4 && gate.peak >= 2,
+        s"expected bounded parallelism, saw peak ${gate.peak}")
+      assert(gate.activeCount === 0 && gate.queued === 0)
+      val seen = new java.util.HashSet[String](pools)
+      assert(seen.contains("interactive") && seen.contains("bulk"))
+    } finally exec.shutdown()
+  }
+
   test("OGC items translation: property filters escape quotes; hits mode") {
     val p = OgcProvider.translateItems(
       offset = 20, limit = 10,
