@@ -86,6 +86,7 @@ object Serve {
     println(s"== EsriJSON (${esri.length}B): ${esri.take(300)}")
     val pbf = EsriPbf.serialize(rows, outSchema, servedSchema,
       result.exceededTransferLimit)
+    api.FeatureCaps.checkResponseSize(pbf.length) // O5 response byte cap
     println(s"== PBF: ${pbf.length} bytes")
     val arrow = ArrowIpc.serialize(rows, outSchema)
     println(s"== ArrowIPC: ${arrow.length} bytes")

@@ -1,0 +1,44 @@
+package graft.api
+
+import graft.engine.FeatureSchema
+
+/** Serving-layer feature/response caps (O5) — the reference enforces these
+  * client-side (webmap/src/queries.ts:10-12: 200 k points/lines, 2 M
+  * polygons; webmap/src/geoarrow.ts:14: 256 MB response buffer). Here they
+  * are a server-side policy so a misbehaving client can't pull an
+  * unbounded extract through the page path: the effective limit is the
+  * minimum of the client's request and the per-geometry-type cap, and
+  * serialized responses are size-checked against the byte cap.
+  */
+object FeatureCaps {
+  /** Max features by geometry class (queries.ts:10-12). */
+  val MaxPointFeatures: Int = 200000
+  val MaxLineFeatures: Int = 200000
+  val MaxPolygonFeatures: Int = 2000000
+
+  /** Response payload cap (geoarrow.ts:14 — the client's 256 MB buffer). */
+  val MaxResponseBytes: Long = 256L * 1024 * 1024
+
+  /** Cap for a layer's geometry type (string forms as SchemaService
+    * reports them); non-spatial layers get the point cap. */
+  def maxFeatures(geometryType: Option[String]): Int =
+    geometryType.map(_.toLowerCase) match {
+      case Some(t) if t.contains("polygon") => MaxPolygonFeatures
+      case Some(t) if t.contains("line") => MaxLineFeatures
+      case _ => MaxPointFeatures
+    }
+
+  /** Effective page limit: requested (or layer max) clamped to the cap. */
+  def effectiveLimit(schema: FeatureSchema, requested: Option[Int]): Int =
+    math.min(requested.getOrElse(schema.maxRecordCount),
+      maxFeatures(schema.geometryType))
+
+  /** Guard a serialized response against the byte cap — throws the same
+    * Esri-style error shape the WKID contract uses, so servers can relay
+    * it verbatim. */
+  def checkResponseSize(bytes: Long): Unit =
+    if (bytes > MaxResponseBytes)
+      throw new EsriApiException(413,
+        s"response of $bytes bytes exceeds the ${MaxResponseBytes} byte cap",
+        Seq("narrow the query (bbox/where), page it, or drop geometry"))
+}

@@ -129,8 +129,10 @@ object FeatureServer {
       where = p("where").filterNot(w => w == "1=1" || w == "1 = 1"),
       outFields = outFields,
       returnGeometry = !p("returnGeometry").contains("false"),
-      limit = Some(p("resultRecordCount").map(_.toInt)
-        .getOrElse(schema.maxRecordCount)),
+      // requested page size clamped to the per-geometry-type serving cap
+      // (O5): a client cannot request an unbounded extract via the page API
+      limit = Some(FeatureCaps.effectiveLimit(schema,
+        p("resultRecordCount").map(_.toInt))),
       offset = p("resultOffset").map(_.toLong).getOrElse(0L),
       orderBy = orderBy,
       countOnly = p("returnCountOnly").contains("true"),

@@ -206,6 +206,27 @@ class ApiSpec extends SparkFunSuite {
     } finally exec.shutdown()
   }
 
+  test("feature caps: per-geometry-type limits and response byte cap (O5)") {
+    import graft.api.FeatureCaps
+    // caps mirror the reference client policy: 200k points/lines, 2M polys
+    assert(FeatureCaps.maxFeatures(Some("Point")) === 200000)
+    assert(FeatureCaps.maxFeatures(Some("LineString")) === 200000)
+    assert(FeatureCaps.maxFeatures(Some("MultiPolygon")) === 2000000)
+    assert(FeatureCaps.maxFeatures(scala.None) === 200000)
+    // effective limit = min(requested-or-layer-max, type cap)
+    assert(FeatureCaps.effectiveLimit(schema, Some(50)) === 50)
+    assert(FeatureCaps.effectiveLimit(schema, Some(500000)) === 200000)
+    assert(FeatureCaps.effectiveLimit(schema, scala.None) === 10000)
+    val poly = schema.copy(geometryType = Some("Polygon"))
+    assert(FeatureCaps.effectiveLimit(poly, Some(500000)) === 500000)
+    // byte cap guards the serialized response
+    FeatureCaps.checkResponseSize(1024L)
+    val ex = intercept[graft.api.EsriApiException] {
+      FeatureCaps.checkResponseSize(257L * 1024 * 1024)
+    }
+    assert(ex.code === 413)
+  }
+
   test("OGC items translation: property filters escape quotes; hits mode") {
     val p = OgcProvider.translateItems(
       offset = 20, limit = 10,
