@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output normally passes through sbt's logger,
+// which prefixes every line with `[info] ` — that prefix is why the
+// driver could never parse Bench's JSON stdout line (BENCH_r01..r04 all
+// `parsed: null`). StdoutOutput hands the child process the raw stdout
+// file descriptor instead, so Bench's sentinel + JSON lines arrive
+// byte-exact.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
