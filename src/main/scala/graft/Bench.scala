@@ -40,7 +40,13 @@ object Bench {
     // min of `runs` runs (default 2, SPARK_GRAFT_BENCH_RUNS to raise): a
     // single cold run in a fresh JVM carries multi-second JIT/GC noise on
     // window-heavy queries
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset (comma-separated names) for single-query iteration;
+    // absent = the full driver contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -323,12 +323,14 @@ object PipelineQueries {
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         numHashes = 64, bands = 8, shingle = 5, threshold = 0.7)
       val texts = docs.select(col("doc_id"), col("text"))
-      val checked = pairs
+      val joined = pairs
         .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")),
           Seq("id_a"))
         .join(texts.select(col("doc_id").as("id_b"), col("text").as("__tb")),
           Seq("id_b"))
-        .withColumn("__jb", builtinJaccard(col("__ta"), col("__tb"), 5))
+      val checked = appendShingleSet(
+        appendShingleSet(joined, "__ta", "__sa", 5), "__tb", "__sb", 5)
+        .withColumn("__jb", jaccardFromSets(col("__sa"), col("__sb")))
         .withColumn("__viol",
           when(col("__jb") < 0.7 - 0.01 ||
             abs(col("__jb") - col("jaccard")) > 0.01, 1L).otherwise(0L))
@@ -380,13 +382,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 10)
       val texts = docs.select(col("doc_id"), col("text"))
-      val checked = pairs
+      val joined = pairs
         .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")),
           Seq("id_a"))
         .join(texts.select(col("doc_id").as("id_b"), col("text").as("__tb")),
           Seq("id_b"))
-        .withColumn("__shared", size(array_intersect(
-          builtinShingles(col("__ta"), 12), builtinShingles(col("__tb"), 12))))
+      val checked = appendShingleSet(
+        appendShingleSet(joined, "__ta", "__sa", 12), "__tb", "__sb", 12)
+        .withColumn("__shared",
+          size(array_intersect(col("__sa"), col("__sb"))))
         .withColumn("__viol", when(col("__shared") < 5, 1L).otherwise(0L))
       docs.agg(count(lit(1)).as("n_docs")).crossJoin(
         checked.agg(coalesce(sum(col("__viol")), lit(0L))
@@ -479,27 +483,38 @@ object PipelineQueries {
   private[graft] def builtinNorm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Distinct character n-gram set of the normalized text via built-in
-    * sequence/substr/array_distinct — the certificate-side mirror of the
-    * custom shingle hashing (operates on STRINGS, not hashes, so a hash
-    * collision in the operator under test cannot hide here). */
-  private[graft] def builtinShingles(c: Column, n: Int): Column = {
-    val norm = builtinNorm(c)
-    when(length(norm) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(norm) - (n - 1)),
-        i => norm.substr(i, lit(n)))))
+  /** Appends `out` = distinct character n-gram set of the normalized text
+    * column `src` — the certificate-side mirror of the custom shingle
+    * hashing (operates on STRINGS, not hashes, so a hash collision in the
+    * operator under test cannot hide here).
+    *
+    * The normalization and the shingle array are bound as REAL columns,
+    * not inlined subtrees: a `transform()` lambda that references the
+    * normalization expression re-evaluates the regex for every array
+    * element (~n_chars regex passes per row — measured 2.5 ms/row on
+    * 300-char docs, 16 ms/row once Jaccard duplicated the set four times).
+    * As multi-referenced non-cheap aliases they survive CollapseProject,
+    * so each is evaluated once per row. */
+  private[graft] def appendShingleSet(df: DataFrame, src: String,
+      out: String, n: Int): DataFrame = {
+    val nrm = out + "_nrm"
+    df.withColumn(nrm, builtinNorm(col(src)))
+      .withColumn(out,
+        when(length(col(nrm)) < n, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), length(col(nrm)) - (n - 1)),
+            i => col(nrm).substr(i, lit(n))))))
+      .drop(nrm)
   }
 
-  /** Exact string-shingle Jaccard via built-ins (both-empty => 1.0,
-    * matching TextHash.jaccard). */
-  private[graft] def builtinJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = builtinShingles(a, n)
-    val sb = builtinShingles(b, n)
+  /** Exact Jaccard from two already-bound shingle-set columns (both-empty
+    * => 1.0, matching TextHash.jaccard). Callers must pass ATTRIBUTES
+    * produced by [[appendShingleSet]] — passing expression trees here
+    * would re-evaluate them per reference. */
+  private[graft] def jaccardFromSets(sa: Column, sb: Column): Column =
     when(size(sa) === 0 && size(sb) === 0, lit(1.0))
       .otherwise(size(array_intersect(sa, sb)).cast("double") /
         size(array_union(sa, sb)).cast("double"))
-  }
 
   /** Cosine via built-in higher-order functions (zip_with + aggregate),
     * left-to-right fold like VectorOps.cosine — the independent

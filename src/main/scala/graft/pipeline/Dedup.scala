@@ -163,12 +163,17 @@ object Dedup {
     // trades executor-loss recovery for zero-config operation; on a
     // long-running 1000-executor job, set a checkpoint dir and swap in
     // `checkpoint()` — same call shape, durable lineage root.
+    // LAZY localCheckpoint: the convergence fingerprint right below is the
+    // first action and materializes the checkpoint, so each round costs
+    // ONE Spark job (eager checkpointing ran a second, redundant
+    // materialization job per round — half the per-round fixed cost at
+    // small scale).
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Convergence probe: (edge count, order-independent XOR of per-edge
     // hashes — XOR, not sum, which overflows Long under ANSI) — a fixed
     // point of large∘small leaves the edge set unchanged, so an unchanged
@@ -200,10 +205,9 @@ object Dedup {
         .where(col("dst") =!= col("__m"))
         .select(col("dst").as("src"), col("__m").as("dst"))
       val centers = ssMin.select(col("src"), col("__m").as("dst"))
-      // eager localCheckpoint materializes the round AND roots the next
-      // round's plan at a LogicalRDD; the fingerprint then reads the
-      // checkpointed blocks, so each round stays two shuffles + one probe
-      val next = leaves.union(centers).distinct().localCheckpoint()
+      // lazy localCheckpoint: the fingerprint probe materializes it (one
+      // job), and the next round's plan roots at the checkpointed blocks
+      val next = leaves.union(centers).distinct().localCheckpoint(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       edges = next

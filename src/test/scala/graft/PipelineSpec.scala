@@ -154,9 +154,11 @@ class PipelineSpec extends SparkFunSuite {
       .toDF("id", "text")
     val a = df.select(col("id").as("ia"), col("text").as("ta"))
     val b = df.select(col("id").as("ib"), col("text").as("tb"))
-    val both = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val both = PipelineQueries.appendShingleSet(PipelineQueries.appendShingleSet(
+        a.crossJoin(b).filter(col("ia") < col("ib")),
+        "ta", "sa", 5), "tb", "sb", 5)
       .select(col("ia"), col("ib"),
-        PipelineQueries.builtinJaccard(col("ta"), col("tb"), 5).as("jb"),
+        PipelineQueries.jaccardFromSets(col("sa"), col("sb")).as("jb"),
         graft.pipeline.TextFunctions.jaccard_shingle(
           col("ta"), col("tb"), 5).as("jc"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
