@@ -182,10 +182,35 @@ object Similarity {
     * `threshold`. Recall rises with `tables` and falls with `bits`
     * (collision prob per table ≈ (1 - θ/π)^bits); at near-dup thresholds
     * (cos ≥ 0.9, θ ≤ 26°) defaults give >99% recall. Vectors are
-    * re-attached by id only for deduped candidates. */
+    * re-attached by id only for deduped candidates.
+    *
+    * `contract` collapses exact-duplicate cliques (identical vectors,
+    * keyed by md5 of the rendered array) to one representative before
+    * bucketing — see [[Dedup.minhashPairs]] for the clique-quadratic
+    * rationale; identical vectors share every LSH bucket, so the
+    * expanded pair set equals the raw one. Clique self-pairs are scored
+    * with the SAME rounded-cosine expression as the refine, so
+    * degenerate vectors (all-zero ⇒ NaN sim) drop out identically. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 8, tables: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, contract: Boolean = true): DataFrame = {
+    if (!contract)
+      return cosineNearDupPairsRaw(df, idCol, vecCol, dim, threshold, bits,
+        tables, seed)
+    val c = Dedup.contractExact(df, idCol, md5(col(vecCol).cast("string")))
+    val repPairs = cosineNearDupPairsRaw(c.reps, idCol, vecCol, dim,
+      threshold, bits, tables, seed)
+    val selfVals = c.reps
+      .join(Dedup.cliques(c.members), col(idCol) === col("__rep"))
+      .withColumn("sim", Det.r(cosine(col(vecCol), col(vecCol)), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("__rep"), col("sim"))
+    Dedup.expandPairs(repPairs, selfVals, c.members, "sim")
+  }
+
+  private def cosineNearDupPairsRaw(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, threshold: Double, bits: Int, tables: Int,
+      seed: Long): DataFrame = {
     // bucket per (row, table), computed from the vector scan-side
     val withBucket = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__table", explode(array((0 until tables).map(lit): _*)))

@@ -57,6 +57,58 @@ class PipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("exact-dup contraction: contracted pair set equals raw on a 50-clone corpus") {
+    // duplicate-HEAVY corpus: one doc cloned 50x (the regime contraction
+    // exists for), a near-dup mutation of it, an unrelated doc, a pair of
+    // identical SHORT texts (below the shingle length — membership decided
+    // by the empty-set Jaccard convention), and null-text rows (must stay
+    // singletons). Pair sets — ids AND values — must be identical between
+    // the contracted default and the raw path.
+    val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows =
+      (0 until 50).map(i => (1000L + i, baseText)) ++ Seq(
+        (2000L, baseText.replaceFirst("quick", "rapid")),
+        (3000L, "entirely unrelated content about parquet shuffles and joins"),
+        (4000L, "abc"), (4001L, "abc"),
+        (5000L, null.asInstanceOf[String]), (5001L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "text")
+
+    def mset(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+
+    val mhRaw = mset(Dedup.minhashPairs(df, "doc_id", "text", 64, 16, 5, 0.6,
+      contract = false).withColumn("jaccard", round(col("jaccard"), 9)))
+    val mhCon = mset(Dedup.minhashPairs(df, "doc_id", "text", 64, 16, 5, 0.6)
+      .withColumn("jaccard", round(col("jaccard"), 9)))
+    assert(mhCon === mhRaw)
+    // the 50-clique alone contributes C(50,2) = 1225 pairs
+    assert(mhRaw.size >= 1225, s"clique pairs missing: ${mhRaw.size}")
+    // short-text clones must pair (empty shingle sets => jaccard 1.0)...
+    assert(mhRaw.exists { case (a, b, _) => a == 4000L && b == 4001L })
+    // ...and null-text rows must not appear at all
+    assert(mhRaw.forall { case (a, b, _) => a < 5000L && b < 5000L })
+
+    val shRaw = mset(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6,
+      contract = false))
+    val shCon = mset(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6))
+    assert(shCon === shRaw)
+    assert(shRaw.size >= 1225)
+
+    // embedding variant: 30 identical vectors + a perturbed one + noise
+    val r = new scala.util.Random(7)
+    val v0 = Array.fill(64)(r.nextFloat() - 0.5f)
+    val vrows = (0 until 30).map(i => (100L + i, v0)) ++ Seq(
+      (900L, v0.map(x => x + (r.nextFloat() - 0.5f) * 0.02f)),
+      (901L, Array.fill(64)(r.nextFloat() - 0.5f)))
+    val vdf = vrows.toDF("vec_id", "embedding")
+    val cnRaw = mset(Similarity.cosineNearDupPairs(vdf, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, bits = 8, tables = 8, contract = false))
+    val cnCon = mset(Similarity.cosineNearDupPairs(vdf, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, bits = 8, tables = 8))
+    assert(cnCon === cnRaw)
+    assert(cnRaw.size >= 435) // C(30,2) within the identical-vector clique
+  }
+
   test("fingerprint64 is whitespace/case-insensitive, content-sensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, " hello\tworld \n"),
