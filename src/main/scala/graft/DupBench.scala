@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Duplicate-heavy contraction benchmark (round-6 verdict #1): builds the
+  * regime [[Dedup.contractExact]] exists for — every document/embedding
+  * cloned `factor`× under shifted ids (clone cliques of size `factor`) —
+  * and times each near-dup operator with contraction forced ON vs OFF.
+  * Results are committed as the BENCH_NOTES.md round-7 section that
+  * Dedup.scala's Scaladoc cites.
+  *
+  * `runMain graft.DupBench [sfDir] [factor]` — defaults sf0.1, 40×.
+  */
+object DupBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 40
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def cloned(base: DataFrame, idCol: String): DataFrame =
+      (0 until factor).map(i =>
+        base.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
+        .reduce(_ unionAll _).persist()
+
+    val docs = cloned(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      "doc_id")
+    val emb = cloned(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      "vec_id")
+    println(s"corpus: docs=${docs.count()} emb=${emb.count()} factor=$factor")
+
+    def time(name: String)(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.pipeline.Caches.release()
+      println(f"$name%-24s $t%8.2f s")
+      t
+    }
+
+    // warmup (JIT/codegen) on the small path
+    Dedup.minhashPairs(docs.limit(1000), "doc_id", "text",
+      numHashes = 64, bands = 8, threshold = 0.7,
+      contract = Dedup.Contract.Off)
+      .write.format("noop").mode("overwrite").save()
+
+    val results = Seq(
+      ("minhash", (c: Dedup.Contract) => Dedup.minhashPairs(docs, "doc_id",
+        "text", numHashes = 64, bands = 8, shingle = 5, threshold = 0.7,
+        contract = c)),
+      ("simhash", (c: Dedup.Contract) => Dedup.simhashPairs(docs, "doc_id",
+        "text", maxHamming = 6, contract = c)),
+      ("cosine_neardup", (c: Dedup.Contract) => Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", dim = 64, threshold = 0.42,
+        bits = 4, tables = 8, contract = c))
+    ).map { case (name, fn) =>
+      val on = time(s"$name contract=On")(fn(Dedup.Contract.On))
+      val off = time(s"$name contract=Off")(fn(Dedup.Contract.Off))
+      (name, on, off)
+    }
+    println("GRAFT_DUPBENCH")
+    results.foreach { case (n, on, off) =>
+      println(f"$n%-16s on=$on%.2f s off=$off%.2f s speedup=${off / on}%.1fx")
+    }
+    spark.stop()
+  }
+}

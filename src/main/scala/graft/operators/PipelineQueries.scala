@@ -342,10 +342,17 @@ object PipelineQueries {
     // SimHash soundness: the hamming distance attached through the
     // banding join must equal bit_count(xor) of freshly recomputed
     // signatures (catches signature misattachment) and respect the cap.
+    // The recomputed (id, sig) projection is PERSISTED (tracked, evicted
+    // by the runner's Caches.release()): both certificate join legs read
+    // it, and unpersisted each leg would recompute simhash64 — a full
+    // tokenize+hash pass over the corpus — once more (round-6 verdict
+    // #5's re-evaluation hazard, the simhash analogue of the minhash
+    // cert's appendShingleSet binding fix).
     "doc_simhash_sound" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
-      val sims = docs.select(col("doc_id"), simhash64(col("text")).as("__s"))
+      val sims = graft.pipeline.Caches.persistTracked(
+        docs.select(col("doc_id"), simhash64(col("text")).as("__s")))
       val checked = pairs
         .join(sims.select(col("doc_id").as("id_a"), col("__s").as("__sa")),
           Seq("id_a"))
@@ -395,6 +402,34 @@ object PipelineQueries {
       docs.agg(count(lit(1)).as("n_docs")).crossJoin(
         checked.agg(coalesce(sum(col("__viol")), lit(0L))
           .cast("long").as("n_violations")))
+    }),
+
+    // Language-ID RECALL certificate (round-6 verdict #6):
+    // doc_langid_sound bounds false positives only; this plants one
+    // known-language sentence per corpus row (cycling 8 languages across
+    // both the script-detection and stopword-voting paths — the same
+    // sentences PipelineSpec's accuracy test asserts on) and counts
+    // misclassifications. Closed form for the oracle: n_planted = the
+    // slice row count, n_missed = 0.
+    "doc_langid_recall" -> ((s, d) => {
+      val planted = Seq(
+        "en" -> "The quick brown fox jumps over the lazy dog and it is not tired.",
+        "de" -> "Der schnelle braune Fuchs springt über den faulen Hund und ist nicht müde.",
+        "fr" -> "Le renard brun rapide saute sur le chien paresseux et il n'est pas fatigué dans la forêt.",
+        "es" -> "El zorro marrón salta sobre el perro perezoso y no está cansado en el bosque.",
+        "pt" -> "A raposa marrom salta sobre o cão preguiçoso e não está cansada para a floresta.",
+        "zh" -> "敏捷的棕色狐狸跳过了懒惰的狗，它一点也不累。",
+        "ja" -> "素早い茶色のキツネはのろまな犬を飛び越えます、つかれていません。",
+        "ru" -> "Быстрая коричневая лиса перепрыгивает через ленивую собаку и не устала.")
+      val langs = array(planted.map(p => lit(p._1)): _*)
+      val texts = array(planted.map(p => lit(p._2)): _*)
+      val slot = (col("doc_id") % planted.size).cast("int") + 1
+      Tables.documents(s, d).filter(col("doc_id") < 400)
+        .withColumn("__expected", element_at(langs, slot))
+        .withColumn("__pred", langid(element_at(texts, slot)))
+        .agg(count(lit(1)).as("n_planted"),
+          coalesce(sum(when(col("__pred") =!= col("__expected"), 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("n_missed"))
     }),
 
     // Language-ID soundness: every document classifies (non-null) into
@@ -709,6 +744,9 @@ object PipelineQueries {
     "doc_langid_sound" ->
       """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
          FROM documents""",
+    "doc_langid_recall" ->
+      """SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
+         FROM documents WHERE doc_id < 400""",
     "emb_neardup_lsh_sound" ->
       """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings""",

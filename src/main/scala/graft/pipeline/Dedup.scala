@@ -16,6 +16,50 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** Exact-duplicate contraction policy for the near-dup operators.
+    *
+    * Contraction (see [[contractExact]]) pays ~4 extra shuffles and only
+    * wins on duplicate-heavy corpora, so it must not run unconditionally
+    * (round-6 verdict: unconditional contraction regressed the whole
+    * near-dup family +16–148% on the duplicate-LIGHT sf0.1 corpus).
+    * [[Contract.Auto]] probes the exact-duplicate ratio with one cheap
+    * aggregate and contracts only when the corpus is duplicate-heavy. */
+  sealed trait Contract
+  object Contract {
+    /** Never contract (the raw LSH path). */
+    case object Off extends Contract
+    /** Always contract — callers asserting a duplicate-heavy corpus. */
+    case object On extends Contract
+    /** Probe `approx_count_distinct(key)/count(*)` (one lightweight agg
+      * job at plan-build time) and contract only when the distinct ratio
+      * is at most `maxDistinctRatio` — i.e. ≥ ~5% of rows are exact
+      * clones, where clique-quadratic candidate cost starts to dominate
+      * (measured: BENCH_NOTES.md round 7). */
+    final case class Auto(maxDistinctRatio: Double = 0.95) extends Contract
+  }
+
+  /** Distinct-content ratio in [0, 1]: `approx_count_distinct(key) /
+    * count(*)` (±~2% rsd — plenty for a 0.95 cutoff). One narrow agg with
+    * map-side partials; runs as an eager job when the policy is
+    * [[Contract.Auto]], which is documented at every call site.
+    * Callers pass the RAW content column, not a digest of it —
+    * approx_count_distinct hashes internally (xxhash sketch), so
+    * wrapping the column in md5/cast only adds per-row cost without
+    * changing the distinct count. */
+  private def distinctRatio(df: DataFrame, key: Column): Double = {
+    val r = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(key).as("d")).head()
+    val n = r.getLong(0)
+    if (n == 0L) 1.0 else r.getLong(1).toDouble / n
+  }
+
+  private def shouldContract(df: DataFrame, key: Column,
+      contract: Contract): Boolean = contract match {
+    case Contract.Off => false
+    case Contract.On => true
+    case Contract.Auto(maxRatio) => distinctRatio(df, key) <= maxRatio
+  }
+
   /** Exact-duplicate contraction state: `members` maps every input id to
     * its clique representative (`__mid`, `__rep`; rep = min id among rows
     * with identical content key); `reps` is the input restricted to
@@ -25,12 +69,14 @@ object Dedup {
 
   /** Contract exact duplicates before near-dup candidate generation.
     *
-    * The 100 TB regime for every near-dup operator is duplicate-HEAVY
-    * corpora (that is why dedup runs at all), and LSH candidate
-    * generation is quadratic INSIDE an exact-duplicate clique: n clones
-    * share every band bucket, so a clique of n contributes n²/2 candidate
-    * pairs, each paying the exact similarity refine (measured on a
-    * 40×-cloned corpus: see BENCH_NOTES.md round 6). Collapsing
+    * On duplicate-heavy corpora LSH candidate generation is quadratic
+    * INSIDE an exact-duplicate clique: n clones share every band bucket,
+    * so a clique of n contributes n²/2 candidate pairs, each paying the
+    * exact similarity refine (measured on 10×/40×-cloned sf0.1 corpora
+    * via `graft.DupBench`: BENCH_NOTES.md round 7 — at 40× contraction
+    * is 2.3× on minhash, 31.6× on simhash, and turns a ran-out-of-disk
+    * DNF into 11.5 s on cosine near-dup; it is parity-to-overhead on
+    * distinct-heavy corpora, hence the [[Contract.Auto]] gate). Collapsing
     * cliques to one representative first makes candidate generation
     * proportional to DISTINCT content; member-level pairs are recovered
     * by a join-only expansion whose values are exact by construction
@@ -47,10 +93,10 @@ object Dedup {
       coalesce(key.cast("string"), concat(lit("\u0000id:"), col(idCol))))
     // (key, rep): map-side partial agg means only (key, min-id) shuffles
     val repIds = keyed.groupBy(col("__ckey")).agg(min(col(idCol)).as("__rep"))
-    val members = keyed.select(col(idCol).as("__mid"), col("__ckey"))
-      .join(repIds, Seq("__ckey"))
-      .select(col("__mid"), col("__rep"))
-      .persist() // narrow (two longs); read by reps + both expansion legs
+    val members = Caches.persistTracked( // narrow (two longs); read by
+      keyed.select(col(idCol).as("__mid"), col("__ckey")) // reps + both
+        .join(repIds, Seq("__ckey")) // expansion legs; evicted by
+        .select(col("__mid"), col("__rep"))) // Caches.release()
     val reps = df.join(
       members.where(col("__mid") === col("__rep"))
         .select(col("__mid").as("__repid")),
@@ -109,7 +155,9 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     *
-    * `contract` (default on) collapses exact-duplicate cliques (same raw
+    * `contract` (default [[Contract.Auto]]: probe the duplicate ratio,
+    * contract only duplicate-heavy corpora — Auto runs one eager probe
+    * job at plan-build time) collapses exact-duplicate cliques (same raw
     * text, keyed by md5) to one representative before banding and
     * recovers member-level pairs by the join-only [[expandPairs]]
     * expansion — the pair SET is identical (clones share signatures and
@@ -123,8 +171,9 @@ object Dedup {
     * null signature never lands in a bucket. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
-      threshold: Double = 0.6, contract: Boolean = true): DataFrame = {
-    if (!contract)
+      threshold: Double = 0.6,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    if (!shouldContract(df, col(textCol), contract))
       return minhashPairsRaw(df, idCol, textCol, numHashes, bands, shingle,
         threshold)
     val c = contractExact(df, idCol, md5(col(textCol)))
@@ -148,11 +197,10 @@ object Dedup {
     // numHashes hash passes over full text) is the expensive scan, and
     // three legs below read it (banding + both candidate sig joins) —
     // without the persist each leg would recompute it from source. The
-    // cache entry is one long[numHashes] per doc (no text); it stays
-    // cached for plan reuse until the session evicts it.
-    val sig = df.select(col(idCol).as("__id"),
-      minhash_sig(col(textCol), numHashes, shingle).as("__sig"))
-      .persist()
+    // cache entry is one long[numHashes] per doc (no text); tracked in
+    // [[Caches]], evicted by the caller's Caches.release().
+    val sig = Caches.persistTracked(df.select(col(idCol).as("__id"),
+      minhash_sig(col(textCol), numHashes, shingle).as("__sig")))
 
     // band -> (bandIdx, xxhash64 of the band's slice). ONLY (id, band,
     // bucket) rides the band explode + bucket-join shuffle: at corpus
@@ -206,13 +254,16 @@ object Dedup {
     * 16-bit chunks (a pair within Hamming distance 3 must agree on at
     * least one chunk); refine with bit_count(xor) <= maxHamming.
     *
-    * `contract` collapses exact-dup cliques first (see [[minhashPairs]]):
+    * `contract` (default [[Contract.Auto]] — one eager probe job, see
+    * [[minhashPairs]]) collapses exact-dup cliques first:
     * clones share the 64-bit signature, so within-clique Hamming distance
     * is identically 0 and rep-level pairs carry the member-level
     * distance — the expanded pair set equals the raw one. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, contract: Boolean = true): DataFrame = {
-    if (!contract) return simhashPairsRaw(df, idCol, textCol, maxHamming)
+      maxHamming: Int = 3,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    if (!shouldContract(df, col(textCol), contract))
+      return simhashPairsRaw(df, idCol, textCol, maxHamming)
     val c = contractExact(df, idCol, md5(col(textCol)))
     val repPairs = simhashPairsRaw(c.reps, idCol, textCol, maxHamming)
     // xor(sig, sig) = 0 for identical text — always within any cap >= 0
@@ -222,8 +273,12 @@ object Dedup {
 
   private def simhashPairsRaw(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"),
-      simhash64(col(textCol)).as("__sim"))
+    // persisted narrow (id, 64-bit sig): both legs of the banding
+    // self-join read it — without the persist each leg recomputes
+    // simhash64 (a full tokenize+hash pass over the corpus text) from
+    // source. Tracked in [[Caches]], evicted by the caller's release().
+    val sig = Caches.persistTracked(df.select(col(idCol).as("__id"),
+      simhash64(col(textCol)).as("__sim")))
     val banded = sig.select(col("__id"), col("__sim"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("__sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

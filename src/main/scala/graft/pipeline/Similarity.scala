@@ -184,17 +184,33 @@ object Similarity {
     * (cos ≥ 0.9, θ ≤ 26°) defaults give >99% recall. Vectors are
     * re-attached by id only for deduped candidates.
     *
-    * `contract` collapses exact-duplicate cliques (identical vectors,
-    * keyed by md5 of the rendered array) to one representative before
-    * bucketing — see [[Dedup.minhashPairs]] for the clique-quadratic
-    * rationale; identical vectors share every LSH bucket, so the
-    * expanded pair set equals the raw one. Clique self-pairs are scored
-    * with the SAME rounded-cosine expression as the refine, so
-    * degenerate vectors (all-zero ⇒ NaN sim) drop out identically. */
+    * `contract` (default [[Dedup.Contract.Auto]] — probes the duplicate
+    * ratio with one eager agg job at plan-build time, contracting only
+    * duplicate-heavy corpora) collapses exact-duplicate cliques
+    * (identical vectors, keyed by md5 of the rendered array) to one
+    * representative before bucketing — see [[Dedup.minhashPairs]] for
+    * the clique-quadratic rationale; identical vectors share every LSH
+    * bucket, so the expanded pair set equals the raw one. Clique
+    * self-pairs are scored with the SAME rounded-cosine expression as
+    * the refine, and both paths carry an explicit `!isnan` guard, so
+    * degenerate vectors (all-zero ⇒ NaN sim, which Spark ORDERS ABOVE
+    * every number — `sim >= threshold` alone would emit it) are
+    * genuinely excluded on both. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 8, tables: Int = 8,
-      seed: Long = 42L, contract: Boolean = true): DataFrame = {
-    if (!contract)
+      seed: Long = 42L,
+      contract: Dedup.Contract = Dedup.Contract.Auto()): DataFrame = {
+    val doContract = contract match {
+      case Dedup.Contract.Off => false
+      case Dedup.Contract.On => true
+      case Dedup.Contract.Auto(maxRatio) =>
+        // probe the RAW vector column: approx_count_distinct hashes
+        // array<float> natively — no per-row string render + md5
+        val r = df.agg(count(lit(1)).as("n"),
+          approx_count_distinct(col(vecCol)).as("d")).head()
+        r.getLong(0) > 0L && r.getLong(1).toDouble / r.getLong(0) <= maxRatio
+    }
+    if (!doContract)
       return cosineNearDupPairsRaw(df, idCol, vecCol, dim, threshold, bits,
         tables, seed)
     val c = Dedup.contractExact(df, idCol, md5(col(vecCol).cast("string")))
@@ -203,7 +219,7 @@ object Similarity {
     val selfVals = c.reps
       .join(Dedup.cliques(c.members), col(idCol) === col("__rep"))
       .withColumn("sim", Det.r(cosine(col(vecCol), col(vecCol)), 6))
-      .filter(col("sim") >= threshold)
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("__rep"), col("sim"))
     Dedup.expandPairs(repPairs, selfVals, c.members, "sim")
   }
@@ -236,34 +252,49 @@ object Similarity {
       .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")),
         Seq("id_b"))
       .withColumn("sim", Det.r(cosine(col("__va"), col("__vb")), 6))
-      .filter(col("sim") >= threshold)
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** ANN candidate join: rows sharing an LSH bucket in any of `tables`
     * independent hash tables. Returns (query_id, neighbor_id, sim) for
     * candidates, exact-cosine refined and top-k'd — same contract as
-    * [[knnJoin]] but candidate-bounded instead of O(n·m). */
+    * [[knnJoin]] but candidate-bounded instead of O(n·m).
+    *
+    * Shuffle shape (round-6 verdict #3): ONLY (id, table, bucket) rides
+    * the candidate equi-join and the dedup shuffle — bucketing is
+    * computed scan-side and the vectors are dropped before the join
+    * (carrying them would push ~`tables`× the corpus vector bytes
+    * through the wire before any pruning). Vectors re-attach by id for
+    * the deduped candidates only, exactly the
+    * [[cosineNearDupPairsRaw]] shape. */
   def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     def banded(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"__vec_$id"))
+      df.select(col(idCol).as(id), col(vecCol).as("__v"))
         .withColumn("__table", explode(array((0 until tables).map(lit): _*)))
         .withColumn("__bucket",
           (0 until tables).foldLeft(lit(0L)) { (acc, t) =>
             when(col("__table") === t,
-              lshBucket(col(s"__vec_$id"), dim, bits, seed + t * 7919L))
+              lshBucket(col("__v"), dim, bits, seed + t * 7919L))
               .otherwise(acc)
           })
+        .select(col(id), col("__table"), col("__bucket"))
     val q = banded(queries, "query_id")
     val c = banded(corpus, "neighbor_id")
+    val candidates = q.join(c, Seq("__table", "__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__vq"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("__table", "__bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", Det.r(cosine(col("__vec_query_id"), col("__vec_neighbor_id")), 6))
+    candidates
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("sim", Det.r(cosine(col("__vq"), col("__vn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))

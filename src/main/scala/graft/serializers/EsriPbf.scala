@@ -209,6 +209,104 @@ object EsriPbf {
     root.toBytes
   }
 
+  /** Distributed tiled export (F3 at scale, mirroring GeoParquetIO
+    * .writeDistributed): every partition runs the SAME [[serialize]] the
+    * page path uses — per-tile collective bounds → Transform, quantize,
+    * delta-encode — and writes one `part-NNNNN.pbf` tile with no driver
+    * collect and no shuffle. Tile = partition: size partitions
+    * (repartition / maxPartitionBytes) so one tile's rows fit in task
+    * memory — the distributed analogue of the reference's driver-side
+    * 10k-row page cap (engine.py:173-174). Each tile carries its own
+    * Transform, so tiles decode independently. */
+  def writeTilesDistributed(df: org.apache.spark.sql.DataFrame,
+      featureSchema: FeatureSchema, outDir: String): Unit = {
+    val schema = df.schema
+    new java.io.File(outDir).mkdirs()
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val rows = it.toSeq
+      if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val bytes = serialize(rows, schema, featureSchema)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$outDir/part-$pid%05d.pbf"), bytes)
+        ()
+      }
+    }
+  }
+
+  /** Decode a point tile produced by [[writeTilesDistributed]] back to
+    * (oid, x, y) of each feature's first vertex — the independent read
+    * path for the distributed-export gate. Inverse of [[serialize]]:
+    * reads the tile's Transform, un-deltas the first coordinate pair,
+    * dequantizes with w = translate + q * scale. */
+  def decodePointTile(bytes: Array[Byte]): Seq[(Long, Double, Double)] = {
+    var sx = 1.0; var sy = 1.0; var tx = 0.0; var ty = 0.0
+    val feats = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    def readFeature(r: ProtoReader): Unit = {
+      var oid = 0L; var sawOid = false
+      var qx = 0L; var qy = 0L; var sawGeom = false
+      while (r.hasNext) r.readKey() match {
+        case (1, 2) => // attribute value; the FIRST one is always __oid
+          val vr = r.subReader()
+          while (vr.hasNext) vr.readKey() match {
+            case (6, 0) =>
+              val v = vr.readVarint(); if (!sawOid) { oid = v; sawOid = true }
+            case (_, w) => vr.skip(w)
+          }
+        case (2, 2) => // geometry: packed sint64 coords, first pair only
+          val gr = r.subReader()
+          while (gr.hasNext) gr.readKey() match {
+            case (3, 2) =>
+              val pr = gr.subReader()
+              if (pr.hasNext) { qx = pr.zigzag(pr.readVarint()) }
+              if (pr.hasNext) { qy = pr.zigzag(pr.readVarint()) }
+              while (pr.hasNext) pr.readVarint()
+              sawGeom = true
+            case (_, w) => gr.skip(w)
+          }
+        case (_, w) => r.skip(w)
+      }
+      if (sawOid && sawGeom) feats += ((oid, qx, qy))
+    }
+    def readFeatureResult(r: ProtoReader): Unit =
+      while (r.hasNext) r.readKey() match {
+        case (12, 2) => // Transform
+          val tr = r.subReader()
+          while (tr.hasNext) tr.readKey() match {
+            case (2, 2) =>
+              val s = tr.subReader()
+              while (s.hasNext) s.readKey() match {
+                case (1, 1) => sx = s.readDouble()
+                case (2, 1) => sy = s.readDouble()
+                case (_, w) => s.skip(w)
+              }
+            case (3, 2) =>
+              val t = tr.subReader()
+              while (t.hasNext) t.readKey() match {
+                case (1, 1) => tx = t.readDouble()
+                case (2, 1) => ty = t.readDouble()
+                case (_, w) => t.skip(w)
+              }
+            case (_, w) => tr.skip(w)
+          }
+        case (15, 2) => readFeature(r.subReader())
+        case (_, w) => r.skip(w)
+      }
+    val root = new ProtoReader(bytes)
+    while (root.hasNext) root.readKey() match {
+      case (2, 2) =>
+        val qr = root.subReader()
+        while (qr.hasNext) qr.readKey() match {
+          case (1, 2) => readFeatureResult(qr.subReader())
+          case (_, w) => qr.skip(w)
+        }
+      case (_, w) => root.skip(w)
+    }
+    feats.toSeq.map { case (oid, qx, qy) =>
+      (oid, tx + qx * sx, ty + qy * sy)
+    }
+  }
+
   /** returnCountOnly short form. */
   def serializeCount(count: Long): Array[Byte] = {
     val root = new ProtoWriter

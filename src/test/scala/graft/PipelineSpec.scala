@@ -77,10 +77,18 @@ class PipelineSpec extends SparkFunSuite {
       p.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
 
     val mhRaw = mset(Dedup.minhashPairs(df, "doc_id", "text", 64, 16, 5, 0.6,
-      contract = false).withColumn("jaccard", round(col("jaccard"), 9)))
+      contract = Dedup.Contract.Off)
+      .withColumn("jaccard", round(col("jaccard"), 9)))
+    // default policy is Auto: on this clone-heavy corpus (7 distinct
+    // contents / 56 rows) the probe must choose to contract
     val mhCon = mset(Dedup.minhashPairs(df, "doc_id", "text", 64, 16, 5, 0.6)
       .withColumn("jaccard", round(col("jaccard"), 9)))
     assert(mhCon === mhRaw)
+    // forced-On path is the same algebra the probe dispatches to
+    val mhOn = mset(Dedup.minhashPairs(df, "doc_id", "text", 64, 16, 5, 0.6,
+      contract = Dedup.Contract.On)
+      .withColumn("jaccard", round(col("jaccard"), 9)))
+    assert(mhOn === mhRaw)
     // the 50-clique alone contributes C(50,2) = 1225 pairs
     assert(mhRaw.size >= 1225, s"clique pairs missing: ${mhRaw.size}")
     // short-text clones must pair (empty shingle sets => jaccard 1.0)...
@@ -89,8 +97,9 @@ class PipelineSpec extends SparkFunSuite {
     assert(mhRaw.forall { case (a, b, _) => a < 5000L && b < 5000L })
 
     val shRaw = mset(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6,
-      contract = false))
-    val shCon = mset(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6))
+      contract = Dedup.Contract.Off))
+    val shCon = mset(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6,
+      contract = Dedup.Contract.On))
     assert(shCon === shRaw)
     assert(shRaw.size >= 1225)
 
@@ -102,11 +111,28 @@ class PipelineSpec extends SparkFunSuite {
       (901L, Array.fill(64)(r.nextFloat() - 0.5f)))
     val vdf = vrows.toDF("vec_id", "embedding")
     val cnRaw = mset(Similarity.cosineNearDupPairs(vdf, "vec_id", "embedding",
-      dim = 64, threshold = 0.9, bits = 8, tables = 8, contract = false))
+      dim = 64, threshold = 0.9, bits = 8, tables = 8,
+      contract = Dedup.Contract.Off))
     val cnCon = mset(Similarity.cosineNearDupPairs(vdf, "vec_id", "embedding",
       dim = 64, threshold = 0.9, bits = 8, tables = 8))
     assert(cnCon === cnRaw)
     assert(cnRaw.size >= 435) // C(30,2) within the identical-vector clique
+  }
+
+  test("cosine near-dup: all-zero vectors (NaN sim) are excluded on every path") {
+    // Spark orders NaN above every number, so `sim >= threshold` alone
+    // would EMIT zero-vector pairs; the explicit !isnan guard must drop
+    // them on the raw path and the contraction self-pair path alike.
+    val zero = Array.fill(8)(0f)
+    val unit = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val df = Seq((1L, zero), (2L, zero), (3L, unit), (4L, unit.map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+    for (c <- Seq[Dedup.Contract](Dedup.Contract.Off, Dedup.Contract.On)) {
+      val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        dim = 8, threshold = 0.5, bits = 4, tables = 4, contract = c)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((3L, 4L)), s"policy $c emitted $pairs")
+    }
   }
 
   test("fingerprint64 is whitespace/case-insensitive, content-sensitive") {

@@ -208,6 +208,36 @@ class SerializerSpec extends SparkFunSuite {
     assert(c(0) === 2L, s"expected banker's rounding, got ${c(0)}")
   }
 
+  test("PBF tiled distributed export: byte-identical to page serializer; tiles decode") {
+    val data = (1L to 40L).map(i => (i, pt(-110.0 + i * 0.5, 30.0 + i * 0.25)))
+    val df = data.toDF("__oid", "geometry")
+    val tfs = fs.copy(fields = Seq.empty)
+    // a single sorted partition must produce a tile byte-identical to the
+    // driver-side page serializer over the same rows in the same order
+    val out1 = Files.createTempDirectory("pbft1").toString
+    EsriPbf.writeTilesDistributed(
+      df.coalesce(1).sortWithinPartitions("__oid"), tfs, out1)
+    val tile = Files.readAllBytes(java.nio.file.Paths.get(s"$out1/part-00000.pbf"))
+    val expected = EsriPbf.serialize(
+      df.orderBy("__oid").collect().toSeq, df.schema, tfs)
+    assert(tile.sameElements(expected))
+    // multi-partition: every row decodes from exactly one tile, each tile
+    // dequantizing through its OWN Transform
+    val out2 = Files.createTempDirectory("pbft2").toString
+    EsriPbf.writeTilesDistributed(
+      df.repartition(4, org.apache.spark.sql.functions.col("__oid")), tfs, out2)
+    val decoded = new java.io.File(out2).listFiles()
+      .filter(_.getName.endsWith(".pbf")).sortBy(_.getName)
+      .flatMap(f => EsriPbf.decodePointTile(Files.readAllBytes(f.toPath)))
+    assert(decoded.length === 40)
+    val byOid = decoded.map(t => t._1 -> ((t._2, t._3))).toMap
+    data.foreach { case (i, _) =>
+      val (x, y) = byOid(i)
+      assert(math.abs(x - (-110.0 + i * 0.5)) < 1e-6, s"oid $i x=$x")
+      assert(math.abs(y - (30.0 + i * 0.25)) < 1e-6, s"oid $i y=$y")
+    }
+  }
+
   test("PBF count-only and ids-only short forms") {
     val cd = new ProtoReader(EsriPbf.serializeCount(12345L))
     val (2, 2) = cd.readKey()
