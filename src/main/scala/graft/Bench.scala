@@ -55,13 +55,16 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        val t = (System.nanoTime() - t0) / 1e9
-        // evict the pipeline operators' internal persists between runs so
-        // cache entries don't accumulate across the 80+ query suite
-        // (round-6 verdict #8); eviction is outside the timed region
-        graft.pipeline.Caches.release()
-        t
+        (System.nanoTime() - t0) / 1e9
       }
+      // evict the pipeline operators' internal persists BETWEEN QUERIES so
+      // cache entries don't accumulate across the 80+ query suite
+      // (round-6 verdict #8) — but not between a query's min-of-N runs:
+      // rounds 1-6 measured the warm path (persists live across runs), and
+      // releasing inside the loop silently changed the measurement protocol
+      // every cross-round comparison assumes. Bounded: one query's
+      // persists live at a time.
+      graft.pipeline.Caches.release()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -32,13 +32,18 @@ object FeatureServer {
   private val mapper = new ObjectMapper()
 
   /** Output spatial references the engine actually honors: `st_transform`
-    * implements the closed-form 4326↔3857 web-mercator pair (SURVEY §1.4).
-    * The reference carries arbitrary WKIDs without ever applying them
-    * (feature_server.py:271-295) — silently unhonorable; here an
-    * unsupported `outSR` is REJECTED at the boundary with an Esri-style
-    * error instead of surfacing as a deep expression failure or, worse,
-    * untransformed coordinates labeled with the wrong SR. */
-  val SupportedWkids: Set[Int] = Set(4326, 3857)
+    * implements the closed-form 4326↔3857 web-mercator pair (SURVEY §1.4)
+    * and the WGS84 UTM zones (EPSG 32601-32660 / 32701-32760, Krueger
+    * series — [[graft.geo.Utm]]), the reprojection a desktop GIS client
+    * typically asks for. The reference carries arbitrary WKIDs without
+    * ever applying them (feature_server.py:271-295) — silently
+    * unhonorable; here an unsupported `outSR` (e.g. a NAD83 UTM zone,
+    * which needs a datum shift we don't fake) is REJECTED at the boundary
+    * with an Esri-style error instead of surfacing as a deep expression
+    * failure or, worse, untransformed coordinates labeled with the wrong
+    * SR. */
+  val SupportedWkids: Set[Int] = Set(4326, 3857) ++
+    (32601 to 32660) ++ (32701 to 32760)
 
   /** Esri's legacy web-mercator alias, normalized to its modern WKID. */
   private val WkidAliases: Map[Int, Int] = Map(102100 -> 3857)
@@ -49,8 +54,8 @@ object FeatureServer {
     if (!SupportedWkids(n))
       throw new EsriApiException(400,
         s"outSR $wkid is not supported by this service",
-        Seq(s"supported WKIDs: ${(SupportedWkids.map(_.toString) ++
-          WkidAliases.keys.map(k => s"$k (alias)")).toSeq.sorted.mkString(", ")}"))
+        Seq("supported WKIDs: 4326, 3857, 102100 (alias), " +
+          "32601-32660 and 32701-32760 (WGS84 UTM)"))
     n
   }
 

@@ -127,14 +127,20 @@ object GeoIO {
     case t => throw new IllegalArgumentException(s"unsupported GeoJSON type: $t")
   }
 
-  // ---- CRS: spherical-mercator transform (4326 <-> 3857) ---------------
+  // ---- CRS transforms ---------------------------------------------------
   // The reference hardcodes 4326 and never applies outSR (`models.py:69`,
   // unused pyproj util `query/geometry.py:80-102`); we honor it for the
-  // web-mercator pair, the only CRS pair its web clients use.
+  // web-mercator pair its web clients use, plus the WGS84 UTM zones
+  // (EPSG 32601-32660 north / 32701-32760 south) a desktop GIS client
+  // typically requests. Non-WGS84 datums (e.g. 269xx NAD83) stay
+  // rejected: honoring them to meter accuracy without a datum shift
+  // would be silently wrong.
 
   private val R = 6378137.0
   def transform(g: Geometry, from: Int, to: Int): Geometry = {
     if (from == to) return g
+    def isUtm(srid: Int) =
+      (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760)
     val filter: CoordinateFilter = (from, to) match {
       case (4326, 3857) => c => {
         c.x = R * math.toRadians(c.x)
@@ -144,12 +150,110 @@ object GeoIO {
         c.x = math.toDegrees(c.x / R)
         c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
       }
+      case (4326, utm) if isUtm(utm) => c => {
+        val (e, nn) = Utm.forward(c.y, c.x, utm)
+        c.x = e; c.y = nn
+      }
+      case (utm, 4326) if isUtm(utm) => c => {
+        val (lat, lon) = Utm.inverse(c.x, c.y, utm)
+        c.x = lon; c.y = lat
+      }
       case _ => throw new IllegalArgumentException(
-        s"st_transform supports 4326<->3857, got $from->$to")
+        s"st_transform supports 4326<->3857 and 4326<->UTM " +
+          s"(EPSG 326xx/327xx), got $from->$to")
     }
     val out = g.copy()
     out.apply(filter)
     out.geometryChanged()
     out
+  }
+}
+
+/** WGS84 UTM via the Krueger series in Karney 2011 ("Transverse Mercator
+  * with an accuracy of a few nanometers", J. Geod. 85) — the same
+  * formulation GeographicLib and proj's `etmerc`/`utm` use. Third-order
+  * terms in n (n ~ 1.68e-3 for WGS84) bound the series truncation error
+  * well under a millimeter anywhere inside a UTM zone's extent, which is
+  * far below the 0.1 mm rounding every consumer of this object applies.
+  * All closed-form double math: usable inside codegen'd expressions and
+  * reproducible verbatim in the DuckDB oracle (tools of the differential
+  * gate), unlike a native PROJ binding. */
+object Utm {
+  private val a = 6378137.0
+  private val f = 1.0 / 298.257223563
+  // series constants are exposed so the differential gate's SQL oracle can
+  // inline the EXACT same doubles (Double.toString round-trips exactly)
+  val k0 = 0.9996
+  private val n = f / (2.0 - f)
+  private val n2 = n * n
+  private val n3 = n2 * n
+  // rectifying radius
+  val A = a / (1.0 + n) * (1.0 + n2 / 4.0 + n2 * n2 / 64.0)
+  // forward (alpha), inverse (beta), and footprint-latitude (delta) series
+  val a1 = n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0
+  val a2 = 13.0 * n2 / 48.0 - 3.0 * n3 / 5.0
+  val a3 = 61.0 * n3 / 240.0
+  private val b1 = n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0
+  private val b2 = n2 / 48.0 + n3 / 15.0
+  private val b3 = 17.0 * n3 / 480.0
+  private val d1 = 2.0 * n - 2.0 * n2 / 3.0 - 2.0 * n3
+  private val d2 = 7.0 * n2 / 3.0 - 8.0 * n3 / 5.0
+  private val d3 = 56.0 * n3 / 15.0
+  val twoSqrtN = 2.0 * math.sqrt(n) / (1.0 + n)
+
+  private def zoneOf(srid: Int): Int = srid % 100
+  private def south(srid: Int): Boolean = srid >= 32701
+  /** Central meridian of a UTM zone, degrees. */
+  def centralMeridian(zone: Int): Double = zone * 6.0 - 183.0
+  /** EPSG code of the natural zone for a lon/lat (for callers picking a
+    * zone per feature). */
+  def sridFor(lon: Double, lat: Double): Int = {
+    val zone = math.min(60, math.max(1, (math.floor((lon + 180.0) / 6.0) + 1).toInt))
+    (if (lat < 0) 32700 else 32600) + zone
+  }
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
+
+  /** (easting, northing) in meters. */
+  def forward(latDeg: Double, lonDeg: Double, srid: Int): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val dLam = math.toRadians(lonDeg - centralMeridian(zoneOf(srid)))
+    val s = math.sin(phi)
+    val t = math.sinh(atanh(s) - twoSqrtN * atanh(twoSqrtN * s))
+    val xiP = math.atan2(t, math.cos(dLam))
+    val etaP = atanh(math.sin(dLam) / math.sqrt(1.0 + t * t))
+    val xi = xiP +
+      a1 * math.sin(2.0 * xiP) * math.cosh(2.0 * etaP) +
+      a2 * math.sin(4.0 * xiP) * math.cosh(4.0 * etaP) +
+      a3 * math.sin(6.0 * xiP) * math.cosh(6.0 * etaP)
+    val eta = etaP +
+      a1 * math.cos(2.0 * xiP) * math.sinh(2.0 * etaP) +
+      a2 * math.cos(4.0 * xiP) * math.sinh(4.0 * etaP) +
+      a3 * math.cos(6.0 * xiP) * math.sinh(6.0 * etaP)
+    val e = 500000.0 + k0 * A * eta
+    val nn = (if (south(srid)) 10000000.0 else 0.0) + k0 * A * xi
+    (e, nn)
+  }
+
+  /** (lat, lon) in degrees. */
+  def inverse(easting: Double, northing: Double, srid: Int): (Double, Double) = {
+    val xi = (northing - (if (south(srid)) 10000000.0 else 0.0)) / (k0 * A)
+    val eta = (easting - 500000.0) / (k0 * A)
+    val xiP = xi -
+      b1 * math.sin(2.0 * xi) * math.cosh(2.0 * eta) -
+      b2 * math.sin(4.0 * xi) * math.cosh(4.0 * eta) -
+      b3 * math.sin(6.0 * xi) * math.cosh(6.0 * eta)
+    val etaP = eta -
+      b1 * math.cos(2.0 * xi) * math.sinh(2.0 * eta) -
+      b2 * math.cos(4.0 * xi) * math.sinh(4.0 * eta) -
+      b3 * math.cos(6.0 * xi) * math.sinh(6.0 * eta)
+    val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+    val phi = chi +
+      d1 * math.sin(2.0 * chi) +
+      d2 * math.sin(4.0 * chi) +
+      d3 * math.sin(6.0 * chi)
+    val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+    (math.toDegrees(phi),
+      centralMeridian(zoneOf(srid)) + math.toDegrees(lam))
   }
 }

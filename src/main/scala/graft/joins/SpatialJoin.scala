@@ -77,9 +77,11 @@ object SpatialJoin {
   /** k-nearest-neighbour join with a broadcast right side.
     *
     * Builds one STRtree per partition from a broadcast row array, queries
-    * `k + pad` neighbours per left row, then re-sorts by
-    * `(distance, numeric tiebreak)` and keeps k — deterministic under
-    * distance ties, which raw STRtree k-NN is not.
+    * `k + pad` neighbours per left row (growing the fetch while the
+    * boundary distance is tied, so the full tie group is always seen),
+    * then re-sorts by `(distance, numeric tiebreak)` and keeps k —
+    * deterministic under distance ties, which raw STRtree k-NN is not,
+    * even when coincident geometries outnumber the fetch window.
     *
     * Output: left columns ++ right columns ++ `knn_dist`.
     */
@@ -119,13 +121,30 @@ object SpatialJoin {
       }
       it.flatMap { lrow =>
         val lg = GeoIO.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
-        val nn = tree.nearestNeighbour(lg.getEnvelopeInternal, lg, itemDist,
-          math.min(k + pad, rows.length))
-        nn.toSeq
-          .map { item =>
+        // Adaptive tie-complete fetch: STRtree's m-NN picks arbitrarily
+        // among equal distances, so if the FARTHEST fetched distance
+        // equals the kth kept distance the tie group may extend past the
+        // fetch window (a duplicate-heavy corpus can hold dozens of
+        // coincident geometries) and the deterministic (distance, tie)
+        // winner may be missing. Every unfetched item is >= the farthest
+        // fetched distance, so once that is STRICTLY greater than the
+        // kth distance the top-k-with-ties set is provably complete.
+        var m = math.min(k + pad, rows.length)
+        var cand: Seq[(Double, Int)] = null
+        var done = false
+        while (!done) {
+          val nn = tree.nearestNeighbour(lg.getEnvelopeInternal, lg,
+            itemDist, m)
+          cand = nn.toSeq.map { item =>
             val idx = item.asInstanceOf[Integer].intValue()
             (geoms(idx).distance(lg), idx)
           }
+          val dMax = cand.iterator.map(_._1).max
+          val dK = cand.map(_._1).sorted.apply(math.min(k, cand.length) - 1)
+          done = m >= rows.length || dMax > dK
+          if (!done) m = math.min(m * 4, rows.length)
+        }
+        cand
           .sortBy { case (d, idx) =>
             (d, rows(idx).get(rTieIdx) match {
               case n: Number => n.doubleValue()

@@ -394,6 +394,23 @@ object GeoQueries {
           Det.r(G.st_y(col("merc")), 4).as("my"))
         .orderBy(col("c_custkey"))
         .limit(500)
+    }),
+
+    // UTM reprojection: each point is projected into its NATURAL zone
+    // (pts span zones 11-19), E/N rounded to 0.1 mm. The oracle runs the
+    // identical Krueger series in SQL (see oracleSql below); the
+    // round-trip inverse is ScalaTest-gated (GeoSpec).
+    "geo_utm" -> ((s, d) => {
+      GeoSynth.points(s, d)
+        .withColumn("zone",
+          (floor((col("lon") + 180.0) / 6.0) + 1).cast("int"))
+        .withColumn("utm", G.st_transform(col("geom"), lit(4326),
+          (lit(32600) + col("zone")).cast("int")))
+        .select(col("c_custkey"), col("zone").cast("long").as("zone"),
+          Det.r(G.st_x(col("utm")), 4).as("e"),
+          Det.r(G.st_y(col("utm")), 4).as("n"))
+        .orderBy(col("c_custkey"))
+        .limit(500)
     }))
 
   private def P = GeoSynth.oraclePrelude
@@ -534,5 +551,51 @@ object GeoQueries {
       s"""$P SELECT c_custkey,
           ${Det.rsql("6378137.0 * (lon * pi() / 180.0)", 4)} AS mx,
           ${Det.rsql("6378137.0 * ln(tan(pi() / 4.0 + (lat * pi() / 180.0) / 2.0))", 4)} AS my
-          FROM pts ORDER BY c_custkey LIMIT 500""")
+          FROM pts ORDER BY c_custkey LIMIT 500""",
+
+    "geo_utm" -> utmOracleSql)
+
+  /** The forward Krueger series spelled out in DuckDB SQL. Constants are
+    * interpolated from [[graft.geo.Utm]] (Double.toString round-trips
+    * exactly, so both sides use bit-identical coefficients); sinh/cosh/
+    * atanh are expanded via exp/ln. 0.1 mm rounding absorbs the ~1-ulp
+    * divergence between JVM Math.sinh and the exp-based SQL form. */
+  private def utmOracleSql: String = {
+    import graft.geo.Utm
+    // every interpolated constant is CAST to DOUBLE: DuckDB types bare
+    // decimal literals as DECIMAL and overflows multiplying them
+    def c(x: Double) = s"CAST($x AS DOUBLE)"
+    val tsn = c(Utm.twoSqrtN)
+    val k0A = s"(${c(Utm.k0)} * ${c(Utm.A)})"
+    s"""$P, u AS (
+          SELECT c_custkey, lat * pi() / 180.0 AS phi,
+                 CAST(floor((lon + 180.0) / 6.0) + 1 AS BIGINT) AS zone,
+                 (lon - (floor((lon + 180.0) / 6.0) + 1) * 6.0 + 183.0)
+                   * pi() / 180.0 AS dlam
+          FROM pts),
+        t1 AS (
+          SELECT *, 0.5 * ln((1.0 + sin(phi)) / (1.0 - sin(phi)))
+                    - $tsn * 0.5 * ln((1.0 + $tsn * sin(phi))
+                                      / (1.0 - $tsn * sin(phi))) AS q
+          FROM u),
+        t2 AS (SELECT *, (exp(q) - exp(-q)) / 2.0 AS t FROM t1),
+        t3 AS (
+          SELECT *, atan2(t, cos(dlam)) AS xip,
+                 0.5 * ln((1.0 + sin(dlam) / sqrt(1.0 + t * t))
+                          / (1.0 - sin(dlam) / sqrt(1.0 + t * t))) AS etap
+          FROM t2),
+        t4 AS (
+          SELECT *,
+            xip + ${c(Utm.a1)} * sin(2.0 * xip) * (exp(2.0 * etap) + exp(-2.0 * etap)) / 2.0
+                + ${c(Utm.a2)} * sin(4.0 * xip) * (exp(4.0 * etap) + exp(-4.0 * etap)) / 2.0
+                + ${c(Utm.a3)} * sin(6.0 * xip) * (exp(6.0 * etap) + exp(-6.0 * etap)) / 2.0 AS xi,
+            etap + ${c(Utm.a1)} * cos(2.0 * xip) * (exp(2.0 * etap) - exp(-2.0 * etap)) / 2.0
+                 + ${c(Utm.a2)} * cos(4.0 * xip) * (exp(4.0 * etap) - exp(-4.0 * etap)) / 2.0
+                 + ${c(Utm.a3)} * cos(6.0 * xip) * (exp(6.0 * etap) - exp(-6.0 * etap)) / 2.0 AS eta
+          FROM t3)
+        SELECT c_custkey, zone,
+          ${Det.rsql(s"500000.0 + $k0A * eta", 4)} AS e,
+          ${Det.rsql(s"$k0A * xi", 4)} AS n
+        FROM t4 ORDER BY c_custkey LIMIT 500"""
+  }
 }

@@ -45,12 +45,31 @@ object Dedup {
     * Callers pass the RAW content column, not a digest of it —
     * approx_count_distinct hashes internally (xxhash sketch), so
     * wrapping the column in md5/cast only adds per-row cost without
-    * changing the distinct count. */
+    * changing the distinct count.
+    *
+    * The ratio is a table-level statistic, so it is memoized per
+    * canonicalized input plan (semanticHash of the analyzed plan + the
+    * key expression) — repeated near-dup calls over the same snapshot
+    * (a serving session, or the dedup + certificate gate pair) pay the
+    * probe job once. The cache holds two machine words per distinct
+    * (plan, key) and is size-capped; data caches are elsewhere
+    * ([[Caches]]) and evicted independently. A new Iceberg snapshot
+    * resolves to a new scan plan, so staleness follows snapshot
+    * pinning, not wall-clock. */
+  private val ratioCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Double]()
   private def distinctRatio(df: DataFrame, key: Column): Double = {
+    val cacheKey =
+      (df.queryExecution.analyzed.semanticHash().toLong, key.toString)
+    val cached = ratioCache.get(cacheKey)
+    if (cached != null) return cached
     val r = df.agg(count(lit(1)).as("n"),
       approx_count_distinct(key).as("d")).head()
     val n = r.getLong(0)
-    if (n == 0L) 1.0 else r.getLong(1).toDouble / n
+    val ratio = if (n == 0L) 1.0 else r.getLong(1).toDouble / n
+    if (ratioCache.size >= 4096) ratioCache.clear() // bounded, tiny entries
+    ratioCache.put(cacheKey, ratio)
+    ratio
   }
 
   private def shouldContract(df: DataFrame, key: Column,

@@ -54,8 +54,12 @@ object TextHash {
   }
 
   /** MinHash signature over character n-gram shingles of the normalized
-    * text: one base hash per shingle, k permutations via splitmix-mixed
-    * seeds. Texts shorter than one shingle get the empty signature
+    * text: one base hash per shingle, k permutations via double hashing
+    * (Kirsch-Mitzenmacher, "Less Hashing, Same Performance": the j-th
+    * permutation is `h1 + j*h2` with independently mixed h1/h2, h2 forced
+    * odd so the step is a bijection mod 2^64) — one splitmix finalizer
+    * per shingle instead of k, turning the k-wide inner loop into an
+    * add+compare. Texts shorter than one shingle get the empty signature
     * (Long.MaxValue everywhere). */
   def minhash(text: String, k: Int, shingle: Int): Array[Long] = {
     val norm = normalize(text)
@@ -65,10 +69,12 @@ object TextHash {
       val last = norm.length - shingle
       while (i <= last) {
         val base = fnv1a(norm, i, i + shingle)
+        val h2 = mix(base + 0x9e3779b97f4a7c15L) | 1L
+        var h = mix(base)
         var j = 0
         while (j < k) {
-          val h = mix(base + j * 0x9e3779b97f4a7c15L)
           if (h < sig(j)) sig(j) = h
+          h += h2
           j += 1
         }
         i += 1

@@ -149,8 +149,9 @@ class ApiSpec extends SparkFunSuite {
   }
 
   test("outSR contract: unsupported WKIDs rejected with an Esri-style error") {
-    // UTM 13N — the reference would carry it silently without applying it;
-    // here the boundary rejects it before any plan is built
+    // NAD83 UTM 13N — needs a datum shift we don't fake; the reference
+    // would carry it silently without applying it, here the boundary
+    // rejects it before any plan is built
     val ex = intercept[graft.api.EsriApiException] {
       FeatureServer.translateQuery(Map("outSR" -> "26913"), schema)
     }
@@ -170,6 +171,11 @@ class ApiSpec extends SparkFunSuite {
       .outSr.contains(3857))
     assert(FeatureServer.translateQuery(Map("outSR" -> "4326"), schema)
       .outSr.contains(4326))
+    // WGS84 UTM zones are honored (Krueger-series st_transform path)
+    assert(FeatureServer.translateQuery(Map("outSR" -> "32613"), schema)
+      .outSr.contains(32613))
+    assert(FeatureServer.translateQuery(Map("outSR" -> """{"wkid":32713}"""), schema)
+      .outSr.contains(32713))
   }
 
   test("request gate: 8 concurrent queries bounded to 4, all served, pools tagged") {

@@ -140,6 +140,45 @@ class GeoSpec extends SparkFunSuite {
     assert(math.abs(back.getCoordinate.y - 39.7) < 1e-9)
   }
 
+  test("st_transform 4326<->UTM: anchors, round-trip grid, both hemispheres") {
+    import graft.geo.Utm
+    // exact anchors by construction: the central meridian maps to
+    // E=500000 and the equator to N=0 (north) / N=1e7 (south)
+    val (e0, n0) = Utm.forward(0.0, 3.0, 32631) // zone 31, CM=3E
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    val (eS, nS) = Utm.forward(0.0, 3.0, 32731)
+    assert(math.abs(eS - 500000.0) < 1e-6 && math.abs(nS - 1e7) < 1e-6)
+    // published control point (CN Tower, Wikipedia UTM article's running
+    // example): 43.642567N 79.387139W -> 17N 630084E 4833439N (+-2 m for
+    // the citation's own rounding)
+    val (eCn, nCn) = Utm.forward(43.642567, -79.387139, 32617)
+    assert(math.abs(eCn - 630084.0) < 2.0, s"easting $eCn")
+    assert(math.abs(nCn - 4833439.0) < 2.0, s"northing $nCn")
+    // round-trip accuracy across each zone's usable width, both
+    // hemispheres; 1e-8 deg ~ 1.1 mm bounds the third-order series
+    // truncation (worst observed: 3.3e-9 deg ~ 0.4 mm at |lat| 80)
+    for {
+      lat <- Seq(-80.0, -45.0, -0.5, 0.5, 27.99, 45.0, 72.0, 84.0)
+      dLon <- Seq(-2.9, -1.0, 0.0, 1.4, 2.9)
+    } {
+      val srid = if (lat < 0) 32713 else 32613
+      val lon = Utm.centralMeridian(13) + dLon
+      val (e, n) = Utm.forward(lat, lon, srid)
+      val (lat2, lon2) = Utm.inverse(e, n, srid)
+      assert(math.abs(lat2 - lat) < 1e-8, s"lat $lat dLon $dLon -> $lat2")
+      assert(math.abs(lon2 - lon) < 1e-8, s"lon $lon -> $lon2")
+    }
+    // the geometry-level path and zone selection
+    val p = GeoIO.fromWkt("POINT (-105.3 39.7)")
+    assert(Utm.sridFor(-105.3, 39.7) === 32613)
+    val utm = GeoIO.transform(p, 4326, 32613)
+    val back = GeoIO.transform(utm, 32613, 4326)
+    assert(math.abs(back.getCoordinate.x - -105.3) < 1e-9)
+    assert(math.abs(back.getCoordinate.y - 39.7) < 1e-9)
+    // unsupported datums still rejected
+    intercept[IllegalArgumentException](GeoIO.transform(p, 4326, 26913))
+  }
+
   test("st_collect over array + convex hull") {
     val df = Seq((1L, wkbOf("POINT (0 0)")), (1L, wkbOf("POINT (2 0)")),
       (1L, wkbOf("POINT (1 3)"))).toDF("k", "geom")

@@ -80,4 +80,25 @@ class SpatialJoinRuleSpec extends SparkFunSuite {
     val eq = pts.join(boxes, col("pid") === col("bid"))
     assert(eq.count() === 20)
   }
+
+  test("knn tie groups larger than the fetch pad resolve deterministically") {
+    // 60 COINCIDENT neighbors (a duplicate-heavy corpus: every clone maps
+    // to the same geometry) outnumber the k+pad fetch window; the winner
+    // by (distance, tiebreak id) must still be the smallest id, which a
+    // single bounded STRtree query need not return (sf1 soak regression).
+    val near = (0 until 60).map(i =>
+      (i.toLong, GeoIO.toWkb(GeoIO.point(1.0, 1.0))))
+    val far = (60 until 70).map(i =>
+      (i.toLong, GeoIO.toWkb(GeoIO.point(5.0, 5.0 + (i - 60) * 0.1))))
+    val neigh = (near ++ far).toDF("nid", "ngeom")
+    val queries = Seq((100L, GeoIO.toWkb(GeoIO.point(0.0, 0.0)))).toDF("qid", "qgeom")
+    val k1 = graft.joins.SpatialJoin.knnBroadcast(
+      queries, "qgeom", neigh, "ngeom", k = 1, tiebreak = "nid")
+      .select("nid").as[Long].collect().toSeq
+    assert(k1 === Seq(0L))
+    val k3 = graft.joins.SpatialJoin.knnBroadcast(
+      queries, "qgeom", neigh, "ngeom", k = 3, tiebreak = "nid")
+      .select("nid").as[Long].collect().toSeq.sorted
+    assert(k3 === Seq(0L, 1L, 2L))
+  }
 }
