@@ -76,12 +76,14 @@ object SpatialJoin {
 
   /** k-nearest-neighbour join with a broadcast right side.
     *
-    * Builds one STRtree per partition from a broadcast row array, queries
-    * `k + pad` neighbours per left row (growing the fetch while the
-    * boundary distance is tied, so the full tie group is always seen),
-    * then re-sorts by `(distance, numeric tiebreak)` and keeps k —
-    * deterministic under distance ties, which raw STRtree k-NN is not,
-    * even when coincident geometries outnumber the fetch window.
+    * Builds one STRtree per partition from a broadcast row array with
+    * coincident geometries collapsed to one entry (k best-tiebreak
+    * members kept per location), queries `k + pad` locations per left
+    * row (growing the fetch while the boundary distance is tied, so a
+    * full tie group is always seen), then re-sorts members by
+    * `(distance, numeric tiebreak)` and keeps k — deterministic under
+    * distance ties, which raw STRtree k-NN is not, even when coincident
+    * geometries outnumber the fetch window.
     *
     * Output: left columns ++ right columns ++ `knn_dist`.
     */
@@ -101,13 +103,43 @@ object SpatialJoin {
 
     left.mapPartitions { it =>
       val rows = bRight.value
-      val geoms = new Array[Geometry](rows.length)
-      val tree = new STRtree()
+      def tieOf(idx: Int): Double = rows(idx).get(rTieIdx) match {
+        case n: Number => n.doubleValue()
+        case other => other.hashCode.toDouble
+      }
+      // Collapse coincident geometries (exact WKB equality) to ONE tree
+      // entry holding that location's k best-tiebreak members — sufficient
+      // for any deterministic top-k, since equal-distance members are
+      // always consumed in tiebreak order. On a duplicate-heavy corpus
+      // (the sf1 soak: 50 coincident centroids per site) this shrinks the
+      // tree 50x and makes distance ties RARE instead of universal, so
+      // the adaptive refetch below almost never escalates.
+      val groupIdx = new java.util.HashMap[java.nio.ByteBuffer, Integer]()
+      val memberBufs =
+        scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]()
+      val repGeoms = scala.collection.mutable.ArrayBuffer[Geometry]()
       var i = 0
       while (i < rows.length) {
-        geoms(i) = GeoIO.fromWkb(rows(i).getAs[Array[Byte]](rGeomIdx))
-        tree.insert(geoms(i).getEnvelopeInternal, Integer.valueOf(i))
+        val wkbBytes = rows(i).getAs[Array[Byte]](rGeomIdx)
+        val key = java.nio.ByteBuffer.wrap(wkbBytes)
+        var gi = groupIdx.get(key)
+        if (gi == null) {
+          gi = Integer.valueOf(repGeoms.length)
+          groupIdx.put(key, gi)
+          repGeoms += GeoIO.fromWkb(wkbBytes)
+          memberBufs += scala.collection.mutable.ArrayBuffer[Int]()
+        }
+        memberBufs(gi) += i
         i += 1
+      }
+      val members: Array[Array[Int]] =
+        memberBufs.map(_.sortBy(tieOf).take(k).toArray).toArray
+      val geoms = repGeoms.toArray
+      val tree = new STRtree()
+      var gi = 0
+      while (gi < geoms.length) {
+        tree.insert(geoms(gi).getEnvelopeInternal, Integer.valueOf(gi))
+        gi += 1
       }
       tree.build()
       def geomOf(item: AnyRef): Geometry = item match {
@@ -123,34 +155,32 @@ object SpatialJoin {
         val lg = GeoIO.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
         // Adaptive tie-complete fetch: STRtree's m-NN picks arbitrarily
         // among equal distances, so if the FARTHEST fetched distance
-        // equals the kth kept distance the tie group may extend past the
-        // fetch window (a duplicate-heavy corpus can hold dozens of
-        // coincident geometries) and the deterministic (distance, tie)
-        // winner may be missing. Every unfetched item is >= the farthest
+        // equals the kth kept MEMBER distance, the tie may extend past
+        // the fetch window and the deterministic (distance, tie) winner
+        // may be missing. Every unfetched location is >= the farthest
         // fetched distance, so once that is STRICTLY greater than the
-        // kth distance the top-k-with-ties set is provably complete.
-        var m = math.min(k + pad, rows.length)
-        var cand: Seq[(Double, Int)] = null
+        // kth member distance the top-k-with-ties set is provably
+        // complete.
+        var m = math.min(k + pad, geoms.length)
+        var cand: Seq[(Double, Int)] = null // (distance, member row idx)
         var done = false
         while (!done) {
           val nn = tree.nearestNeighbour(lg.getEnvelopeInternal, lg,
             itemDist, m)
-          cand = nn.toSeq.map { item =>
-            val idx = item.asInstanceOf[Integer].intValue()
-            (geoms(idx).distance(lg), idx)
+          var dMax = 0.0
+          cand = nn.toSeq.flatMap { item =>
+            val g = item.asInstanceOf[Integer].intValue()
+            val d = geoms(g).distance(lg)
+            if (d > dMax) dMax = d
+            members(g).map(idx => (d, idx)).toSeq
           }
-          val dMax = cand.iterator.map(_._1).max
-          val dK = cand.map(_._1).sorted.apply(math.min(k, cand.length) - 1)
-          done = m >= rows.length || dMax > dK
-          if (!done) m = math.min(m * 4, rows.length)
+          val ds = cand.map(_._1).sorted
+          val dK = ds(math.min(k, ds.length) - 1)
+          done = m >= geoms.length || dMax > dK
+          if (!done) m = math.min(m * 4, geoms.length)
         }
         cand
-          .sortBy { case (d, idx) =>
-            (d, rows(idx).get(rTieIdx) match {
-              case n: Number => n.doubleValue()
-              case other => other.hashCode.toDouble
-            })
-          }
+          .sortBy { case (d, idx) => (d, tieOf(idx)) }
           .take(k)
           .map { case (d, idx) =>
             Row.fromSeq(lrow.toSeq ++ rows(idx).toSeq :+ d)
