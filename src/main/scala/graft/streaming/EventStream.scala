@@ -87,6 +87,87 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  // ---- streaming near-duplicate detection ---------------------------------
+
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class DupCandidate(doc_id: Long, dup_of: Long, hamming: Int)
+  /** Per-bucket state: the most recent docs whose simhash landed in this
+    * (chunk index, chunk value) bucket. */
+  final case class BucketState(sigs: List[(Long, Long, Long)]) // (docId, sig, tsMs)
+
+  /** Streaming near-dup detection — the streaming twin of
+    * [[graft.pipeline.Dedup.simhashPairs]], using the SAME banding (a
+    * 64-bit simhash split into four 16-bit chunks, so recall is
+    * pigeonhole-complete for hamming <= 3): each arriving document is
+    * keyed by its 4 chunk buckets and compared against the documents
+    * previously seen in those buckets via flatMapGroupsWithState.
+    *
+    * Emits (doc_id, dup_of, hamming) candidates with dup_of = an
+    * earlier-arriving near-duplicate. A pair matching in several chunks
+    * is emitted once per matching chunk — downstream consumers dedupe by
+    * (doc_id, dup_of) in the sink compaction (kept OUT of this query so
+    * it stays a single stateful operator).
+    *
+    * State is bounded two ways: event-time timeout evicts buckets idle
+    * past the watermark horizon, and each bucket keeps at most
+    * `bucketCap` recent signatures (older entries age out first — an
+    * explicit approximation: a doc can only be matched against the last
+    * `bucketCap` docs sharing a chunk, the streaming analogue of the
+    * batch path's stop-fingerprint df cap). */
+  def nearDupCandidates(docs: Dataset[Doc], maxHamming: Int = 3,
+      watermark: String = "2 hours",
+      horizonMs: Long = 2L * 60 * 60 * 1000, // keep == watermark
+      bucketCap: Int = 64): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap { doc =>
+        val sig = graft.pipeline.TextHash.simhash(doc.text)
+        (0 until 4).map { i =>
+          val chunk = (sig >>> (i * 16)) & 0xFFFFL
+          // bucket key packs (chunk index, chunk value)
+          ((i.toLong << 16) | chunk, doc.doc_id, sig, doc.ts)
+        }
+      }
+      .toDF("bucket", "doc_id", "sig", "ts")
+      // the watermark must be declared on the post-flatMap attribute —
+      // the typed map boundary re-creates the column, dropping any
+      // upstream event-time tag
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.sigs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer[DupCandidate]()
+            var maxTs = 0L
+            // arrival order within the batch: by timestamp then id, so
+            // dup_of always points at an earlier (ts, id) document
+            it.toSeq.sortBy(r => (r._4.getTime, r._2)).foreach {
+              case (_, docId, sig, ts) =>
+                seen.foreach { case (prevId, prevSig, _) =>
+                  val h = java.lang.Long.bitCount(sig ^ prevSig)
+                  if (h <= maxHamming && prevId != docId)
+                    out += DupCandidate(docId, prevId, h)
+                }
+                seen = ((docId, sig, ts.getTime) :: seen).take(bucketCap)
+                if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update(BucketState(seen))
+            // must exceed the current watermark (Spark enforces this);
+            // late-arriving batches clamp to watermark + 1ms
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: each `leftType` event matched to the
     * same user's `rightType` events arriving within `within` AFTER it.
     * Both sides carry watermarks and the join condition bounds event time

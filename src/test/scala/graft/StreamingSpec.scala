@@ -101,6 +101,36 @@ class StreamingSpec extends SparkFunSuite {
       s"stream emitted ${streamed.size} of ${batch.size} pairs")
   }
 
+  test("streaming near-dup candidates == batch simhashPairs on the same docs") {
+    val dir = Files.createTempDirectory("neardup").toString
+    val base = 1700000000000L
+    // the real documents table as the stream, arrival order = doc_id
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    docs.map { case (id, text) =>
+      EventStream.Doc(id, new java.sql.Timestamp(base + id * 60000), text) }
+      .toSeq.toDS().write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[EventStream.Doc].schema)
+      .parquet(dir).as[EventStream.Doc]
+    // bucketCap above the corpus size -> the approximation is exact and
+    // the stream must reproduce the batch pair set precisely
+    val q = EventStream.nearDupCandidates(src, maxHamming = 3,
+      bucketCap = docs.length + 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("neardup")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val batch = graft.pipeline.Dedup.simhashPairs(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(batch.nonEmpty, "fixture produced no near-dup pairs")
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = Files.createTempDirectory("dup").toString
     def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
