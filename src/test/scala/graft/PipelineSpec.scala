@@ -418,4 +418,25 @@ class PipelineSpec extends SparkFunSuite {
       f1.zip(f2).forall { case (a, b) =>
         a.getSeq[Float](0) == b.getSeq[Float](0) })
   }
+
+  test("Caches.release evicts every internal persist (serving stability)") {
+    // the round-6 #8 contract: a serving session running near-dup queries
+    // and releasing at request boundaries must not accumulate cache
+    // entries — assert actual storage state, not just tracker behavior
+    graft.pipeline.Caches.release() // start clean
+    (1 to 3).foreach { _ =>
+      Dedup.minhashPairs(docs, "doc_id", "text").count()
+      Dedup.simhashPairs(docs, "doc_id", "text").count()
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.95).count()
+      graft.pipeline.Caches.release()
+    }
+    // unpersist(blocking=false) is async; poll briefly for drain
+    val deadline = System.currentTimeMillis() + 10000
+    def persisted = spark.sparkContext.getPersistentRDDs
+    while (persisted.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(persisted.isEmpty,
+      s"leaked caches after release: ${persisted.values.map(_.name)}")
+  }
 }
