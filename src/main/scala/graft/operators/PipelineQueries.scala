@@ -120,28 +120,14 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Winnowing copy-detection (rows-only gate): explode each document's
-    // winnow fingerprints, self-join on fingerprint (inverted-index shape —
-    // an equi-join, the scale path for substring-reuse detection), keep
-    // pairs sharing enough fingerprints.
+    // Winnowing copy-detection (rows-only gate): the inverted-index
+    // fingerprint join with stop-fingerprint cap and Contract.Auto —
+    // on clone-heavy corpora contraction counts df over distinct content
+    // (see Dedup.winnowPairs: the raw cap otherwise LOSES recall, not
+    // just time, once clones inflate df past it).
     "doc_winnow_pairs" -> ((s, d) => {
-      val fps = Tables.documents(s, d)
-        .select(col("doc_id"), explode(
-          winnow_fingerprints(col("text"), shingle = 12, window = 16)).as("fp"))
-        .distinct()
-      // stop-fingerprint cap: a fingerprint in f docs contributes f^2/2
-      // pairs, so frequent (vocabulary-level) fingerprints dominate cost
-      // while carrying no copy signal. Capping document frequency bounds
-      // the join output linearly — the standard inverted-index guard.
-      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select(col("fp"))
-      val pruned = fps.join(broadcast(rare), Seq("fp"))
-      val a = pruned.select(col("doc_id").as("id_a"), col("fp"))
-      val b = pruned.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-      a.join(b, col("fp") === col("fp_b") && col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("shared_fps"))
-        .filter(col("shared_fps") >= 10)
+      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        shingle = 12, window = 16, maxDf = 20, minShared = 10)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -326,13 +312,14 @@ object PipelineQueries {
       // per pair and the pair count grows with clone mass (227k pairs on
       // the 10x-cloned sf1 soak corpus vs 25 at sf0.1 — the cert alone
       // was 181 s of the sf1 bench). Verify a deterministic hash-ordered
-      // 20k-pair sample instead: corpus-stable (not partition-dependent),
-      // includes EVERY pair at driver gate scales, and one violation in
-      // any sampled pair still fails the gate. The (n_docs, n_violations)
-      // contract vs the closed-form oracle is unchanged.
+      // 5k-pair sample instead (~1 ms/pair of shingle-set recompute):
+      // corpus-stable (not partition-dependent), includes EVERY pair at
+      // driver gate scales, and one violation in any sampled pair still
+      // fails the gate. The (n_docs, n_violations) contract vs the
+      // closed-form oracle is unchanged.
       val sampled = pairs
         .orderBy(xxhash64(col("id_a"), col("id_b")), col("id_a"), col("id_b"))
-        .limit(20000)
+        .limit(5000)
       val texts = docs.select(col("doc_id"), col("text"))
       val joined = sampled
         .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")),
@@ -386,19 +373,13 @@ object PipelineQueries {
     // leaves margin for collisions while catching any real unsoundness).
     "doc_winnow_sound" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val fps = docs
-        .select(col("doc_id"), explode(
-          winnow_fingerprints(col("text"), shingle = 12, window = 16)).as("fp"))
-        .distinct()
-      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select(col("fp"))
-      val pruned = fps.join(broadcast(rare), Seq("fp"))
-      val a = pruned.select(col("doc_id").as("id_a"), col("fp"))
-      val b = pruned.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-      val pairs = a.join(b, col("fp") === col("fp_b") && col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("shared_fps"))
-        .filter(col("shared_fps") >= 10)
+      // certify the REAL operator's output (including the contraction
+      // path on duplicate-heavy corpora), on the same deterministic
+      // bounded sample as the minhash certificate
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        shingle = 12, window = 16, maxDf = 20, minShared = 10)
+        .orderBy(xxhash64(col("id_a"), col("id_b")), col("id_a"), col("id_b"))
+        .limit(5000)
       val texts = docs.select(col("doc_id"), col("text"))
       val joined = pairs
         .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")),

@@ -290,6 +290,63 @@ object Dedup {
     expandPairs(repPairs, selfVals, c.members, "hamming")
   }
 
+  /** Winnowing copy-detection pairs (Schleimer/Wilkerson/Aiken-style
+    * fingerprints): explode each document's winnow fingerprints, self-join
+    * on fingerprint (inverted-index shape — an equi-join, the scale path
+    * for substring-reuse detection), keep pairs sharing >= `minShared`.
+    *
+    * The `maxDf` stop-fingerprint cap bounds the join: a fingerprint in f
+    * docs contributes f²/2 pairs, and frequent (vocabulary-level)
+    * fingerprints carry no copy signal. On a clone-heavy corpus the cap
+    * has a RECALL HOLE in the raw path: clones inflate every fingerprint's
+    * document frequency by the clone factor, pushing genuine copy signal
+    * past the cap (at 25+ clones of one doc, ALL its fingerprints exceed
+    * df=20 and the raw path emits zero pairs). Contraction fixes the
+    * semantics, not just the cost: df is counted over DISTINCT content
+    * (what the cap was always meant to measure), clone self-pairs are
+    * recovered by clique expansion with their exact shared count (clones
+    * share every fingerprint), and cross-clique counts are exact by
+    * construction (identical content ⇒ identical fingerprint sets). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 12, window: Int = 16, maxDf: Int = 20,
+      minShared: Int = 10,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    if (!shouldContract(df, col(textCol), contract))
+      return winnowPairsRaw(df, idCol, textCol, shingle, window, maxDf,
+        minShared)
+    val c = contractExact(df, idCol, md5(col(textCol)))
+    val repPairs = winnowPairsRaw(c.reps, idCol, textCol, shingle, window,
+      maxDf, minShared)
+    // identical texts share their ENTIRE distinct-fingerprint set, so a
+    // clone self-pair's shared count = that rep's fingerprint count
+    // (still subject to the minShared floor — short docs stay excluded)
+    val repFpCounts = c.reps
+      .select(col(idCol).as("__rep"), explode(
+        winnow_fingerprints(col(textCol), shingle, window)).as("__fp"))
+      .groupBy(col("__rep"))
+      .agg(countDistinct(col("__fp")).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    val selfVals = cliques(c.members).join(repFpCounts, Seq("__rep"))
+    expandPairs(repPairs, selfVals, c.members, "shared_fps")
+  }
+
+  private def winnowPairsRaw(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int, window: Int, maxDf: Int, minShared: Int): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("__id"), explode(
+        winnow_fingerprints(col(textCol), shingle, window)).as("__fp"))
+      .distinct()
+    val rare = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("__fp"))
+    val pruned = fps.join(broadcast(rare), Seq("__fp"))
+    val a = pruned.select(col("__id").as("id_a"), col("__fp"))
+    val b = pruned.select(col("__id").as("id_b"), col("__fp").as("__fp_b"))
+    a.join(b, col("__fp") === col("__fp_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   private def simhashPairsRaw(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     // persisted narrow (id, 64-bit sig): both legs of the banding

@@ -119,6 +119,33 @@ class PipelineSpec extends SparkFunSuite {
     assert(cnRaw.size >= 435) // C(30,2) within the identical-vector clique
   }
 
+  test("winnow contraction closes the stop-fingerprint recall hole") {
+    // 25 clones of one long doc + 2 distinct docs. Raw path: every clone
+    // fingerprint has df=25 > maxDf=20, so the cap drops ALL copy signal
+    // and zero pairs come back — a genuine recall hole, not a cost issue.
+    // Contraction counts df over distinct content (df=1), recovers every
+    // clone pair via clique expansion, and the shared count is the rep's
+    // exact fingerprint-set size on every pair of the clique.
+    val baseText = ("winnowing detects copied passages by fingerprinting " +
+      "every window of shingles and keeping the minimum hash of each " +
+      "window across the normalized document text for robust matching")
+    val rows = (0 until 25).map(i => (100L + i, baseText)) ++ Seq(
+      (900L, "completely different content about broadcast joins and parquet"),
+      (901L, "another unrelated document concerning shuffle partitions"))
+    val df = rows.toDF("doc_id", "text")
+    val raw = Dedup.winnowPairs(df, "doc_id", "text",
+      contract = Dedup.Contract.Off)
+    assert(raw.count() === 0, "expected the raw cap to drop all clone pairs")
+    // Auto must probe duplicate-heavy (3 distinct / 27 rows) and contract
+    val con = Dedup.winnowPairs(df, "doc_id", "text")
+      .select("id_a", "id_b", "shared_fps")
+      .as[(Long, Long, Long)].collect()
+    assert(con.length === 25 * 24 / 2, s"got ${con.length} pairs")
+    // every clone pair shares the identical (rep-level) fingerprint count
+    assert(con.map(_._3).distinct.length === 1)
+    assert(con.forall { case (a, b, n) => a >= 100L && b < 900L && n >= 10 })
+  }
+
   test("cosine near-dup: all-zero vectors (NaN sim) are excluded on every path") {
     // Spark orders NaN above every number, so `sim >= threshold` alone
     // would EMIT zero-vector pairs; the explicit !isnan guard must drop
