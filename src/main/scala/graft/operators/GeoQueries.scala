@@ -191,23 +191,27 @@ object GeoQueries {
     // (a regular 32-gon), whose area has the closed form
     // 0.5 * 32 * r^2 * sin(2*pi/32) — the oracle computes exactly that.
     "geo_buffer_area" -> ((s, d) => {
+      // top-k BEFORE the buffer: the ORDER BY is on the key, so the
+      // gate's 400 output rows are decided by a narrow TakeOrdered and
+      // JTS buffers run on 400 rows, not the corpus (at sf1 the
+      // buffer-everything plan was 3 s for 400 output rows)
       GeoSynth.points(s, d)
+        .orderBy(col("c_custkey")).limit(400)
         .withColumn("r", lit(0.1) + (col("c_custkey") % 5) * 0.1)
         .select(col("c_custkey"),
           Det.r(G.st_area(G.st_buffer(col("geom"), col("r"))), 6).as("buf_area"),
           Det.r(G.st_length(G.st_buffer(col("geom"), col("r"))), 6).as("buf_perim"))
-        .orderBy(col("c_custkey")).limit(400)
     }),
 
     // WKT writer/reader round-trip: text out, parse back, coordinates must
     // survive exactly (differential on the codec, not on geometry math).
     "geo_wkt_roundtrip" -> ((s, d) => {
       GeoSynth.points(s, d)
+        .orderBy(col("c_custkey")).limit(500) // codec runs on kept rows only
         .withColumn("back", G.st_geomfromtext(G.st_astext(col("geom"))))
         .select(col("c_custkey"),
           G.st_x(col("back")).as("x"), G.st_y(col("back")).as("y"),
           G.st_geometrytype(col("back")).as("gt"))
-        .orderBy(col("c_custkey")).limit(500)
     }),
 
     // J2: line-polygon intersect join. Lines synthesized horizontal
@@ -388,12 +392,11 @@ object GeoQueries {
     // parses but never applies — SURVEY §1.4).
     "geo_transform" -> ((s, d) => {
       GeoSynth.points(s, d)
+        .orderBy(col("c_custkey")).limit(500) // reproject kept rows only
         .withColumn("merc", G.st_transform(col("geom"), lit(4326), lit(3857)))
         .select(col("c_custkey"),
           Det.r(G.st_x(col("merc")), 4).as("mx"),
           Det.r(G.st_y(col("merc")), 4).as("my"))
-        .orderBy(col("c_custkey"))
-        .limit(500)
     }),
 
     // UTM reprojection: each point is projected into its NATURAL zone
@@ -402,6 +405,7 @@ object GeoQueries {
     // round-trip inverse is ScalaTest-gated (GeoSpec).
     "geo_utm" -> ((s, d) => {
       GeoSynth.points(s, d)
+        .orderBy(col("c_custkey")).limit(500) // reproject kept rows only
         .withColumn("zone",
           (floor((col("lon") + 180.0) / 6.0) + 1).cast("int"))
         .withColumn("utm", G.st_transform(col("geom"), lit(4326),
@@ -409,8 +413,6 @@ object GeoQueries {
         .select(col("c_custkey"), col("zone").cast("long").as("zone"),
           Det.r(G.st_x(col("utm")), 4).as("e"),
           Det.r(G.st_y(col("utm")), 4).as("n"))
-        .orderBy(col("c_custkey"))
-        .limit(500)
     }))
 
   private def P = GeoSynth.oraclePrelude

@@ -56,19 +56,26 @@ object Dedup {
     * ([[Caches]]) and evicted independently. A new Iceberg snapshot
     * resolves to a new scan plan, so staleness follows snapshot
     * pinning, not wall-clock. */
+  // BOXED value type: with a primitive Double the absent-key null unboxes
+  // to 0.0 and a `!= null` guard on a primitive is vacuously true — the
+  // probe would silently return ratio 0.0 for every miss and force
+  // contraction on every corpus (caught by the memoization spec).
   private val ratioCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), Double]()
-  private def distinctRatio(df: DataFrame, key: Column): Double = {
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), java.lang.Double]()
+  /** Test hook: the memoization is useless if semantically-equal plans
+    * hash differently across `spark.read` calls — asserted in spec. */
+  private[graft] def ratioCacheSize: Int = ratioCache.size()
+  private[pipeline] def distinctRatio(df: DataFrame, key: Column): Double = {
     val cacheKey =
       (df.queryExecution.analyzed.semanticHash().toLong, key.toString)
     val cached = ratioCache.get(cacheKey)
-    if (cached != null) return cached
+    if (cached != null) return cached.doubleValue()
     val r = df.agg(count(lit(1)).as("n"),
       approx_count_distinct(key).as("d")).head()
     val n = r.getLong(0)
     val ratio = if (n == 0L) 1.0 else r.getLong(1).toDouble / n
     if (ratioCache.size >= 4096) ratioCache.clear() // bounded, tiny entries
-    ratioCache.put(cacheKey, ratio)
+    ratioCache.put(cacheKey, java.lang.Double.valueOf(ratio))
     ratio
   }
 
@@ -332,10 +339,14 @@ object Dedup {
 
   private def winnowPairsRaw(df: DataFrame, idCol: String, textCol: String,
       shingle: Int, window: Int, maxDf: Int, minShared: Int): DataFrame = {
-    val fps = df
+    // persisted narrow (id, fp): the df aggregate and BOTH self-join legs
+    // read it — unpersisted, each would recompute the winnow-fingerprint
+    // pass (a rolling-min over every 12-gram of the corpus text) from
+    // source. Tracked in [[Caches]], evicted by the caller's release().
+    val fps = Caches.persistTracked(df
       .select(col(idCol).as("__id"), explode(
         winnow_fingerprints(col(textCol), shingle, window)).as("__fp"))
-      .distinct()
+      .distinct())
     val rare = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select(col("__fp"))
     val pruned = fps.join(broadcast(rare), Seq("__fp"))

@@ -204,11 +204,10 @@ object Similarity {
       case Dedup.Contract.Off => false
       case Dedup.Contract.On => true
       case Dedup.Contract.Auto(maxRatio) =>
-        // probe the RAW vector column: approx_count_distinct hashes
-        // array<float> natively — no per-row string render + md5
-        val r = df.agg(count(lit(1)).as("n"),
-          approx_count_distinct(col(vecCol)).as("d")).head()
-        r.getLong(0) > 0L && r.getLong(1).toDouble / r.getLong(0) <= maxRatio
+        // probe the RAW vector column (approx_count_distinct hashes
+        // array<float> natively — no per-row string render + md5),
+        // memoized per canonicalized plan like the text probes
+        Dedup.distinctRatio(df, col(vecCol)) <= maxRatio
     }
     if (!doContract)
       return cosineNearDupPairsRaw(df, idCol, vecCol, dim, threshold, bits,

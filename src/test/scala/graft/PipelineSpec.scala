@@ -446,6 +446,21 @@ class PipelineSpec extends SparkFunSuite {
         a.getSeq[Float](0) == b.getSeq[Float](0) })
   }
 
+  test("duplicate-ratio probe memoizes across fresh reads of the same table") {
+    val n0 = Dedup.ratioCacheSize
+    // two SEPARATE spark.read plans over the same parquet — the probe
+    // must run once, not once per DataFrame instance
+    Dedup.minhashPairs(Tables.documents(spark, sf("sf0.001")),
+      "doc_id", "text").count()
+    val n1 = Dedup.ratioCacheSize
+    Dedup.minhashPairs(Tables.documents(spark, sf("sf0.001")),
+      "doc_id", "text").count()
+    val n2 = Dedup.ratioCacheSize
+    assert(n1 - n0 === 1, s"first call added ${n1 - n0} entries")
+    assert(n2 === n1, s"second call over the same table re-probed " +
+      s"(cache ${n1} -> ${n2}) — semanticHash unstable across reads")
+  }
+
   test("Caches.release evicts every internal persist (serving stability)") {
     // the round-6 #8 contract: a serving session running near-dup queries
     // and releasing at request boundaries must not accumulate cache
