@@ -456,9 +456,14 @@ class PipelineSpec extends SparkFunSuite {
     Dedup.minhashPairs(Tables.documents(spark, sf("sf0.001")),
       "doc_id", "text").count()
     val n2 = Dedup.ratioCacheSize
-    assert(n1 - n0 === 1, s"first call added ${n1 - n0} entries")
+    // <= 1 (not == 1): an earlier test in the suite may already have
+    // probed this table, which is itself the memoization working
+    assert(n1 - n0 <= 1, s"first call added ${n1 - n0} entries")
     assert(n2 === n1, s"second call over the same table re-probed " +
       s"(cache ${n1} -> ${n2}) — semanticHash unstable across reads")
+    // and the cache must actually hold something for the hit to mean
+    // anything (guards against the probe silently not running at all)
+    assert(n2 >= 1)
   }
 
   test("Caches.release evicts every internal persist (serving stability)") {
