@@ -50,7 +50,12 @@ final class RequestGate(maxConcurrent: Int = 4) {
     try body
     finally {
       sc.setLocalProperty("spark.scheduler.pool", null)
-      active.decrementAndGet()
+      // evict the pipeline operators' tracked persists at DRAIN points
+      // (last active request completing): bounded cache accumulation for
+      // a serving session without evicting under a concurrently running
+      // request's feet in the common case (release is safe either way —
+      // Spark recomputes from lineage)
+      if (active.decrementAndGet() == 0) graft.pipeline.Caches.release()
       permits.release()
     }
   }

@@ -152,6 +152,9 @@ object SpatialJoin {
             .distance(geomOf(b.getItem.asInstanceOf[AnyRef]))
       }
       it.flatMap { lrow =>
+        // empty right side: no neighbours (querying an empty STRtree for
+        // the dK index would throw; pre-grouping code returned no rows)
+        if (geoms.isEmpty) Seq.empty[Row] else {
         val lg = GeoIO.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
         // Adaptive tie-complete fetch: STRtree's m-NN picks arbitrarily
         // among equal distances, so if the FARTHEST fetched distance
@@ -185,6 +188,7 @@ object SpatialJoin {
           .map { case (d, idx) =>
             Row.fromSeq(lrow.toSeq ++ rows(idx).toSeq :+ d)
           }
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.DataFrame
   * [[release]] after each query/request — instead of an unbounded
   * cache accumulation across a long-running serving session
   * (round-6 verdict #8). Verify/Bench release after every query;
-  * Serve releases at request end.
+  * serving sessions release at RequestGate drain points (the last
+  * active request completing — api/RequestGate.scala).
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

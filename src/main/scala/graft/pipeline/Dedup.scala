@@ -65,6 +65,14 @@ object Dedup {
   /** Test hook: the memoization is useless if semantically-equal plans
     * hash differently across `spark.read` calls — asserted in spec. */
   private[graft] def ratioCacheSize: Int = ratioCache.size()
+
+  /** Drop all memoized duplicate-ratio statistics. Needed ONLY when data
+    * at a previously probed PATH is overwritten in place: the cache key
+    * canonicalizes to root paths, so a same-path overwrite would reuse
+    * the old ratio (and could mis-pick the contraction path). Snapshot
+    * or partition-append workflows never need this — a new snapshot pin
+    * resolves to a new scan plan and misses the cache naturally. */
+  def invalidateStats(): Unit = ratioCache.clear()
   private[pipeline] def distinctRatio(df: DataFrame, key: Column): Double = {
     val cacheKey =
       (df.queryExecution.analyzed.semanticHash().toLong, key.toString)
@@ -320,25 +328,30 @@ object Dedup {
       contract: Contract = Contract.Auto()): DataFrame = {
     if (!shouldContract(df, col(textCol), contract))
       return winnowPairsRaw(df, idCol, textCol, shingle, window, maxDf,
-        minShared)
+        minShared)._1
     val c = contractExact(df, idCol, md5(col(textCol)))
-    val repPairs = winnowPairsRaw(c.reps, idCol, textCol, shingle, window,
-      maxDf, minShared)
-    // identical texts share their ENTIRE distinct-fingerprint set, so a
-    // clone self-pair's shared count = that rep's fingerprint count
-    // (still subject to the minShared floor — short docs stay excluded)
-    val repFpCounts = c.reps
-      .select(col(idCol).as("__rep"), explode(
-        winnow_fingerprints(col(textCol), shingle, window)).as("__fp"))
-      .groupBy(col("__rep"))
-      .agg(countDistinct(col("__fp")).as("shared_fps"))
+    val (repPairs, prunedFps) = winnowPairsRaw(c.reps, idCol, textCol,
+      shingle, window, maxDf, minShared)
+    // identical texts share their ENTIRE fingerprint set, so a clone
+    // self-pair's shared count = that rep's fingerprint count — counted
+    // over the SAME capped relation the cross-pairs join (a stop
+    // fingerprint excluded from cross-pair counts must not inflate
+    // self-pair counts either); the minShared floor still applies, so
+    // short docs stay excluded
+    val repFpCounts = prunedFps
+      .groupBy(col("__id").as("__rep"))
+      .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
     val selfVals = cliques(c.members).join(repFpCounts, Seq("__rep"))
     expandPairs(repPairs, selfVals, c.members, "shared_fps")
   }
 
+  /** Returns (pairs, pruned (id, fp) relation after the df cap) — the
+    * contracted path derives clone self-pair counts from the same capped
+    * relation so cap semantics are uniform across pair kinds. */
   private def winnowPairsRaw(df: DataFrame, idCol: String, textCol: String,
-      shingle: Int, window: Int, maxDf: Int, minShared: Int): DataFrame = {
+      shingle: Int, window: Int, maxDf: Int,
+      minShared: Int): (DataFrame, DataFrame) = {
     // persisted narrow (id, fp): the df aggregate and BOTH self-join legs
     // read it — unpersisted, each would recompute the winnow-fingerprint
     // pass (a rolling-min over every 12-gram of the corpus text) from
@@ -352,10 +365,12 @@ object Dedup {
     val pruned = fps.join(broadcast(rare), Seq("__fp"))
     val a = pruned.select(col("__id").as("id_a"), col("__fp"))
     val b = pruned.select(col("__id").as("id_b"), col("__fp").as("__fp_b"))
-    a.join(b, col("__fp") === col("__fp_b") && col("id_a") < col("id_b"))
+    val pairs = a.join(b,
+        col("__fp") === col("__fp_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+    (pairs, pruned)
   }
 
   private def simhashPairsRaw(df: DataFrame, idCol: String, textCol: String,

@@ -266,7 +266,12 @@ object Similarity {
     * (carrying them would push ~`tables`× the corpus vector bytes
     * through the wire before any pruning). Vectors re-attach by id for
     * the deduped candidates only, exactly the
-    * [[cosineNearDupPairsRaw]] shape. */
+    * [[cosineNearDupPairsRaw]] shape.
+    *
+    * Precondition: `idCol` is unique on both sides (it is the join key
+    * the vectors re-attach by). A duplicated id would fan the deduped
+    * candidate pair back out through the re-attach joins and the copies
+    * would consume top-k slots. */
   def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {

@@ -198,7 +198,14 @@ object EsriPbf {
         writeFields(fr, attrFields.map(_._1).toSeq)
         rows.iterator.zipWithIndex.foreach { case (row, ri) =>
           fr.message(15) { feat => // Feature
-            writeValue(feat, row.get(oidIdx), LongType)
+            // OID always serializes as esri int64 (proto field 6): an
+            // IntegerType __oid (e.g. a row_number-assigned oid) would
+            // otherwise dispatch on its runtime class into sint32 field 4
+            // and every decoder keyed on the OID field would drop the row
+            writeValue(feat, row.get(oidIdx) match {
+              case n: Number => n.longValue()
+              case other => other
+            }, LongType)
             attrFields.foreach { case (f, i) => writeValue(feat, row.get(i), f.dataType) }
             if (hasGeom && geoms(ri) != null)
               writeGeometry(feat, 2, geoms(ri), tx, ty, sx, sy)
