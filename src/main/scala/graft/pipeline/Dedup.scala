@@ -312,16 +312,22 @@ object Dedup {
     *
     * The `maxDf` stop-fingerprint cap bounds the join: a fingerprint in f
     * docs contributes f²/2 pairs, and frequent (vocabulary-level)
-    * fingerprints carry no copy signal. On a clone-heavy corpus the cap
-    * has a RECALL HOLE in the raw path: clones inflate every fingerprint's
-    * document frequency by the clone factor, pushing genuine copy signal
-    * past the cap (at 25+ clones of one doc, ALL its fingerprints exceed
-    * df=20 and the raw path emits zero pairs). Contraction fixes the
-    * semantics, not just the cost: df is counted over DISTINCT content
-    * (what the cap was always meant to measure), clone self-pairs are
-    * recovered by clique expansion with their exact shared count (clones
-    * share every fingerprint), and cross-clique counts are exact by
-    * construction (identical content ⇒ identical fingerprint sets). */
+    * fingerprints carry no copy signal. The cap's df is counted over
+    * DISTINCT content on BOTH paths (what a stop-fingerprint cap was
+    * always meant to measure): counting raw rows instead has a RECALL
+    * HOLE — clones inflate every fingerprint's document frequency by the
+    * clone factor, pushing genuine copy signal past the cap (at 25+
+    * clones of one doc, ALL its fingerprints exceed df=20 and a
+    * row-counted cap emits zero pairs). Round 7 fixed this only on the
+    * contracted path; a mostly-distinct corpus with ONE localized clone
+    * group (ratio above Auto's cutoff, so Auto stays raw) hit the same
+    * hole relocated — so the raw path now counts df over distinct
+    * content too, and the contraction decision is back to being purely
+    * a COST policy, never a semantics change. Contraction additionally
+    * recovers clone self-pairs by clique expansion with their exact
+    * shared count (clones share every fingerprint), and cross-clique
+    * counts are exact by construction (identical content ⇒ identical
+    * fingerprint sets). */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 12, window: Int = 16, maxDf: Int = 20,
       minShared: Int = 10,
@@ -352,17 +358,33 @@ object Dedup {
   private def winnowPairsRaw(df: DataFrame, idCol: String, textCol: String,
       shingle: Int, window: Int, maxDf: Int,
       minShared: Int): (DataFrame, DataFrame) = {
-    // persisted narrow (id, fp): the df aggregate and BOTH self-join legs
-    // read it — unpersisted, each would recompute the winnow-fingerprint
-    // pass (a rolling-min over every 12-gram of the corpus text) from
-    // source. Tracked in [[Caches]], evicted by the caller's release().
+    // persisted narrow (id, content-key, fp): the df aggregate and BOTH
+    // self-join legs read it — unpersisted, each would recompute the
+    // winnow-fingerprint pass (a rolling-min over every 12-gram of the
+    // corpus text) from source. Tracked in [[Caches]], evicted by the
+    // caller's release(). The content key rides along (8 bytes/row) so
+    // the cap can count df over DISTINCT content; an xxhash64 collision
+    // merges two contents' counts, which only LOWERS a df (keeps a
+    // fingerprint the exact count might have capped) — recall-safe, and
+    // the cap is a cost heuristic on that side.
     val fps = Caches.persistTracked(df
-      .select(col(idCol).as("__id"), explode(
-        winnow_fingerprints(col(textCol), shingle, window)).as("__fp"))
+      .select(col(idCol).as("__id"), xxhash64(col(textCol)).as("__ck"),
+        explode(
+          winnow_fingerprints(col(textCol), shingle, window)).as("__fp"))
       .distinct())
-    val rare = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select(col("__fp"))
-    val pruned = fps.join(broadcast(rare), Seq("__fp"))
+    // df over distinct content: on the contracted path the input is
+    // already one rep per content so this equals the plain row count;
+    // on the raw path it is what makes the cap clone-proof.
+    // Broadcast the STOP set (df > maxDf) and anti-join — stop
+    // fingerprints are FEW by construction (vocabulary-level n-grams),
+    // while the rare side is ~the whole fingerprint vocabulary;
+    // broadcasting the rare side (rounds 5-7) had the sides backwards
+    // for a 100 TB corpus.
+    val stop = fps.groupBy(col("__fp"))
+      .agg(countDistinct(col("__ck")).as("__df"))
+      .filter(col("__df") > maxDf).select(col("__fp"))
+    val pruned = fps.select(col("__id"), col("__fp"))
+      .join(broadcast(stop), Seq("__fp"), "left_anti")
     val a = pruned.select(col("__id").as("id_a"), col("__fp"))
     val b = pruned.select(col("__id").as("id_b"), col("__fp").as("__fp_b"))
     val pairs = a.join(b,

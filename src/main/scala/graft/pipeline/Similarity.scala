@@ -175,6 +175,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** [[bruteNearDupPairs]] over a deterministic bounded id-slice — the
+    * form a brute O(n²) ORACLE is allowed to take at scale (round-7
+    * verdict #2: the uncapped oracle was 80.8 s of the 163.6 s sf1 soak —
+    * a gate suite whose wall is half oracle measures the oracle, not the
+    * engine; at sf10 it would be ~130 min).
+    *
+    * When the corpus has at most `maxRows` rows (every driver gate SF)
+    * the slice is the WHOLE corpus and this is exactly
+    * [[bruteNearDupPairs]]. Above that, one cheap count() picks
+    * `step = n / maxRows` and the slice keeps ids ≡ 0 (mod step) —
+    * closed-form and engine-agnostic, so a SQL oracle reproduces the
+    * identical slice with `id % greatest(1, count(*) // maxRows) = 0`
+    * (no engine-specific hash function, no sampling RNG). The soundness
+    * contract is unchanged: the slice is deterministic, spans the whole
+    * id range (clone copies at any key shift land uniformly), and the
+    * LSH scale path is cross-checked against the brute values on the
+    * same slice (PipelineSpec). */
+  def bruteNearDupPairsSliced(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxRows: Long = 2048L): DataFrame = {
+    val step = math.max(1L, df.count() / maxRows)
+    bruteNearDupPairs(
+      if (step == 1L) df else df.filter(col(idCol) % step === 0L),
+      idCol, vecCol, threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed — the scale
     * path: candidates are rows sharing a hyperplane-LSH bucket in any of
     * `tables` independent tables (equi-join on (table, bucket) — only

@@ -119,13 +119,14 @@ class PipelineSpec extends SparkFunSuite {
     assert(cnRaw.size >= 435) // C(30,2) within the identical-vector clique
   }
 
-  test("winnow contraction closes the stop-fingerprint recall hole") {
-    // 25 clones of one long doc + 2 distinct docs. Raw path: every clone
-    // fingerprint has df=25 > maxDf=20, so the cap drops ALL copy signal
-    // and zero pairs come back — a genuine recall hole, not a cost issue.
-    // Contraction counts df over distinct content (df=1), recovers every
-    // clone pair via clique expansion, and the shared count is the rep's
-    // exact fingerprint-set size on every pair of the clique.
+  test("winnow df cap counts distinct content on BOTH paths (no recall hole)") {
+    // 25 clones of one long doc + 2 distinct docs. With a row-counted cap
+    // (rounds <= 7, raw path) every clone fingerprint had df=25 > maxDf=20
+    // and the cap dropped ALL copy signal — a recall hole, not a cost
+    // issue. The cap now counts df over DISTINCT content (df=1 here) on
+    // the raw path too, so both paths recover every clone pair with the
+    // rep's exact fingerprint-set size as the shared count, and the
+    // contraction decision is purely cost.
     val baseText = ("winnowing detects copied passages by fingerprinting " +
       "every window of shingles and keeping the minimum hash of each " +
       "window across the normalized document text for robust matching")
@@ -133,17 +134,82 @@ class PipelineSpec extends SparkFunSuite {
       (900L, "completely different content about broadcast joins and parquet"),
       (901L, "another unrelated document concerning shuffle partitions"))
     val df = rows.toDF("doc_id", "text")
+    val expected = 25 * 24 / 2
+    for (policy <- Seq[Dedup.Contract](Dedup.Contract.Off, Dedup.Contract.On,
+        Dedup.Contract.Auto())) {
+      val got = Dedup.winnowPairs(df, "doc_id", "text", contract = policy)
+        .select("id_a", "id_b", "shared_fps")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length === expected, s"policy $policy got ${got.length} pairs")
+      // every clone pair shares the identical (rep-level) fingerprint count
+      assert(got.map(_._3).distinct.length === 1, s"policy $policy")
+      assert(got.forall { case (a, b, n) => a >= 100L && b < 900L && n >= 10 },
+        s"policy $policy")
+    }
+  }
+
+  test("winnow raw path keeps a localized clone group in a distinct-heavy corpus") {
+    // The ADVICE round-7 regression case: 30 clones among ~1000 distinct
+    // docs. The global distinct ratio (~0.97) is above Auto's 0.95 cutoff,
+    // so Auto stays on the raw path — which must STILL emit the clone
+    // pairs now that df is counted over distinct content there too.
+    val baseText = ("a sufficiently long copied passage that the winnow " +
+      "fingerprinting pipeline can index reliably across every window " +
+      "position of the normalized text for copy detection purposes")
+    val distinct = (0 until 1000).map(i =>
+      (i.toLong, s"unique filler document number $i talking about topic " +
+        s"${i * 37} with extra distinct content ${i * 101} and more text " +
+        s"padding ${i * 13} to clear the minimum shared fingerprint floor"))
+    val clones = (0 until 30).map(i => (5000L + i, baseText))
+    val df = (distinct ++ clones).toDF("doc_id", "text")
+    // sanity: Auto must pick the RAW path here (ratio ~0.97 > 0.95)
+    val auto = Dedup.winnowPairs(df, "doc_id", "text")
+      .filter(col("id_a") >= 5000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(auto.length === 30 * 29 / 2, s"got ${auto.length} clone pairs")
+    // and explicitly-raw matches explicitly-contracted on the full output
     val raw = Dedup.winnowPairs(df, "doc_id", "text",
-      contract = Dedup.Contract.Off)
-    assert(raw.count() === 0, "expected the raw cap to drop all clone pairs")
-    // Auto must probe duplicate-heavy (3 distinct / 27 rows) and contract
-    val con = Dedup.winnowPairs(df, "doc_id", "text")
-      .select("id_a", "id_b", "shared_fps")
-      .as[(Long, Long, Long)].collect()
-    assert(con.length === 25 * 24 / 2, s"got ${con.length} pairs")
-    // every clone pair shares the identical (rep-level) fingerprint count
-    assert(con.map(_._3).distinct.length === 1)
-    assert(con.forall { case (a, b, n) => a >= 100L && b < 900L && n >= 10 })
+      contract = Dedup.Contract.Off).select("id_a", "id_b", "shared_fps")
+      .as[(Long, Long, Long)].collect().toSet
+    val con = Dedup.winnowPairs(df, "doc_id", "text",
+      contract = Dedup.Contract.On).select("id_a", "id_b", "shared_fps")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(raw === con)
+  }
+
+  test("sliced brute near-dup: exact slice semantics + LSH cross-check on the slice") {
+    val r = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(r.nextFloat() - 0.5f)
+    val v0 = vec()
+    // 1100 rows; ids 0 and 100 are clones (both ≡ 0 mod the step below)
+    val rows = Seq((0L, v0), (100L, v0.clone())) ++
+      (1L until 1100L).filter(_ != 100L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    // n=1100, maxRows=256 → step = 4; slice = ids ≡ 0 (mod 4)
+    val sliced = Similarity.bruteNearDupPairsSliced(df, "vec_id", "embedding",
+      threshold = 0.9, maxRows = 256L)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    val manual = Similarity.bruteNearDupPairs(
+      df.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      threshold = 0.9)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(sliced === manual)
+    assert(sliced.exists { case (a, b, _) => a == 0L && b == 100L })
+    // LSH scale path on the SAME slice: sound (subset with equal sims)
+    // and recovers the planted clone pair at the near-dup threshold
+    val lsh = Similarity.cosineNearDupPairs(df.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", dim = 64, threshold = 0.9, bits = 4, tables = 8)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(sliced), s"LSH emitted pairs outside brute: ${lsh.diff(sliced)}")
+    assert(lsh.exists { case (a, b, _) => a == 0L && b == 100L })
+    // at or below maxRows the slice is the whole corpus
+    val small = df.filter(col("vec_id") < 200)
+    val wholeSliced = Similarity.bruteNearDupPairsSliced(small, "vec_id",
+      "embedding", threshold = 0.9, maxRows = 256L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val whole = Similarity.bruteNearDupPairs(small, "vec_id", "embedding",
+      threshold = 0.9).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wholeSliced === whole)
   }
 
   test("cosine near-dup: all-zero vectors (NaN sim) are excluded on every path") {
