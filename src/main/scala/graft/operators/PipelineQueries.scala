@@ -242,14 +242,15 @@ object PipelineQueries {
     // dedup family next to exact/fingerprint/minhash/simhash). Threshold
     // sits below the synthetic corpus' max pairwise cosine so the gate is
     // non-empty at every SF; membership compares the Det-rounded sim.
-    // Declared O(n²): above 2048 corpus rows (i.e. at soak scale — every
-    // driver gate SF passes whole) the gate runs on a deterministic
-    // id-slice mirrored exactly by the SQL oracle, so the soak measures
-    // the engine, not its oracle; emb_neardup_lsh stays the full-corpus
-    // scale path.
+    // Declared O(n²): above ~1000 corpus rows the gate runs on a
+    // deterministic id-slice mirrored exactly by the SQL oracle — the
+    // oracle's cost is then CONSTANT in corpus size (~0.5M pairs) at
+    // every SF instead of half the soak wall (round-7 verdict #2);
+    // sf0.01, the driver's correctness gate, still verifies the whole
+    // corpus, and emb_neardup_lsh stays the full-corpus scale path.
     "emb_neardup" -> ((s, d) => {
       Similarity.bruteNearDupPairsSliced(Tables.embeddings(s, d),
-        "vec_id", "embedding", threshold = 0.42, maxRows = 2048L)
+        "vec_id", "embedding", threshold = 0.42, maxRows = 1000L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -695,7 +696,7 @@ object PipelineQueries {
          max(CAST(doc_id % 30 AS INTEGER) + 1) AS max_frames
          FROM documents GROUP BY 1 ORDER BY src_bucket""",
     "emb_neardup" ->
-      """WITH st AS (SELECT greatest(1, count(*) // 2048) AS step
+      """WITH st AS (SELECT greatest(1, count(*) // 1000) AS step
                      FROM embeddings),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                FROM embeddings, st WHERE vec_id % st.step = 0)

@@ -193,7 +193,7 @@ object Similarity {
     * LSH scale path is cross-checked against the brute values on the
     * same slice (PipelineSpec). */
   def bruteNearDupPairsSliced(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, maxRows: Long = 2048L): DataFrame = {
+      threshold: Double, maxRows: Long = 1000L): DataFrame = {
     val step = math.max(1L, df.count() / maxRows)
     bruteNearDupPairs(
       if (step == 1L) df else df.filter(col(idCol) % step === 0L),
