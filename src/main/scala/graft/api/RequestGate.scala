@@ -54,7 +54,10 @@ final class RequestGate(maxConcurrent: Int = 4) {
       // (last active request completing): bounded cache accumulation for
       // a serving session without evicting under a concurrently running
       // request's feet in the common case (release is safe either way —
-      // Spark recomputes from lineage)
+      // Spark recomputes from lineage). A busy session that NEVER drains
+      // (continuously overlapping requests) is still bounded: Caches
+      // itself evicts FIFO past Caches.maxTracked registrations
+      // (round-7 verdict #4 — drain points alone starve under load).
       if (active.decrementAndGet() == 0) graft.pipeline.Caches.release()
       permits.release()
     }

@@ -402,14 +402,21 @@ object GeoQueries {
     // UTM reprojection: each point is projected into its NATURAL zone
     // (pts span zones 11-19), E/N rounded to 0.1 mm. The oracle runs the
     // identical Krueger series in SQL (see oracleSql below); the
-    // round-trip inverse is ScalaTest-gated (GeoSpec).
+    // round-trip inverse is ScalaTest-gated (GeoSpec). Zone selection
+    // mirrors Utm.sridFor exactly: clamped to [1, 60] (lon = 180 would
+    // otherwise yield zone 61 → SRID 32661, which st_transform rejects)
+    // and hemisphere picked by lat sign — on the synth layout (lon in
+    // [-120, -70], lat > 0) neither branch engages, but the gate can no
+    // longer throw if the layout drifts.
     "geo_utm" -> ((s, d) => {
       GeoSynth.points(s, d)
         .orderBy(col("c_custkey")).limit(500) // reproject kept rows only
         .withColumn("zone",
-          (floor((col("lon") + 180.0) / 6.0) + 1).cast("int"))
+          least(greatest(floor((col("lon") + 180.0) / 6.0) + 1, lit(1)),
+            lit(60)).cast("int"))
         .withColumn("utm", G.st_transform(col("geom"), lit(4326),
-          (lit(32600) + col("zone")).cast("int")))
+          (when(col("lat") < 0, lit(32700)).otherwise(lit(32600))
+            + col("zone")).cast("int")))
         .select(col("c_custkey"), col("zone").cast("long").as("zone"),
           Det.r(G.st_x(col("utm")), 4).as("e"),
           Det.r(G.st_y(col("utm")), 4).as("n"))
@@ -570,10 +577,11 @@ object GeoQueries {
     val tsn = c(Utm.twoSqrtN)
     val k0A = s"(${c(Utm.k0)} * ${c(Utm.A)})"
     s"""$P, u AS (
-          SELECT c_custkey, lat * pi() / 180.0 AS phi,
-                 CAST(floor((lon + 180.0) / 6.0) + 1 AS BIGINT) AS zone,
-                 (lon - (floor((lon + 180.0) / 6.0) + 1) * 6.0 + 183.0)
-                   * pi() / 180.0 AS dlam
+          SELECT c_custkey, lat, lat * pi() / 180.0 AS phi,
+                 CAST(least(greatest(floor((lon + 180.0) / 6.0) + 1, 1), 60)
+                   AS BIGINT) AS zone,
+                 (lon - least(greatest(floor((lon + 180.0) / 6.0) + 1, 1), 60)
+                   * 6.0 + 183.0) * pi() / 180.0 AS dlam
           FROM pts),
         t1 AS (
           SELECT *, 0.5 * ln((1.0 + sin(phi)) / (1.0 - sin(phi)))
@@ -597,7 +605,9 @@ object GeoQueries {
           FROM t3)
         SELECT c_custkey, zone,
           ${Det.rsql(s"500000.0 + $k0A * eta", 4)} AS e,
-          ${Det.rsql(s"$k0A * xi", 4)} AS n
+          ${Det.rsql(
+            s"(CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END) + $k0A * xi",
+            4)} AS n
         FROM t4 ORDER BY c_custkey LIMIT 500"""
   }
 }

@@ -1,5 +1,8 @@
 package graft.pipeline
 
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.DataFrame
 
 /** Registry for the pipeline operators' internal `persist()` calls
@@ -14,14 +17,47 @@ import org.apache.spark.sql.DataFrame
   * (round-6 verdict #8). Verify/Bench release after every query;
   * serving sessions release at RequestGate drain points (the last
   * active request completing — api/RequestGate.scala).
+  *
+  * Drain points alone are NOT sufficient for a busy server: a session
+  * with continuously overlapping requests never sees `active == 0`, so
+  * tracked persists would accumulate for its whole lifetime exactly
+  * when it is busiest (round-7 verdict #4). [[persistTracked]] therefore
+  * also enforces a size bound itself — once more than [[maxTracked]]
+  * registrations accumulate without a drain, the OLDEST are unpersisted
+  * FIFO (oldest ≈ the caches whose callers' actions have long since
+  * completed). Unpersisting under a still-running plan is safe — Spark
+  * falls back to recomputing from lineage — so the bound trades
+  * worst-case recompute for guaranteed-bounded storage memory.
   */
 object Caches {
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  // ConcurrentLinkedQueue.size() is O(n); keep the count alongside.
+  private val n = new AtomicInteger(0)
 
-  /** Persist `df` and register it for the next [[release]]. */
+  /** Size bound for the no-drain-point fallback. A near-dup gate query
+    * registers ≤4 caches, each a narrow projection ≪ its input; 32
+    * in-flight registrations comfortably covers `maxConcurrent`
+    * overlapping requests while capping a busy session's storage
+    * footprint. */
+  @volatile private[graft] var maxTracked: Int = 32
+
+  /** Caches currently registered (monitoring / specs). */
+  def trackedCount: Int = n.get()
+
+  /** Persist `df` and register it for the next [[release]] — evicting
+    * the oldest registrations first if the registry exceeds
+    * [[maxTracked]] (the busy-session fallback described above). */
   private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
     tracked.add(p)
+    n.incrementAndGet()
+    while (n.get() > maxTracked) {
+      val old = tracked.poll()
+      if (old != null) {
+        n.decrementAndGet()
+        old.unpersist(blocking = false)
+      } else return p // racing release() already drained
+    }
     p
   }
 
@@ -31,6 +67,7 @@ object Caches {
   def release(): Unit = {
     var df = tracked.poll()
     while (df != null) {
+      n.decrementAndGet()
       df.unpersist(blocking = false)
       df = tracked.poll()
     }

@@ -226,6 +226,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val lines = (prevDirs :+ s"d$v").mkString("", "\n", "\n")
     java.nio.file.Files.writeString(
       new java.io.File(dir, s"v$v.manifest").toPath, lines)
+    // a write may re-use a path a contraction probe has seen (e.g. a
+    // drop + recreate restarts at d1) — drop the memoized duplicate
+    // ratios rather than risk a stale statistic mis-picking a path
+    graft.pipeline.Dedup.invalidateStats()
   }
 
   override def createOrReplace(namespace: String, table: String, df: DataFrame): Unit =
@@ -252,5 +256,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       f.delete()
     }
     rm(nsDir(namespace))
+    // a recreate after this drop writes d1 again at the same path — any
+    // duplicate-ratio statistic probed against the old data is stale
+    graft.pipeline.Dedup.invalidateStats()
   }
 }

@@ -212,6 +212,51 @@ class ApiSpec extends SparkFunSuite {
     } finally exec.shutdown()
   }
 
+  test("request gate: never-idle 100-request soak keeps tracked caches bounded") {
+    // Round-7 verdict #4: Caches.release() fires only at active==0 drain
+    // points, so a serving session under CONTINUOUSLY overlapping load
+    // never drains and tracked persists accumulate for its lifetime.
+    // Schedule 100 cache-registering requests so that the gate is never
+    // idle (admission 4, arrivals always outnumber completions until the
+    // tail) and assert the registry stays bounded by the size fallback,
+    // not by drain luck.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    import graft.pipeline.Caches
+    Caches.release() // start from a clean registry
+    val gate = new graft.api.RequestGate(maxConcurrent = 4)
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sawOverlap = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val futures = (1 to 100).map { i =>
+        Future {
+          gate.run(spark, "bulk") {
+            // every request registers a tracked persist, like a near-dup
+            // operator would, and holds the permit briefly so the NEXT
+            // request is already queued before this one completes
+            val df = spark.range(i, i + 10).toDF("id")
+            val p = graft.pipeline.Caches.persistTracked(df)
+            p.count()
+            if (gate.queued > 0 || gate.activeCount > 1)
+              sawOverlap.incrementAndGet()
+            maxSeen.getAndUpdate(m => math.max(m, Caches.trackedCount))
+            Thread.sleep(5)
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+      assert(sawOverlap.get() > 50, s"soak was not overlapping enough " +
+        s"(${sawOverlap.get()}/100) to exercise the never-idle regime")
+      assert(maxSeen.get() <= Caches.maxTracked + 4, // +4: concurrent adds
+        s"tracked caches grew past the bound: ${maxSeen.get()}")
+    } finally {
+      exec.shutdown()
+      Caches.release()
+    }
+  }
+
   test("feature caps: per-geometry-type limits and response byte cap (O5)") {
     import graft.api.FeatureCaps
     // caps mirror the reference client policy: 200k points/lines, 2M polys

@@ -171,6 +171,12 @@ class GeoSpec extends SparkFunSuite {
     // the geometry-level path and zone selection
     val p = GeoIO.fromWkt("POINT (-105.3 39.7)")
     assert(Utm.sridFor(-105.3, 39.7) === 32613)
+    // boundary semantics the gate query mirrors (ADVICE r7): lon = 180
+    // clamps to zone 60 (not a nonexistent 32661), antimeridian-west to
+    // zone 1, and the hemisphere follows the lat sign
+    assert(Utm.sridFor(180.0, 10.0) === 32660)
+    assert(Utm.sridFor(-180.0, 10.0) === 32601)
+    assert(Utm.sridFor(-105.3, -39.7) === 32713)
     val utm = GeoIO.transform(p, 4326, 32613)
     val back = GeoIO.transform(utm, 32613, 4326)
     assert(math.abs(back.getCoordinate.x - -105.3) < 1e-9)
