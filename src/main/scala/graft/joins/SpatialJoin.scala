@@ -74,6 +74,146 @@ object SpatialJoin {
         "__r_xmin", "__r_ymin", "__r_xmax", "__r_ymax", "__r_ix", "__r_iy")
   }
 
+  /** Partitioned k-NN join — the scale path for a right side that does
+    * NOT fit the driver (round-7 verdict #5: [[knnBroadcast]] collects
+    * and broadcasts the whole right side, the declared boundary of the
+    * reference's J4 cookbook shape at ≤10k rows).
+    *
+    * Two-phase grid k-NN, no collect of right ROWS and no cross join:
+    *
+    *  1. The right side is hashed to grid cells (one cell per row — the
+    *     contract is point-like geometries, the reference's J4 shape)
+    *     and only the per-cell COUNT histogram is collected + broadcast:
+    *     #non-empty cells ≪ #rows by the cell-size choice, the same
+    *     driver-budget contract as the IVF codebook.
+    *  2. Each left row walks the histogram in expanding Chebyshev rings
+    *     until the cumulative count reaches k at ring r. Any such
+    *     configuration bounds the true kth distance by
+    *     d_k ≤ √2·(r+1)·cell (anchor anywhere in its cell, candidate
+    *     anywhere in a ring-r cell), and a cell at ring j has min
+    *     distance ≥ (j−1)·cell, so emitting every non-empty cell with
+    *     j ≤ ⌈√2·(r+1)⌉ + 1 provably covers the exact top-k INCLUDING
+    *     distance ties at the boundary. Candidate (left, cell) pairs
+    *     then equi-join the celled right side — a normal shuffle join,
+    *     AQE-skew-splittable — and the exact distance + row_number over
+    *     (distance, tiebreak) keeps k per left row, deterministically
+    *     under ties.
+    *
+    * Each right row lives in exactly ONE cell and each left row emits a
+    * cell at most once, so no pair-dedup shuffle is needed. Output
+    * matches [[knnBroadcast]]: left ++ right ++ `knn_dist`, k rows per
+    * left row (fewer only if the right side has fewer than k rows).
+    * `leftId` must be unique per left row (the top-k window partition).
+    */
+  def knnGrid(left: DataFrame, leftId: String, leftGeomCol: String,
+      right: DataFrame, rightGeomCol: String,
+      k: Int, tiebreak: String, cellSize: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = left.sparkSession
+    import org.apache.spark.sql.functions.{col => c}
+
+    // phase 1: right cell histogram (cells, not rows, reach the driver)
+    val rb = G.st_envelope_bounds(c(rightGeomCol))
+    val rCelled = right
+      .withColumn("__rcx", floor((element_at(rb, 1) + element_at(rb, 3))
+        / (2 * cellSize)).cast("long"))
+      .withColumn("__rcy", floor((element_at(rb, 2) + element_at(rb, 4))
+        / (2 * cellSize)).cast("long"))
+    val hist: Map[(Long, Long), Long] = rCelled
+      .groupBy(c("__rcx"), c("__rcy")).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val bHist = spark.sparkContext.broadcast(hist)
+
+    // phase 2: candidate cells per left row from the broadcast histogram
+    val lGeomIdx = left.schema.fieldIndex(leftGeomCol)
+    val withCellSchema = StructType(left.schema.fields :+
+      StructField("__lcx", org.apache.spark.sql.types.LongType, false) :+
+      StructField("__lcy", org.apache.spark.sql.types.LongType, false))
+    val leftCells = left.mapPartitions { it =>
+      val cells = bHist.value
+      val keys = cells.keys.toArray
+      it.flatMap { lrow =>
+        if (cells.isEmpty) Iterator.empty else {
+          val env = GeoIO.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
+            .getEnvelopeInternal
+          val ax = (env.getMinX + env.getMaxX) / 2
+          val ay = (env.getMinY + env.getMaxY) / 2
+          val ix = math.floor(ax / cellSize).toLong
+          val iy = math.floor(ay / cellSize).toLong
+          def countAt(r: Long): Long = {
+            // cells on Chebyshev ring r; iterate the map when the ring
+            // perimeter outgrows it (sparse regions stay O(#cells))
+            if (8L * r > keys.length) {
+              var s = 0L
+              keys.foreach { case (kx, ky) =>
+                if (math.max(math.abs(kx - ix), math.abs(ky - iy)) == r)
+                  s += cells((kx, ky))
+              }
+              s
+            } else if (r == 0L) cells.getOrElse((ix, iy), 0L)
+            else {
+              var s = 0L
+              var d = -r
+              while (d <= r) {
+                s += cells.getOrElse((ix + d, iy - r), 0L)
+                s += cells.getOrElse((ix + d, iy + r), 0L)
+                if (d != -r && d != r) {
+                  s += cells.getOrElse((ix - r, iy + d), 0L)
+                  s += cells.getOrElse((ix + r, iy + d), 0L)
+                }
+                d += 1
+              }
+              s
+            }
+          }
+          val maxRing = keys.foldLeft(0L) { case (m, (kx, ky)) =>
+            math.max(m, math.max(math.abs(kx - ix), math.abs(ky - iy)))
+          }
+          var r = 0L
+          var cum = 0L
+          while (cum < k && r <= maxRing) { cum += countAt(r); r += 1 }
+          // r is now (ring reaching k) + 1; candidate radius covers the
+          // √2 diagonal + the anchor-at-edge margin (scaladoc proof)
+          val rk = math.max(r - 1, 0L)
+          val bigR = math.min(
+            math.ceil(math.sqrt(2.0) * (rk + 1)).toLong + 1, maxRing)
+          val out = scala.collection.mutable.ArrayBuffer[Row]()
+          if ((2 * bigR + 1) * (2 * bigR + 1) >= keys.length) {
+            keys.foreach { case (kx, ky) =>
+              if (math.max(math.abs(kx - ix), math.abs(ky - iy)) <= bigR)
+                out += Row.fromSeq(lrow.toSeq :+ kx :+ ky)
+            }
+          } else {
+            var dx = -bigR
+            while (dx <= bigR) {
+              var dy = -bigR
+              while (dy <= bigR) {
+                if (cells.contains((ix + dx, iy + dy)))
+                  out += Row.fromSeq(lrow.toSeq :+ (ix + dx) :+ (iy + dy))
+                dy += 1
+              }
+              dx += 1
+            }
+          }
+          out.iterator
+        }
+      }
+    }(Encoders.row(withCellSchema))
+
+    // equi-join on cell, exact refine, deterministic top-k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(c(leftId))
+      .orderBy(c("__knn_d"), c(tiebreak))
+    leftCells
+      .join(rCelled, c("__lcx") === c("__rcx") && c("__lcy") === c("__rcy"))
+      .withColumn("__knn_d", G.st_distance(c(leftGeomCol), c(rightGeomCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(c("__rn") <= k)
+      .drop("__lcx", "__lcy", "__rcx", "__rcy", "__rn")
+      .withColumnRenamed("__knn_d", "knn_dist")
+  }
+
   /** k-nearest-neighbour join with a broadcast right side.
     *
     * Builds one STRtree per partition from a broadcast row array with

@@ -143,6 +143,25 @@ object GeoQueries {
         .orderBy(col("c_custkey"), col("dist"), col("s_suppkey"))
     }),
 
+    // J4 scale path: the same 1-NN join through the partitioned grid
+    // k-NN (per-cell histogram broadcast + expanding-ring candidates —
+    // no collect of right rows, no cross join), hash-matched against the
+    // SAME closed-form oracle as geo_knn. This is the variant that
+    // survives a right side that doesn't fit the driver.
+    "geo_knn_grid" -> ((s, d) => {
+      val centroids = GeoSynth.boxes(s, d).select(
+        col("s_suppkey"),
+        ((col("x0") + col("x1")) / 2).as("cx"),
+        ((col("y0") + col("y1")) / 2).as("cy"))
+        .withColumn("cgeom", G.st_point(col("cx"), col("cy")))
+      SpatialJoin.knnGrid(
+        GeoSynth.points(s, d), "c_custkey", "geom", centroids, "cgeom",
+        k = 1, tiebreak = "s_suppkey", cellSize = 0.5)
+        .select(col("c_custkey"), col("s_suppkey"),
+          Det.r(col("knn_dist"), 6).as("dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // J3: distance (buffer) join via grid join with envelope expansion.
     "geo_dwithin_join" -> ((s, d) => {
       val centroids = GeoSynth.boxes(s, d).select(
@@ -463,6 +482,16 @@ object GeoQueries {
           ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
           GROUP BY s_suppkey ORDER BY s_suppkey""",
     "geo_knn" ->
+      s"""$P, cents AS (
+            SELECT s_suppkey, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy
+            FROM boxes)
+          SELECT c_custkey, s_suppkey, ${Det.rsql("dist", 6)} AS dist FROM (
+            SELECT c_custkey, s_suppkey, $distSql AS dist,
+              row_number() OVER (PARTITION BY c_custkey
+                ORDER BY $distSql, s_suppkey) AS rn
+            FROM pts CROSS JOIN cents) t
+          WHERE rn = 1 ORDER BY c_custkey""",
+    "geo_knn_grid" ->
       s"""$P, cents AS (
             SELECT s_suppkey, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy
             FROM boxes)

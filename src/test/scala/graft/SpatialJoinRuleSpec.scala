@@ -101,4 +101,47 @@ class SpatialJoinRuleSpec extends SparkFunSuite {
       .select("nid").as[Long].collect().toSeq.sorted
     assert(k3 === Seq(0L, 1L, 2L))
   }
+
+  test("grid kNN matches broadcast kNN; no collect of right rows, no cross join") {
+    // irregular density: a dense cluster, a sparse far shell, and a tie
+    // clique (coincident points) — the regimes where the expanding-ring
+    // candidate bound has to be exact, not just usually-right
+    val rng = new scala.util.Random(3)
+    val dense = (0 until 150).map(i =>
+      (i.toLong, GeoIO.toWkb(GeoIO.point(
+        -0.5 + rng.nextDouble(), -0.5 + rng.nextDouble()))))
+    val shell = (150 until 180).map(i =>
+      (i.toLong, GeoIO.toWkb(GeoIO.point(
+        25.0 + rng.nextDouble() * 10, -20.0 + rng.nextDouble() * 40))))
+    val ties = (180 until 195).map(i =>
+      (i.toLong, GeoIO.toWkb(GeoIO.point(7.25, 7.25))))
+    val neigh = (dense ++ shell ++ ties).toDF("nid", "ngeom")
+    val queries = (0 until 120).map(i =>
+      (1000L + i, GeoIO.toWkb(GeoIO.point(
+        -15.0 + (i % 12) * 3.1, -15.0 + (i / 12) * 3.3)))).toDF("qid", "qgeom")
+    for (k <- Seq(1, 3, 7)) {
+      val grid = graft.joins.SpatialJoin.knnGrid(
+        queries, "qid", "qgeom", neigh, "ngeom", k = k, tiebreak = "nid",
+        cellSize = 2.0)
+      // plan shape: the scale contract — candidate generation is an
+      // equi-join, never a cartesian/nested-loop; right rows never ride
+      // a broadcast (only the per-cell histogram does, driver-side)
+      val phys = grid.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct"), phys.take(1200))
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(1200))
+      val got = grid.select("qid", "nid", "knn_dist")
+        .as[(Long, Long, Double)].collect().toSet
+      val want = graft.joins.SpatialJoin.knnBroadcast(
+        queries, "qgeom", neigh, "ngeom", k = k, tiebreak = "nid")
+        .select("qid", "nid", "knn_dist")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(want.size === 120 * k)
+      assert(got === want, s"k=$k grid/broadcast divergence")
+    }
+    // empty right side: no rows, no crash (knnBroadcast parity)
+    val none = graft.joins.SpatialJoin.knnGrid(
+      queries, "qid", "qgeom", neigh.filter(col("nid") < 0), "ngeom",
+      k = 2, tiebreak = "nid", cellSize = 2.0)
+    assert(none.count() === 0)
+  }
 }
