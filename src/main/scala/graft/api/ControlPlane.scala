@@ -1,0 +1,144 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import graft.sources.TableResolver
+
+/** One poll's catalog diff: collections added/removed since the last
+  * poll, and the registry size after applying it. */
+final case class CatalogDiff(added: Set[(String, String)],
+    removed: Set[(String, String)], collections: Int)
+
+/** The serving control plane: the long-running loop AROUND the engine —
+  * catalog discovery polling and scratch-session cleanup — mirroring the
+  * reference's two background processes (the pygeoapi watcher re-registers
+  * collections when the catalog's table set changes,
+  * iceberg-geo-api/docker/pygeoapi-entrypoint.sh:184-214; the API drops a
+  * session's `_scratch_<id>` namespace 30 s after its last connection
+  * closes, cancelling on reconnect, api/main.py:936-982).
+  *
+  * The engine stays untouched: this composes [[TableResolver]] (discovery
+  * + namespace DDL) under a poll/sweep loop. Both operations are cheap
+  * catalog-metadata calls — no Spark job runs unless a sweep actually
+  * drops a namespace — so the loop's cost is independent of data scale.
+  *
+  * Time is injected (`now`) so tests drive the grace period
+  * deterministically; [[start]] runs the same poll+sweep on a daemon
+  * thread for real deployments.
+  */
+final class ControlPlane(resolver: TableResolver,
+    graceMillis: Long = 30000L,
+    scratchPrefix: String = "_scratch_",
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  // ---- discovery poll (S3 over time) ---------------------------------
+
+  @volatile private var registered: Set[(String, String)] = Set.empty
+  private val generation = new AtomicLong(0L)
+
+  /** Currently registered (namespace, table) collections. */
+  def collections: Set[(String, String)] = registered
+
+  /** Bumped every time a poll changed the registry — the analogue of the
+    * reference regenerating the pygeoapi config + reloading. */
+  def configGeneration: Long = generation.get()
+
+  /** One discovery pass: list the catalog (scratch namespaces excluded —
+    * they are session-private), diff against the registry, apply. */
+  def poll(): CatalogDiff = synchronized {
+    val found = (for {
+      ns <- resolver.listNamespaces() if !ns.startsWith(scratchPrefix)
+      t <- resolver.listTables(ns)
+    } yield (ns, t)).toSet
+    val added = found -- registered
+    val removed = registered -- found
+    if (added.nonEmpty || removed.nonEmpty) {
+      registered = found
+      generation.incrementAndGet()
+    }
+    CatalogDiff(added, removed, registered.size)
+  }
+
+  // ---- scratch-session lifecycle --------------------------------------
+
+  // open-connection refcount per session; absent = no live connections
+  private val sessions = new ConcurrentHashMap[String, Integer]()
+  // sessionId -> cleanup deadline (epoch millis), set on last disconnect
+  private val pendingCleanup = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The session's scratch namespace, named like the reference's
+    * (dashes stripped, first 8 chars). */
+  def scratchNamespace(sessionId: String): String =
+    scratchPrefix + sessionId.replace("-", "").take(8)
+
+  /** A connection opened: cancels any pending grace-period cleanup for
+    * the session (the reference's reconnect-cancels contract). */
+  def connect(sessionId: String): Unit = {
+    pendingCleanup.remove(sessionId)
+    sessions.merge(sessionId, Integer.valueOf(1), (a, b) =>
+      Integer.valueOf(a.intValue() + b.intValue()))
+  }
+
+  /** A connection closed: when it was the session's LAST one, schedule
+    * the scratch-namespace drop after the grace period. */
+  def disconnect(sessionId: String): Unit = {
+    val left = sessions.computeIfPresent(sessionId,
+      (_, n) => if (n.intValue() <= 1) null else Integer.valueOf(n.intValue() - 1))
+    if (left == null)
+      pendingCleanup.put(sessionId, java.lang.Long.valueOf(now() + graceMillis))
+  }
+
+  /** Sessions awaiting cleanup (monitoring / specs). */
+  def pendingCleanups: Int = pendingCleanup.size()
+
+  /** Drop the scratch namespace of every session whose grace expired
+    * without a reconnect; returns the dropped namespaces. A namespace
+    * that was never created drops as a no-op (reference parity: the
+    * cleanup swallows "may not exist"). */
+  def sweep(): Seq[String] = {
+    val t = now()
+    val dropped = Seq.newBuilder[String]
+    val it = pendingCleanup.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.longValue() <= t) {
+        it.remove()
+        val ns = scratchNamespace(e.getKey)
+        try {
+          resolver.dropNamespace(ns)
+          dropped += ns
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    dropped.result()
+  }
+
+  // ---- daemon runner ---------------------------------------------------
+
+  private val running = new AtomicBoolean(false)
+  @volatile private var loop: Thread = _
+
+  /** Run poll+sweep every `intervalMillis` on a daemon thread (the
+    * reference's 30 s watch loop). Idempotent stop via [[stop]]. */
+  def start(intervalMillis: Long = 30000L): Unit = synchronized {
+    require(!running.get(), "control plane already running")
+    running.set(true)
+    loop = new Thread(() => {
+      while (running.get()) {
+        try { poll(); sweep() }
+        catch { case scala.util.control.NonFatal(_) => () } // next tick retries
+        try Thread.sleep(intervalMillis)
+        catch { case _: InterruptedException => running.set(false) }
+      }
+    }, "graft-control-plane")
+    loop.setDaemon(true)
+    loop.start()
+  }
+
+  def stop(): Unit = synchronized {
+    running.set(false)
+    Option(loop).foreach(_.interrupt())
+    loop = null
+  }
+}

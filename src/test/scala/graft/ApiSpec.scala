@@ -257,6 +257,64 @@ class ApiSpec extends SparkFunSuite {
     }
   }
 
+  test("control plane: discovery polls diff the catalog; scratch cleanup honors the grace period") {
+    import java.nio.file.Files
+    import graft.api.ControlPlane
+    import graft.sources.ParquetCatalog
+    import spark.implicits._
+    val root = Files.createTempDirectory("cp").toString
+    val cat = new ParquetCatalog(spark, root)
+    var clock = 1000L // injected time — the grace period is driven, not slept
+    val cp = new ControlPlane(cat, graceMillis = 30000L, now = () => clock)
+
+    // poll 1: initial discovery registers the existing tables
+    cat.createOrReplace("geo", "pts", Seq((1L, "a")).toDF("id", "v"))
+    cat.createOrReplace("geo", "boxes", Seq((2L, "b")).toDF("id", "v"))
+    val p1 = cp.poll()
+    assert(p1.added === Set(("geo", "pts"), ("geo", "boxes")))
+    assert(p1.removed.isEmpty && p1.collections === 2)
+    val gen1 = cp.configGeneration
+
+    // unchanged catalog: no diff, no config regeneration
+    val pNoop = cp.poll()
+    assert(pNoop.added.isEmpty && pNoop.removed.isEmpty)
+    assert(cp.configGeneration === gen1)
+
+    // poll 2: a new table appears, an old namespace disappears
+    cat.createOrReplace("events", "stream", Seq((3L, "c")).toDF("id", "v"))
+    cat.dropNamespace("geo")
+    val p2 = cp.poll()
+    assert(p2.added === Set(("events", "stream")))
+    assert(p2.removed === Set(("geo", "pts"), ("geo", "boxes")))
+    assert(p2.collections === 1 && cp.configGeneration === gen1 + 1)
+
+    // scratch session: last-disconnect schedules, reconnect cancels
+    val sid = "abcd-ef01-2345"
+    val scratchNs = cp.scratchNamespace(sid)
+    assert(scratchNs === "_scratch_abcdef01")
+    cat.createOrReplace(scratchNs, "tmp", Seq((9L, "s")).toDF("id", "v"))
+    // scratch namespaces never surface as collections
+    assert(!cp.poll().added.exists(_._1.startsWith("_scratch_")))
+    cp.connect(sid); cp.connect(sid) // two connections
+    cp.disconnect(sid) // one remains — no cleanup scheduled
+    assert(cp.pendingCleanups === 0)
+    cp.disconnect(sid) // last one — grace starts
+    assert(cp.pendingCleanups === 1)
+    clock += 10000L
+    assert(cp.sweep().isEmpty, "swept before the grace expired")
+    cp.connect(sid) // reconnect within grace cancels the cleanup
+    assert(cp.pendingCleanups === 0)
+    cp.disconnect(sid)
+    clock += 30000L
+    assert(cp.sweep() === Seq(scratchNs))
+    assert(cat.listTables(scratchNs).isEmpty, "scratch namespace survived")
+    // sweeping a session whose scratch ns never existed is a no-op
+    cp.connect("ghost"); cp.disconnect("ghost")
+    clock += 60000L
+    cp.sweep() // must not throw
+    assert(cp.pendingCleanups === 0)
+  }
+
   test("feature caps: per-geometry-type limits and response byte cap (O5)") {
     import graft.api.FeatureCaps
     // caps mirror the reference client policy: 200k points/lines, 2M polys
