@@ -12,12 +12,16 @@ import graft.pipeline.{Dedup, Similarity}
   * Results are committed as the BENCH_NOTES.md round-7 section that
   * Dedup.scala's Scaladoc cites.
   *
-  * `runMain graft.DupBench [sfDir] [factor]` — defaults sf0.1, 40×.
+  * `runMain graft.DupBench [sfDir] [factor] [mode]` — defaults sf0.1,
+  * 40×, mode `both`. Mode `on` skips the contract=Off column: past the
+  * regime where Off is a measured DNF (cosine at 40× ran out of disk,
+  * BENCH_NOTES round 7), re-running it proves nothing and burns an hour.
   */
 object DupBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 40
+    val runOff = args.length <= 2 || args(2) != "on"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,12 +71,15 @@ object DupBench {
         bits = 4, tables = 8, contract = c))
     ).map { case (name, fn) =>
       val on = time(s"$name contract=On")(fn(Dedup.Contract.On))
-      val off = time(s"$name contract=Off")(fn(Dedup.Contract.Off))
+      val off =
+        if (runOff) time(s"$name contract=Off")(fn(Dedup.Contract.Off))
+        else Double.NaN
       (name, on, off)
     }
     println("GRAFT_DUPBENCH")
     results.foreach { case (n, on, off) =>
-      println(f"$n%-16s on=$on%.2f s off=$off%.2f s speedup=${off / on}%.1fx")
+      if (off.isNaN) println(f"$n%-16s on=$on%.2f s off=skipped (mode=on)")
+      else println(f"$n%-16s on=$on%.2f s off=$off%.2f s speedup=${off / on}%.1fx")
     }
     spark.stop()
   }
