@@ -79,7 +79,12 @@ object SpatialJoin {
     * and broadcasts the whole right side, the declared boundary of the
     * reference's J4 cookbook shape at ≤10k rows).
     *
-    * Two-phase grid k-NN, no collect of right ROWS and no cross join:
+    * Two-phase grid k-NN, no collect of right ROWS and no cross join.
+    * Coincident right geometries are first collapsed to their k
+    * best-tiebreak rows by a distributed window on the WKB bytes (rows
+    * past rank k at one location can never enter a deterministic top-k —
+    * the grid analogue of [[knnBroadcast]]'s member collapse), so clone-
+    * heavy corpora don't inflate the candidate join. Then:
     *
     *  1. The right side is hashed to grid cells (one cell per row — the
     *     contract is point-like geometries, the reference's J4 shape)
@@ -112,9 +117,26 @@ object SpatialJoin {
     val spark = left.sparkSession
     import org.apache.spark.sql.functions.{col => c}
 
+    // Collapse coincident right geometries to their k best-tiebreak rows
+    // first (a distributed window keyed on the WKB bytes — the grid
+    // analogue of knnBroadcast's per-location member collapse): any
+    // deterministic top-k can select at most k rows of one location, and
+    // among equal distances row_number consumes tiebreak order, so rows
+    // past rank k at a location are provably never emitted. On a
+    // duplicate-heavy corpus (the sf1 soak: 50 coincident centroids per
+    // site) this shrinks every cell — and therefore every candidate
+    // join group — by the clone factor; without it the first sf1 run of
+    // this operator spent 24 s re-ranking clones (BENCH_NOTES round 8).
+    val rkeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(c(rightGeomCol)).orderBy(c(tiebreak))
+    val collapsed = right
+      .withColumn("__rloc", row_number().over(rkeep))
+      .filter(c("__rloc") <= k)
+      .drop("__rloc")
+
     // phase 1: right cell histogram (cells, not rows, reach the driver)
     val rb = G.st_envelope_bounds(c(rightGeomCol))
-    val rCelled = right
+    val rCelled = collapsed
       .withColumn("__rcx", floor((element_at(rb, 1) + element_at(rb, 3))
         / (2 * cellSize)).cast("long"))
       .withColumn("__rcy", floor((element_at(rb, 2) + element_at(rb, 4))
@@ -133,6 +155,16 @@ object SpatialJoin {
     val leftCells = left.mapPartitions { it =>
       val cells = bHist.value
       val keys = cells.keys.toArray
+      // global cell-grid bounds, computed ONCE per partition: each row's
+      // max ring is then O(1) from its own cell to the far corners (a
+      // per-row fold over all cells cost seconds at the sf1 soak's
+      // 150k-row left side)
+      var bMinX = Long.MaxValue; var bMaxX = Long.MinValue
+      var bMinY = Long.MaxValue; var bMaxY = Long.MinValue
+      keys.foreach { case (kx, ky) =>
+        if (kx < bMinX) bMinX = kx; if (kx > bMaxX) bMaxX = kx
+        if (ky < bMinY) bMinY = ky; if (ky > bMaxY) bMaxY = ky
+      }
       it.flatMap { lrow =>
         if (cells.isEmpty) Iterator.empty else {
           val env = GeoIO.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
@@ -141,17 +173,9 @@ object SpatialJoin {
           val ay = (env.getMinY + env.getMaxY) / 2
           val ix = math.floor(ax / cellSize).toLong
           val iy = math.floor(ay / cellSize).toLong
+          // perimeter lookups for Chebyshev ring r around (ix, iy)
           def countAt(r: Long): Long = {
-            // cells on Chebyshev ring r; iterate the map when the ring
-            // perimeter outgrows it (sparse regions stay O(#cells))
-            if (8L * r > keys.length) {
-              var s = 0L
-              keys.foreach { case (kx, ky) =>
-                if (math.max(math.abs(kx - ix), math.abs(ky - iy)) == r)
-                  s += cells((kx, ky))
-              }
-              s
-            } else if (r == 0L) cells.getOrElse((ix, iy), 0L)
+            if (r == 0L) cells.getOrElse((ix, iy), 0L)
             else {
               var s = 0L
               var d = -r
@@ -167,15 +191,39 @@ object SpatialJoin {
               s
             }
           }
-          val maxRing = keys.foldLeft(0L) { case (m, (kx, ky)) =>
-            math.max(m, math.max(math.abs(kx - ix), math.abs(ky - iy)))
-          }
+          val maxRing = math.max(
+            math.max(math.abs(bMinX - ix), math.abs(bMaxX - ix)),
+            math.max(math.abs(bMinY - iy), math.abs(bMaxY - iy)))
+          // near-field: walk rings while the perimeter is smaller than
+          // the map; far/sparse rows (walk outgrew the map) finish with
+          // ONE exact pass bucketing the remaining cells by ring — so a
+          // row's candidate-discovery cost is O(#non-empty cells) worst
+          // case, O(k / density) typical, never O(maxRing * #cells)
           var r = 0L
           var cum = 0L
-          while (cum < k && r <= maxRing) { cum += countAt(r); r += 1 }
-          // r is now (ring reaching k) + 1; candidate radius covers the
-          // √2 diagonal + the anchor-at-edge margin (scaladoc proof)
-          val rk = math.max(r - 1, 0L)
+          var rk = -1L
+          while (rk < 0 && r <= maxRing && 8 * r <= keys.length) {
+            cum += countAt(r)
+            if (cum >= k) rk = r else r += 1
+          }
+          if (rk < 0 && r <= maxRing) {
+            val ringCounts = scala.collection.mutable.LongMap.empty[Long]
+            keys.foreach { case (kx, ky) =>
+              val j = math.max(math.abs(kx - ix), math.abs(ky - iy))
+              if (j >= r)
+                ringCounts(j) = ringCounts.getOrElse(j, 0L) + cells((kx, ky))
+            }
+            val rings = ringCounts.keys.toArray.sorted
+            var i = 0
+            while (rk < 0 && i < rings.length) {
+              cum += ringCounts(rings(i))
+              if (cum >= k) rk = rings(i)
+              i += 1
+            }
+          }
+          if (rk < 0) rk = maxRing // right side holds fewer than k rows
+          // candidate radius covers the √2 diagonal + the anchor-at-edge
+          // margin (scaladoc proof)
           val bigR = math.min(
             math.ceil(math.sqrt(2.0) * (rk + 1)).toLong + 1, maxRing)
           val out = scala.collection.mutable.ArrayBuffer[Row]()
