@@ -56,12 +56,21 @@ def knn_chunk_sql(oracle_sql, m, i):
         marker, f"FROM customer WHERE c_custkey % {m} = {i})")
 
 
+_chunked_memo = {}
+
+
 def run_chunked(con, oracle_sql, m=KNN_CHUNKS):
+    # memoized by SQL text: geo_knn_grid's committed oracle is byte-equal
+    # to geo_knn's (same closed form, different engine plan under test),
+    # so the ~15-min chunked evaluation runs once for both
+    if oracle_sql in _chunked_memo:
+        return _chunked_memo[oracle_sql]
     rows, names = [], None
     for i in range(m):
         rel = con.sql(knn_chunk_sql(oracle_sql, m, i))
         names = list(rel.columns)
         rows.extend(rel.fetchall())
+    _chunked_memo[oracle_sql] = (names, rows)
     return names, rows
 
 
@@ -101,6 +110,7 @@ def targets(oracles):
         return f
     return {
         "geo_knn": chunked("geo_knn"),
+        "geo_knn_grid": chunked("geo_knn_grid"),
         "geo_knn3": chunked("geo_knn3"),
         "geo_union_area": plain(UNION_AREA_SQL),
     }
