@@ -107,16 +107,27 @@ object PipelineQueries {
     // 8 bands x 8 rows: ~99% recall at j>=0.9 (the planted-dup regime)
     // while keeping low-jaccard candidate pairs ~100x rarer than 16x4 —
     // the LSH knob that matters at corpus scale.
+    // The pair set is persisted at the gate boundary before the
+    // deterministic orderBy (here and in the sibling pair gates): a
+    // mid-plan sort runs a range-partitioning SAMPLE job first, and on
+    // an unpersisted child that job recomputes the entire pair pipeline
+    // a second time — at sf10 the recompute was ~200 s of the 235 s
+    // gate wall (BENCH_NOTES round 8). With the persist, the sample
+    // pass populates the cache and the sort pass reads it. Tracked in
+    // Caches, evicted by the runner's release().
     "doc_minhash_dedup" -> ((s, d) => {
-      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 64, bands = 8, shingle = 5, threshold = 0.7)
+      graft.pipeline.Caches.persistTracked(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 64, bands = 8, shingle = 5, threshold = 0.7))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // SimHash near-dup pairs (rows-only gate).
     "doc_simhash_dedup" -> ((s, d) => {
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+      graft.pipeline.Caches.persistTracked(
+        Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -126,8 +137,9 @@ object PipelineQueries {
     // LOSES recall, not just time, once clones inflate df past it) and
     // Contract.Auto for cost on clone-heavy corpora.
     "doc_winnow_pairs" -> ((s, d) => {
-      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
-        shingle = 12, window = 16, maxDf = 20, minShared = 10)
+      graft.pipeline.Caches.persistTracked(
+        Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+          shingle = 12, window = 16, maxDf = 20, minShared = 10))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -260,9 +272,10 @@ object PipelineQueries {
     // recall for candidate-bounded cost; at real near-dup thresholds
     // (>=0.9) the same knobs give >99%.
     "emb_neardup_lsh" -> ((s, d) => {
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", dim = 64, threshold = 0.42,
-        bits = 4, tables = 8)
+      graft.pipeline.Caches.persistTracked(
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, threshold = 0.42,
+          bits = 4, tables = 8))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
