@@ -42,8 +42,13 @@ object FeatureServer {
     * with an Esri-style error instead of surfacing as a deep expression
     * failure or, worse, untransformed coordinates labeled with the wrong
     * SR. */
+  // 4326/3857, the 120 WGS84 UTM zones, and NAD83 UTM 26901-26923
+  // (GRS80 ellipsoid; the NAD83<->WGS84 datum shift is applied as the
+  // EPSG:1188 null transformation — geo/GeoIO.scala `Utm` scaladoc).
+  // Genuinely unsupported datums (NAD27 267xx, national grids) still
+  // reject Esri-style below.
   val SupportedWkids: Set[Int] = Set(4326, 3857) ++
-    (32601 to 32660) ++ (32701 to 32760)
+    (32601 to 32660) ++ (32701 to 32760) ++ (26901 to 26923)
 
   /** Esri's legacy web-mercator alias, normalized to its modern WKID. */
   private val WkidAliases: Map[Int, Int] = Map(102100 -> 3857)
@@ -55,7 +60,8 @@ object FeatureServer {
       throw new EsriApiException(400,
         s"outSR $wkid is not supported by this service",
         Seq("supported WKIDs: 4326, 3857, 102100 (alias), " +
-          "32601-32660 and 32701-32760 (WGS84 UTM)"))
+          "32601-32660 and 32701-32760 (WGS84 UTM), " +
+          "26901-26923 (NAD83 UTM)"))
     n
   }
 

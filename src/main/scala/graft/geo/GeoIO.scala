@@ -139,8 +139,7 @@ object GeoIO {
   private val R = 6378137.0
   def transform(g: Geometry, from: Int, to: Int): Geometry = {
     if (from == to) return g
-    def isUtm(srid: Int) =
-      (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760)
+    def isUtm(srid: Int) = Utm.isUtm(srid)
     val filter: CoordinateFilter = (from, to) match {
       case (4326, 3857) => c => {
         c.x = R * math.toRadians(c.x)
@@ -160,7 +159,7 @@ object GeoIO {
       }
       case _ => throw new IllegalArgumentException(
         s"st_transform supports 4326<->3857 and 4326<->UTM " +
-          s"(EPSG 326xx/327xx), got $from->$to")
+          s"(EPSG 326xx/327xx WGS84, 269xx NAD83), got $from->$to")
     }
     val out = g.copy()
     out.apply(filter)
@@ -169,18 +168,19 @@ object GeoIO {
   }
 }
 
-/** WGS84 UTM via the Krueger series in Karney 2011 ("Transverse Mercator
-  * with an accuracy of a few nanometers", J. Geod. 85) — the same
-  * formulation GeographicLib and proj's `etmerc`/`utm` use. Third-order
-  * terms in n (n ~ 1.68e-3 for WGS84) bound the series truncation error
-  * well under a millimeter anywhere inside a UTM zone's extent, which is
-  * far below the 0.1 mm rounding every consumer of this object applies.
-  * All closed-form double math: usable inside codegen'd expressions and
-  * reproducible verbatim in the DuckDB oracle (tools of the differential
-  * gate), unlike a native PROJ binding. */
-object Utm {
-  private val a = 6378137.0
-  private val f = 1.0 / 298.257223563
+/** Transverse Mercator via the Krueger series in Karney 2011 ("Transverse
+  * Mercator with an accuracy of a few nanometers", J. Geod. 85) — the same
+  * formulation GeographicLib and proj's `etmerc`/`utm` use — on a
+  * PARAMETRIZED ellipsoid (WGS84 and GRS80 share their semi-major axis and
+  * differ only in flattening). Third-order terms in n (n ~ 1.68e-3) bound
+  * the series truncation error well under a millimeter anywhere inside a
+  * UTM zone's extent, far below the 0.1 mm rounding every consumer of this
+  * object applies. All closed-form double math: usable inside codegen'd
+  * expressions and reproducible verbatim in the DuckDB oracle of the
+  * differential gate, unlike a native PROJ binding. */
+final class TransverseMercator(invFlattening: Double) {
+  private val a = 6378137.0 // semi-major axis shared by WGS84 and GRS80
+  private val f = 1.0 / invFlattening
   // series constants are exposed so the differential gate's SQL oracle can
   // inline the EXACT same doubles (Double.toString round-trips exactly)
   val k0 = 0.9996
@@ -201,23 +201,14 @@ object Utm {
   private val d3 = 56.0 * n3 / 15.0
   val twoSqrtN = 2.0 * math.sqrt(n) / (1.0 + n)
 
-  private def zoneOf(srid: Int): Int = srid % 100
-  private def south(srid: Int): Boolean = srid >= 32701
-  /** Central meridian of a UTM zone, degrees. */
-  def centralMeridian(zone: Int): Double = zone * 6.0 - 183.0
-  /** EPSG code of the natural zone for a lon/lat (for callers picking a
-    * zone per feature). */
-  def sridFor(lon: Double, lat: Double): Int = {
-    val zone = math.min(60, math.max(1, (math.floor((lon + 180.0) / 6.0) + 1).toInt))
-    (if (lat < 0) 32700 else 32600) + zone
-  }
-
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
 
-  /** (easting, northing) in meters. */
-  def forward(latDeg: Double, lonDeg: Double, srid: Int): (Double, Double) = {
+  /** (easting, northing) in meters for a UTM `zone`, hemisphere by
+    * `south` (false northing 10,000,000 m). */
+  def forward(latDeg: Double, lonDeg: Double, zone: Int,
+      south: Boolean): (Double, Double) = {
     val phi = math.toRadians(latDeg)
-    val dLam = math.toRadians(lonDeg - centralMeridian(zoneOf(srid)))
+    val dLam = math.toRadians(lonDeg - Utm.centralMeridian(zone))
     val s = math.sin(phi)
     val t = math.sinh(atanh(s) - twoSqrtN * atanh(twoSqrtN * s))
     val xiP = math.atan2(t, math.cos(dLam))
@@ -231,13 +222,14 @@ object Utm {
       a2 * math.cos(4.0 * xiP) * math.sinh(4.0 * etaP) +
       a3 * math.cos(6.0 * xiP) * math.sinh(6.0 * etaP)
     val e = 500000.0 + k0 * A * eta
-    val nn = (if (south(srid)) 10000000.0 else 0.0) + k0 * A * xi
+    val nn = (if (south) 10000000.0 else 0.0) + k0 * A * xi
     (e, nn)
   }
 
   /** (lat, lon) in degrees. */
-  def inverse(easting: Double, northing: Double, srid: Int): (Double, Double) = {
-    val xi = (northing - (if (south(srid)) 10000000.0 else 0.0)) / (k0 * A)
+  def inverse(easting: Double, northing: Double, zone: Int,
+      south: Boolean): (Double, Double) = {
+    val xi = (northing - (if (south) 10000000.0 else 0.0)) / (k0 * A)
     val eta = (easting - 500000.0) / (k0 * A)
     val xiP = xi -
       b1 * math.sin(2.0 * xi) * math.cosh(2.0 * eta) -
@@ -254,6 +246,59 @@ object Utm {
       d3 * math.sin(6.0 * chi)
     val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
     (math.toDegrees(phi),
-      centralMeridian(zoneOf(srid)) + math.toDegrees(lam))
+      Utm.centralMeridian(zone) + math.toDegrees(lam))
   }
+}
+
+/** UTM SRID dispatch over the two supported ellipsoids.
+  *
+  * EPSG 326xx/327xx (WGS84 north/south) and 269xx (NAD83, GRS80
+  * ellipsoid, northern zones 1-23). The NAD83 ↔ WGS84 DATUM shift is
+  * applied as the EPSG:1188 null transformation — the same default PROJ
+  * uses without datum grids — so honoring SRID 269xx means projecting
+  * with the correct GRS80 flattening while treating the geographic
+  * coordinates as datum-identical (physical offset ≲ 2 m in CONUS;
+  * grid-based NADCON shifts are out of scope, as they are for any
+  * engine without grid files). The reference parses these outSR values
+  * and never applies ANY reprojection (query/geometry.py:80-102). */
+object Utm {
+  /** WGS84 ellipsoid (EPSG:7030) — SRIDs 326xx/327xx. */
+  val Wgs84 = new TransverseMercator(298.257223563)
+  /** GRS80 ellipsoid (EPSG:7019), the NAD83 ellipsoid — SRIDs 269xx. */
+  val Grs80 = new TransverseMercator(298.257222101)
+
+  // WGS84-surface constants, kept at the historical names the SQL-oracle
+  // builder and specs inline
+  val k0: Double = Wgs84.k0
+  val A: Double = Wgs84.A
+  val a1: Double = Wgs84.a1
+  val a2: Double = Wgs84.a2
+  val a3: Double = Wgs84.a3
+  val twoSqrtN: Double = Wgs84.twoSqrtN
+
+  def isNad83(srid: Int): Boolean = srid >= 26901 && srid <= 26923
+  def isUtm(srid: Int): Boolean =
+    (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760) ||
+      isNad83(srid)
+  private def zoneOf(srid: Int): Int =
+    if (isNad83(srid)) srid - 26900 else srid % 100
+  private def south(srid: Int): Boolean = srid >= 32701 && srid <= 32760
+  private def ellipsoid(srid: Int): TransverseMercator =
+    if (isNad83(srid)) Grs80 else Wgs84
+  /** Central meridian of a UTM zone, degrees. */
+  def centralMeridian(zone: Int): Double = zone * 6.0 - 183.0
+  /** EPSG code of the natural WGS84 zone for a lon/lat (for callers
+    * picking a zone per feature). */
+  def sridFor(lon: Double, lat: Double): Int = {
+    val zone = math.min(60, math.max(1, (math.floor((lon + 180.0) / 6.0) + 1).toInt))
+    (if (lat < 0) 32700 else 32600) + zone
+  }
+
+  /** (easting, northing) in meters. */
+  def forward(latDeg: Double, lonDeg: Double, srid: Int): (Double, Double) =
+    ellipsoid(srid).forward(latDeg, lonDeg, zoneOf(srid), south(srid))
+
+  /** (lat, lon) in degrees. */
+  def inverse(easting: Double, northing: Double, srid: Int): (Double, Double) =
+    ellipsoid(srid).inverse(easting, northing, zoneOf(srid), south(srid))
 }

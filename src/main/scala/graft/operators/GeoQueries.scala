@@ -439,6 +439,24 @@ object GeoQueries {
         .select(col("c_custkey"), col("zone").cast("long").as("zone"),
           Det.r(G.st_x(col("utm")), 4).as("e"),
           Det.r(G.st_y(col("utm")), 4).as("n"))
+    }),
+
+    // NAD83 UTM reprojection (§1.4, round-7 "missing" #3): the same
+    // natural-zone projection on the GRS80 ellipsoid via SRID 269xx
+    // (EPSG:1188 null datum shift — geo/GeoIO.scala Utm scaladoc). The
+    // oracle runs the identical Krueger series with the GRS80 constants;
+    // zones clamp to NAD83's 1-23 northern range (synth pts span 11-19).
+    "geo_utm_nad83" -> ((s, d) => {
+      GeoSynth.points(s, d)
+        .orderBy(col("c_custkey")).limit(500) // reproject kept rows only
+        .withColumn("zone",
+          least(greatest(floor((col("lon") + 180.0) / 6.0) + 1, lit(1)),
+            lit(23)).cast("int"))
+        .withColumn("utm", G.st_transform(col("geom"), lit(4326),
+          (lit(26900) + col("zone")).cast("int")))
+        .select(col("c_custkey"), col("zone").cast("long").as("zone"),
+          Det.r(G.st_x(col("utm")), 4).as("e"),
+          Det.r(G.st_y(col("utm")), 4).as("n"))
     }))
 
   private def P = GeoSynth.oraclePrelude
@@ -591,26 +609,36 @@ object GeoQueries {
           ${Det.rsql("6378137.0 * ln(tan(pi() / 4.0 + (lat * pi() / 180.0) / 2.0))", 4)} AS my
           FROM pts ORDER BY c_custkey LIMIT 500""",
 
-    "geo_utm" -> utmOracleSql)
+    "geo_utm" -> utmOracleSql(graft.geo.Utm.Wgs84, southAware = true,
+      zoneMax = 60),
+    "geo_utm_nad83" -> utmOracleSql(graft.geo.Utm.Grs80, southAware = false,
+      zoneMax = 23))
 
-  /** The forward Krueger series spelled out in DuckDB SQL. Constants are
-    * interpolated from [[graft.geo.Utm]] (Double.toString round-trips
-    * exactly, so both sides use bit-identical coefficients); sinh/cosh/
-    * atanh are expanded via exp/ln. 0.1 mm rounding absorbs the ~1-ulp
-    * divergence between JVM Math.sinh and the exp-based SQL form. */
-  private def utmOracleSql: String = {
-    import graft.geo.Utm
+  /** The forward Krueger series spelled out in DuckDB SQL, parametrized
+    * by ellipsoid ([[graft.geo.TransverseMercator]] — WGS84 for 326xx,
+    * GRS80 for the NAD83 269xx gate). Constants are interpolated from the
+    * instance (Double.toString round-trips exactly, so both sides use
+    * bit-identical coefficients); sinh/cosh/atanh are expanded via
+    * exp/ln. 0.1 mm rounding absorbs the ~1-ulp divergence between JVM
+    * Math.sinh and the exp-based SQL form. `southAware` adds the false
+    * northing for lat < 0 (WGS84 only — the NAD83 zones are northern);
+    * `zoneMax` clamps the natural zone to the SRID range's extent. */
+  private def utmOracleSql(tm: graft.geo.TransverseMercator,
+      southAware: Boolean, zoneMax: Int): String = {
     // every interpolated constant is CAST to DOUBLE: DuckDB types bare
     // decimal literals as DECIMAL and overflows multiplying them
     def c(x: Double) = s"CAST($x AS DOUBLE)"
-    val tsn = c(Utm.twoSqrtN)
-    val k0A = s"(${c(Utm.k0)} * ${c(Utm.A)})"
+    val tsn = c(tm.twoSqrtN)
+    val k0A = s"(${c(tm.k0)} * ${c(tm.A)})"
+    val falseNorthing =
+      if (southAware) "(CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END) + "
+      else ""
     s"""$P, u AS (
           SELECT c_custkey, lat, lat * pi() / 180.0 AS phi,
-                 CAST(least(greatest(floor((lon + 180.0) / 6.0) + 1, 1), 60)
-                   AS BIGINT) AS zone,
-                 (lon - least(greatest(floor((lon + 180.0) / 6.0) + 1, 1), 60)
-                   * 6.0 + 183.0) * pi() / 180.0 AS dlam
+                 CAST(least(greatest(floor((lon + 180.0) / 6.0) + 1, 1),
+                   $zoneMax) AS BIGINT) AS zone,
+                 (lon - least(greatest(floor((lon + 180.0) / 6.0) + 1, 1),
+                   $zoneMax) * 6.0 + 183.0) * pi() / 180.0 AS dlam
           FROM pts),
         t1 AS (
           SELECT *, 0.5 * ln((1.0 + sin(phi)) / (1.0 - sin(phi)))
@@ -625,18 +653,16 @@ object GeoQueries {
           FROM t2),
         t4 AS (
           SELECT *,
-            xip + ${c(Utm.a1)} * sin(2.0 * xip) * (exp(2.0 * etap) + exp(-2.0 * etap)) / 2.0
-                + ${c(Utm.a2)} * sin(4.0 * xip) * (exp(4.0 * etap) + exp(-4.0 * etap)) / 2.0
-                + ${c(Utm.a3)} * sin(6.0 * xip) * (exp(6.0 * etap) + exp(-6.0 * etap)) / 2.0 AS xi,
-            etap + ${c(Utm.a1)} * cos(2.0 * xip) * (exp(2.0 * etap) - exp(-2.0 * etap)) / 2.0
-                 + ${c(Utm.a2)} * cos(4.0 * xip) * (exp(4.0 * etap) - exp(-4.0 * etap)) / 2.0
-                 + ${c(Utm.a3)} * cos(6.0 * xip) * (exp(6.0 * etap) - exp(-6.0 * etap)) / 2.0 AS eta
+            xip + ${c(tm.a1)} * sin(2.0 * xip) * (exp(2.0 * etap) + exp(-2.0 * etap)) / 2.0
+                + ${c(tm.a2)} * sin(4.0 * xip) * (exp(4.0 * etap) + exp(-4.0 * etap)) / 2.0
+                + ${c(tm.a3)} * sin(6.0 * xip) * (exp(6.0 * etap) + exp(-6.0 * etap)) / 2.0 AS xi,
+            etap + ${c(tm.a1)} * cos(2.0 * xip) * (exp(2.0 * etap) - exp(-2.0 * etap)) / 2.0
+                 + ${c(tm.a2)} * cos(4.0 * xip) * (exp(4.0 * etap) - exp(-4.0 * etap)) / 2.0
+                 + ${c(tm.a3)} * cos(6.0 * xip) * (exp(6.0 * etap) - exp(-6.0 * etap)) / 2.0 AS eta
           FROM t3)
         SELECT c_custkey, zone,
           ${Det.rsql(s"500000.0 + $k0A * eta", 4)} AS e,
-          ${Det.rsql(
-            s"(CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END) + $k0A * xi",
-            4)} AS n
+          ${Det.rsql(s"$falseNorthing$k0A * xi", 4)} AS n
         FROM t4 ORDER BY c_custkey LIMIT 500"""
   }
 }

@@ -149,21 +149,25 @@ class ApiSpec extends SparkFunSuite {
   }
 
   test("outSR contract: unsupported WKIDs rejected with an Esri-style error") {
-    // NAD83 UTM 13N — needs a datum shift we don't fake; the reference
-    // would carry it silently without applying it, here the boundary
-    // rejects it before any plan is built
+    // NAD27 UTM 13N — needs a real datum shift (NADCON grids) we don't
+    // fake; the reference would carry it silently without applying it,
+    // here the boundary rejects it before any plan is built
     val ex = intercept[graft.api.EsriApiException] {
-      FeatureServer.translateQuery(Map("outSR" -> "26913"), schema)
+      FeatureServer.translateQuery(Map("outSR" -> "26713"), schema)
     }
     assert(ex.code === 400)
     val err = mapper.readTree(ex.toJson).get("error")
     assert(err.get("code").asInt === 400)
-    assert(err.get("message").asText.contains("26913"))
+    assert(err.get("message").asText.contains("26713"))
     assert(err.get("details").get(0).asText.contains("4326"))
     // JSON SR object form takes the same path
     intercept[graft.api.EsriApiException] {
-      FeatureServer.translateQuery(Map("outSR" -> """{"wkid":26913}"""), schema)
+      FeatureServer.translateQuery(Map("outSR" -> """{"wkid":26713}"""), schema)
     }
+    // NAD83 UTM 13N is honored (GRS80 ellipsoid, EPSG:1188 null datum
+    // shift — GeoIO.Utm scaladoc)
+    assert(FeatureServer.translateQuery(Map("outSR" -> "26913"), schema)
+      .outSr.contains(26913))
     // supported WKIDs and the 102100 legacy alias pass, normalized
     assert(FeatureServer.translateQuery(Map("outSR" -> "3857"), schema)
       .outSr.contains(3857))

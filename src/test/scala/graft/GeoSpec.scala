@@ -177,12 +177,31 @@ class GeoSpec extends SparkFunSuite {
     assert(Utm.sridFor(180.0, 10.0) === 32660)
     assert(Utm.sridFor(-180.0, 10.0) === 32601)
     assert(Utm.sridFor(-105.3, -39.7) === 32713)
+    // NAD83 UTM (269xx, GRS80 ellipsoid, EPSG:1188 null datum shift):
+    // same zone machinery, different flattening. The equator/central-
+    // meridian anchor is exact on ANY ellipsoid; the GRS80 projection
+    // must differ from WGS84's at double precision (the ellipsoids are
+    // distinct) but by well under a millimeter (they differ only in the
+    // 7th digit of 1/f).
+    assert(Utm.isNad83(26913) && !Utm.isNad83(32613) && Utm.isUtm(26913))
+    val (eN0, nN0) = Utm.forward(0.0, -105.0, 26913) // zone 13 CM
+    assert(math.abs(eN0 - 500000.0) < 1e-6 && math.abs(nN0) < 1e-6)
+    val (eW, nW) = Utm.forward(39.7, -105.3, 32613)
+    val (eN, nN) = Utm.forward(39.7, -105.3, 26913)
+    assert(eW != eN || nW != nN, "GRS80 must not alias WGS84")
+    assert(math.abs(eW - eN) < 1e-3 && math.abs(nW - nN) < 1e-3)
+    // round-trip through the geometry-level path
+    val pN = GeoIO.fromWkt("POINT (-105.3 39.7)")
+    val backN = GeoIO.transform(GeoIO.transform(pN, 4326, 26913), 26913, 4326)
+    assert(math.abs(backN.getCoordinate.x - -105.3) < 1e-9)
+    assert(math.abs(backN.getCoordinate.y - 39.7) < 1e-9)
     val utm = GeoIO.transform(p, 4326, 32613)
     val back = GeoIO.transform(utm, 32613, 4326)
     assert(math.abs(back.getCoordinate.x - -105.3) < 1e-9)
     assert(math.abs(back.getCoordinate.y - 39.7) < 1e-9)
-    // unsupported datums still rejected
-    intercept[IllegalArgumentException](GeoIO.transform(p, 4326, 26913))
+    // genuinely unsupported datums still rejected (NAD27 needs NADCON
+    // grids; NAD83 269xx is now honored — asserted above)
+    intercept[IllegalArgumentException](GeoIO.transform(p, 4326, 26713))
   }
 
   test("st_collect over array + convex hull") {
