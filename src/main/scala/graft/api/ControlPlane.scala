@@ -66,6 +66,12 @@ final class ControlPlane(resolver: TableResolver,
   private val sessions = new ConcurrentHashMap[String, Integer]()
   // sessionId -> cleanup deadline (epoch millis), set on last disconnect
   private val pendingCleanup = new ConcurrentHashMap[String, java.lang.Long]()
+  // Orders connect/disconnect against sweep's expire-then-drop so a
+  // reconnect can never land BETWEEN sweep deciding a session is dead
+  // and the namespace drop executing (which would delete a live
+  // session's scratch tables). Session ops are cheap metadata; a sweep
+  // holds the lock for the (rare) actual drop only.
+  private val sessionLock = new Object
 
   /** The session's scratch namespace, named like the reference's
     * (dashes stripped, first 8 chars). */
@@ -74,7 +80,7 @@ final class ControlPlane(resolver: TableResolver,
 
   /** A connection opened: cancels any pending grace-period cleanup for
     * the session (the reference's reconnect-cancels contract). */
-  def connect(sessionId: String): Unit = {
+  def connect(sessionId: String): Unit = sessionLock.synchronized {
     pendingCleanup.remove(sessionId)
     sessions.merge(sessionId, Integer.valueOf(1), (a, b) =>
       Integer.valueOf(a.intValue() + b.intValue()))
@@ -82,7 +88,7 @@ final class ControlPlane(resolver: TableResolver,
 
   /** A connection closed: when it was the session's LAST one, schedule
     * the scratch-namespace drop after the grace period. */
-  def disconnect(sessionId: String): Unit = {
+  def disconnect(sessionId: String): Unit = sessionLock.synchronized {
     val left = sessions.computeIfPresent(sessionId,
       (_, n) => if (n.intValue() <= 1) null else Integer.valueOf(n.intValue() - 1))
     if (left == null)
@@ -94,21 +100,30 @@ final class ControlPlane(resolver: TableResolver,
 
   /** Drop the scratch namespace of every session whose grace expired
     * without a reconnect; returns the dropped namespaces. A namespace
-    * that was never created drops as a no-op (reference parity: the
-    * cleanup swallows "may not exist"). */
+    * that was never created drops as a no-op (reference parity). The
+    * pending entry is removed only AFTER a successful drop, so a
+    * transient catalog failure is retried on the next sweep instead of
+    * silently leaking the namespace. */
   def sweep(): Seq[String] = {
     val t = now()
     val dropped = Seq.newBuilder[String]
     val it = pendingCleanup.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue.longValue() <= t) {
-        it.remove()
-        val ns = scratchNamespace(e.getKey)
-        try {
-          resolver.dropNamespace(ns)
-          dropped += ns
-        } catch { case scala.util.control.NonFatal(_) => () }
+      if (e.getValue.longValue() <= t) sessionLock.synchronized {
+        // re-read under the lock: a connect() since the iterator saw
+        // this entry cancels the cleanup, and a reconnect + fresh
+        // disconnect resets the deadline (must not drop early)
+        val dl = pendingCleanup.get(e.getKey)
+        if (!sessions.containsKey(e.getKey) &&
+            dl != null && dl.longValue() <= t) {
+          val ns = scratchNamespace(e.getKey)
+          try {
+            resolver.dropNamespace(ns)
+            pendingCleanup.remove(e.getKey)
+            dropped += ns
+          } catch { case scala.util.control.NonFatal(_) => () } // retry next sweep
+        }
       }
     }
     dropped.result()
@@ -116,20 +131,25 @@ final class ControlPlane(resolver: TableResolver,
 
   // ---- daemon runner ---------------------------------------------------
 
-  private val running = new AtomicBoolean(false)
+  // Each start() gets its OWN flag: a stopped loop thread that wakes
+  // from sleep later can only clear its own generation's flag, never a
+  // successor loop's (a shared flag raced stop() -> start() into either
+  // a silently-dead or a doubled loop).
+  @volatile private var runningFlag: AtomicBoolean = _
   @volatile private var loop: Thread = _
 
   /** Run poll+sweep every `intervalMillis` on a daemon thread (the
     * reference's 30 s watch loop). Idempotent stop via [[stop]]. */
   def start(intervalMillis: Long = 30000L): Unit = synchronized {
-    require(!running.get(), "control plane already running")
-    running.set(true)
+    require(loop == null, "control plane already running")
+    val flag = new AtomicBoolean(true)
+    runningFlag = flag
     loop = new Thread(() => {
-      while (running.get()) {
+      while (flag.get()) {
         try { poll(); sweep() }
         catch { case scala.util.control.NonFatal(_) => () } // next tick retries
         try Thread.sleep(intervalMillis)
-        catch { case _: InterruptedException => running.set(false) }
+        catch { case _: InterruptedException => flag.set(false) }
       }
     }, "graft-control-plane")
     loop.setDaemon(true)
@@ -137,8 +157,9 @@ final class ControlPlane(resolver: TableResolver,
   }
 
   def stop(): Unit = synchronized {
-    running.set(false)
+    Option(runningFlag).foreach(_.set(false))
     Option(loop).foreach(_.interrupt())
+    runningFlag = null
     loop = null
   }
 }

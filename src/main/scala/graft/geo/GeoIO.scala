@@ -130,10 +130,12 @@ object GeoIO {
   // ---- CRS transforms ---------------------------------------------------
   // The reference hardcodes 4326 and never applies outSR (`models.py:69`,
   // unused pyproj util `query/geometry.py:80-102`); we honor it for the
-  // web-mercator pair its web clients use, plus the WGS84 UTM zones
+  // web-mercator pair its web clients use, the WGS84 UTM zones
   // (EPSG 32601-32660 north / 32701-32760 south) a desktop GIS client
-  // typically requests. Non-WGS84 datums (e.g. 269xx NAD83) stay
-  // rejected: honoring them to meter accuracy without a datum shift
+  // typically requests, and NAD83 UTM 26901-26923 on the GRS80
+  // ellipsoid with the EPSG:1188 null datum shift (see [[Utm]]).
+  // Datums needing a real grid shift (NAD27 267xx, national grids)
+  // stay rejected: honoring those to meter accuracy without grid files
   // would be silently wrong.
 
   private val R = 6378137.0

@@ -194,16 +194,20 @@ object SpatialJoin {
           val maxRing = math.max(
             math.max(math.abs(bMinX - ix), math.abs(bMaxX - ix)),
             math.max(math.abs(bMinY - iy), math.abs(bMaxY - iy)))
-          // near-field: walk rings while the perimeter is smaller than
-          // the map; far/sparse rows (walk outgrew the map) finish with
+          // near-field: walk rings while the CUMULATIVE lookup count
+          // stays under the map size (a per-ring guard alone lets a far
+          // anchor pay sum(8r) ~ 4r² empty lookups crossing the gap to
+          // a distant right-side region); far/sparse rows finish with
           // ONE exact pass bucketing the remaining cells by ring — so a
           // row's candidate-discovery cost is O(#non-empty cells) worst
           // case, O(k / density) typical, never O(maxRing * #cells)
           var r = 0L
           var cum = 0L
           var rk = -1L
-          while (rk < 0 && r <= maxRing && 8 * r <= keys.length) {
+          var looked = 0L
+          while (rk < 0 && r <= maxRing && looked <= keys.length) {
             cum += countAt(r)
+            looked += math.max(8 * r, 1)
             if (cum >= k) rk = r else r += 1
           }
           if (rk < 0 && r <= maxRing) {

@@ -532,6 +532,29 @@ class PipelineSpec extends SparkFunSuite {
     assert(n2 >= 1)
   }
 
+  test("duplicate-ratio probe distinguishes same-schema tables at different paths") {
+    // Two parquet tables with IDENTICAL schemas but opposite duplicate
+    // profiles. LogicalRelation's plan STRING prints only schema+format
+    // (never the path), so a key built from the canonicalized plan text
+    // alone would deterministically collide and reuse the first table's
+    // ratio for the second — mis-picking the contraction path (the
+    // round-8 review finding; the key now folds in the leaf relation
+    // root paths).
+    val dir = java.nio.file.Files.createTempDirectory("ratio").toString
+    (0 until 200).map(i => (i.toLong, s"unique document number $i"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/distinct")
+    (0 until 200).map(i => (i.toLong, "the same cloned text every time"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/clones")
+    val rDistinct = Dedup.distinctRatio(
+      spark.read.parquet(s"$dir/distinct"), col("text"))
+    val rClones = Dedup.distinctRatio(
+      spark.read.parquet(s"$dir/clones"), col("text"))
+    assert(rDistinct > 0.9, s"distinct table probed ratio $rDistinct")
+    assert(rClones < 0.1,
+      s"clone table probed ratio $rClones — same-schema table at a " +
+        "different path reused the first table's memoized ratio")
+  }
+
   test("Caches.release evicts every internal persist (serving stability)") {
     // the round-6 #8 contract: a serving session running near-dup queries
     // and releasing at request boundaries must not accumulate cache

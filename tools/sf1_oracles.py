@@ -60,17 +60,20 @@ _chunked_memo = {}
 
 
 def run_chunked(con, oracle_sql, m=KNN_CHUNKS):
-    # memoized by SQL text: geo_knn_grid's committed oracle is byte-equal
-    # to geo_knn's (same closed form, different engine plan under test),
-    # so the ~15-min chunked evaluation runs once for both
-    if oracle_sql in _chunked_memo:
-        return _chunked_memo[oracle_sql]
+    # memoized by (connection, chunking, SQL text): geo_knn_grid's
+    # committed oracle is byte-equal to geo_knn's (same closed form,
+    # different engine plan under test), so the ~15-min chunked
+    # evaluation runs once for both — but a different connection (other
+    # corpus) or chunk count must not reuse the cached rows
+    memo_key = (id(con), m, oracle_sql)
+    if memo_key in _chunked_memo:
+        return _chunked_memo[memo_key]
     rows, names = [], None
     for i in range(m):
         rel = con.sql(knn_chunk_sql(oracle_sql, m, i))
         names = list(rel.columns)
         rows.extend(rel.fetchall())
-    _chunked_memo[oracle_sql] = (names, rows)
+    _chunked_memo[memo_key] = (names, rows)
     return names, rows
 
 
