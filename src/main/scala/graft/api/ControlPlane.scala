@@ -98,31 +98,60 @@ final class ControlPlane(resolver: TableResolver,
   /** Sessions awaiting cleanup (monitoring / specs). */
   def pendingCleanups: Int = pendingCleanup.size()
 
+  // failed-drop retry budget per session: a TRANSIENT catalog failure is
+  // retried on later sweeps; a permanently failing drop (e.g. a session
+  // id that renders to an invalid namespace identifier) gives up after
+  // this many attempts instead of re-throwing every 30 s forever and
+  // pinning its pendingCleanup entry
+  private val dropAttempts = new ConcurrentHashMap[String, Integer]()
+  private val maxDropAttempts = 5
+
   /** Drop the scratch namespace of every session whose grace expired
     * without a reconnect; returns the dropped namespaces. A namespace
-    * that was never created drops as a no-op (reference parity). The
-    * pending entry is removed only AFTER a successful drop, so a
-    * transient catalog failure is retried on the next sweep instead of
-    * silently leaking the namespace. */
+    * that was never created drops as a no-op (reference parity).
+    *
+    * The expiry decision (still pending, deadline passed, no live
+    * session) is CLAIMED under [[sessionLock]], but the drop itself runs
+    * outside it — a catalog drop can take seconds and must not block
+    * every other session's connect/disconnect. A connect() landing
+    * after the claim proceeds while the drop completes: the same
+    * contract as the reference, whose cleanup task is cancellable only
+    * until it fires (api/main.py:946-948). A failed drop re-queues the
+    * entry (unless the session reconnected) up to [[maxDropAttempts]]. */
   def sweep(): Seq[String] = {
     val t = now()
     val dropped = Seq.newBuilder[String]
     val it = pendingCleanup.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue.longValue() <= t) sessionLock.synchronized {
-        // re-read under the lock: a connect() since the iterator saw
-        // this entry cancels the cleanup, and a reconnect + fresh
-        // disconnect resets the deadline (must not drop early)
-        val dl = pendingCleanup.get(e.getKey)
-        if (!sessions.containsKey(e.getKey) &&
-            dl != null && dl.longValue() <= t) {
-          val ns = scratchNamespace(e.getKey)
+      if (e.getValue.longValue() <= t) {
+        val sid = e.getKey
+        // claim under the lock: a connect() since the iterator saw this
+        // entry cancels the cleanup, and a reconnect + fresh disconnect
+        // resets the deadline (must not drop early)
+        val claimed = sessionLock.synchronized {
+          val dl = pendingCleanup.get(sid)
+          val ok = !sessions.containsKey(sid) &&
+            dl != null && dl.longValue() <= t
+          if (ok) pendingCleanup.remove(sid)
+          ok
+        }
+        if (claimed) {
+          val ns = scratchNamespace(sid)
           try {
             resolver.dropNamespace(ns)
-            pendingCleanup.remove(e.getKey)
+            dropAttempts.remove(sid)
             dropped += ns
-          } catch { case scala.util.control.NonFatal(_) => () } // retry next sweep
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              val n = dropAttempts.merge(sid, Integer.valueOf(1),
+                (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
+              if (n.intValue() < maxDropAttempts) sessionLock.synchronized {
+                if (!sessions.containsKey(sid))
+                  pendingCleanup.putIfAbsent(sid,
+                    java.lang.Long.valueOf(now()))
+              } else dropAttempts.remove(sid) // bounded: give up
+          }
         }
       }
     }

@@ -317,6 +317,37 @@ class ApiSpec extends SparkFunSuite {
     clock += 60000L
     cp.sweep() // must not throw
     assert(cp.pendingCleanups === 0)
+
+    // a PERMANENTLY failing drop retries a bounded number of times and
+    // then drains instead of pinning its entry forever (review finding:
+    // remove-after-success alone retried a throwing dropNamespace every
+    // sweep for the session's lifetime)
+    val failing = new graft.sources.TableResolver {
+      def load(ns: String, t: String) = cat.load(ns, t)
+      def loadAt(ns: String, t: String, v: Long) = cat.loadAt(ns, t, v)
+      def snapshots(ns: String, t: String) = cat.snapshots(ns, t)
+      def listNamespaces() = cat.listNamespaces()
+      def listTables(ns: String) = cat.listTables(ns)
+      def createOrReplace(ns: String, t: String,
+          df: org.apache.spark.sql.DataFrame) = cat.createOrReplace(ns, t, df)
+      def append(ns: String, t: String,
+          df: org.apache.spark.sql.DataFrame) = cat.append(ns, t, df)
+      def dropNamespace(ns: String) =
+        throw new IllegalStateException("catalog down")
+    }
+    var clock2 = 1000L
+    val cp2 = new ControlPlane(failing, graceMillis = 1000L,
+      now = () => clock2)
+    cp2.connect("doomed"); cp2.disconnect("doomed")
+    clock2 += 2000L
+    var sweeps = 0
+    while (cp2.pendingCleanups > 0 && sweeps < 20) {
+      assert(cp2.sweep().isEmpty) // the drop always fails
+      clock2 += 2000L
+      sweeps += 1
+    }
+    assert(cp2.pendingCleanups === 0, "failing drop never drained")
+    assert(sweeps <= 6, s"took $sweeps sweeps to give up (bound is 5 attempts)")
   }
 
   test("feature caps: per-geometry-type limits and response byte cap (O5)") {

@@ -59,13 +59,27 @@ def knn_chunk_sql(oracle_sql, m, i):
 _chunked_memo = {}
 
 
+_memo_conns = []
+
+
+def _con_token(con):
+    # identity token that cannot be recycled (id() can be reused after
+    # GC): the memo keeps the connection alive, which is fine for this
+    # short-lived tool
+    for i, c in enumerate(_memo_conns):
+        if c is con:
+            return i
+    _memo_conns.append(con)
+    return len(_memo_conns) - 1
+
+
 def run_chunked(con, oracle_sql, m=KNN_CHUNKS):
     # memoized by (connection, chunking, SQL text): geo_knn_grid's
     # committed oracle is byte-equal to geo_knn's (same closed form,
     # different engine plan under test), so the ~15-min chunked
     # evaluation runs once for both — but a different connection (other
     # corpus) or chunk count must not reuse the cached rows
-    memo_key = (id(con), m, oracle_sql)
+    memo_key = (_con_token(con), m, oracle_sql)
     if memo_key in _chunked_memo:
         return _chunked_memo[memo_key]
     rows, names = [], None
