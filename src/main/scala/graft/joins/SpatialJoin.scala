@@ -92,13 +92,22 @@ object SpatialJoin {
     *     #non-empty cells ≪ #rows by the cell-size choice, the same
     *     driver-budget contract as the IVF codebook.
     *  2. Each left row walks the histogram in expanding Chebyshev rings
-    *     until the cumulative count reaches k at ring r. Any such
-    *     configuration bounds the true kth distance by
+    *     from its envelope CENTER until the cumulative count reaches k at
+    *     ring r. Any such configuration bounds the true kth distance by
     *     d_k ≤ √2·(r+1)·cell (anchor anywhere in its cell, candidate
     *     anywhere in a ring-r cell), and a cell at ring j has min
     *     distance ≥ (j−1)·cell, so emitting every non-empty cell with
     *     j ≤ ⌈√2·(r+1)⌉ + 1 provably covers the exact top-k INCLUDING
-    *     distance ties at the boundary. Candidate (left, cell) pairs
+    *     distance ties at the boundary. A LEFT geometry with spatial
+    *     extent (line/polygon — the refine distance is geometry-to-
+    *     geometry, not center-to-geometry) shifts both sides of that
+    *     argument by at most its envelope half-diagonal h: every point of
+    *     the geometry is within h of the center, so
+    *     d_k(geom) ≤ √2·(r+1)·cell + h and a ring-j cell has
+    *     min geometry distance ≥ (j−1)·cell − h — the candidate radius
+    *     therefore widens by ⌈2h/cell⌉ cells (round-8 verdict #5; zero
+    *     extra cells for the point-like case, so the point fast path is
+    *     unchanged). Candidate (left, cell) pairs
     *     then equi-join the celled right side — a normal shuffle join,
     *     AQE-skew-splittable — and the exact distance + row_number over
     *     (distance, tiebreak) keeps k per left row, deterministically
@@ -173,6 +182,15 @@ object SpatialJoin {
           val ay = (env.getMinY + env.getMaxY) / 2
           val ix = math.floor(ax / cellSize).toLong
           val iy = math.floor(ay / cellSize).toLong
+          // envelope half-diagonal in cells: the ring-count argument is
+          // anchored at the CENTER but the refine distance is geometry-
+          // to-geometry, so an extended left geometry both lowers true
+          // distances and raises a ring's minimum by up to halfDiag —
+          // widen the candidate radius by 2h/cell (scaladoc proof).
+          // Zero for point-like rows: the common path pays nothing.
+          val halfDiag = math.sqrt(
+            env.getWidth * env.getWidth + env.getHeight * env.getHeight) / 2
+          val extraCells = math.ceil(2 * halfDiag / cellSize).toLong
           // perimeter lookups for Chebyshev ring r around (ix, iy)
           def countAt(r: Long): Long = {
             if (r == 0L) cells.getOrElse((ix, iy), 0L)
@@ -227,9 +245,11 @@ object SpatialJoin {
           }
           if (rk < 0) rk = maxRing // right side holds fewer than k rows
           // candidate radius covers the √2 diagonal + the anchor-at-edge
-          // margin (scaladoc proof)
+          // margin + the left envelope's half-diagonal slack (scaladoc
+          // proof)
           val bigR = math.min(
-            math.ceil(math.sqrt(2.0) * (rk + 1)).toLong + 1, maxRing)
+            math.ceil(math.sqrt(2.0) * (rk + 1)).toLong + 1 + extraCells,
+            maxRing)
           val out = scala.collection.mutable.ArrayBuffer[Row]()
           if ((2 * bigR + 1) * (2 * bigR + 1) >= keys.length) {
             keys.foreach { case (kx, ky) =>

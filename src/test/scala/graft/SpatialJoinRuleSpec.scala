@@ -144,4 +144,51 @@ class SpatialJoinRuleSpec extends SparkFunSuite {
       k = 2, tiebreak = "nid", cellSize = 2.0)
     assert(none.count() === 0)
   }
+
+  test("grid kNN with extended (polygon) left geometries matches broadcast") {
+    // Adversarial construction for the left-anchor contract (round-8
+    // verdict #5): the ring walk anchors at the left envelope CENTER but
+    // the refine distance is geometry-to-geometry. A 20-wide box centered
+    // at (10,0) counts k=1 from the cluster at (10,6) — center distance 6,
+    // so the un-widened candidate radius was ⌈√2·7⌉+1 = 11 rings — while
+    // the TRUE nearest neighbour sits at (24,0), ring 14 from the center
+    // but only 4.0 from the box's right edge. Without the half-diagonal
+    // widening this returned nid=0 (dist 5.5) instead of nid=1.
+    val neigh = Seq(
+      (0L, GeoIO.toWkb(GeoIO.point(10.0, 6.0))),
+      (1L, GeoIO.toWkb(GeoIO.point(24.0, 0.0)))).toDF("nid", "ngeom")
+    val box = Seq((100L, GeoIO.toWkb(GeoIO.envelope(0.0, -0.5, 20.0, 0.5))))
+      .toDF("qid", "qgeom")
+    val nearest = graft.joins.SpatialJoin.knnGrid(
+      box, "qid", "qgeom", neigh, "ngeom", k = 1, tiebreak = "nid",
+      cellSize = 1.0)
+      .select("nid", "knn_dist").as[(Long, Double)].collect().toSeq
+    assert(nearest === Seq((1L, 4.0)))
+
+    // Randomized parity with knnBroadcast (which is exact for any left
+    // geometry): boxes spanning several cells, mixed point clusters.
+    val rng = new scala.util.Random(11)
+    val pts = (0 until 150).map(i => (i.toLong, GeoIO.toWkb(GeoIO.point(
+      -25.0 + rng.nextDouble() * 50, -25.0 + rng.nextDouble() * 50))))
+      .toDF("nid", "ngeom")
+    val boxes = (0 until 40).map { i =>
+      val cx = -20.0 + (i % 8) * 5.5
+      val cy = -20.0 + (i / 8) * 5.5
+      val w = 1.0 + (i % 5) * 2.0 // up to 9x1 — half-diagonal > 2 cells
+      (1000L + i, GeoIO.toWkb(GeoIO.envelope(cx - w, cy - 0.5, cx + w, cy + 0.5)))
+    }.toDF("qid", "qgeom")
+    for (k <- Seq(1, 3)) {
+      val got = graft.joins.SpatialJoin.knnGrid(
+        boxes, "qid", "qgeom", pts, "ngeom", k = k, tiebreak = "nid",
+        cellSize = 2.0)
+        .select("qid", "nid", "knn_dist")
+        .as[(Long, Long, Double)].collect().toSet
+      val want = graft.joins.SpatialJoin.knnBroadcast(
+        boxes, "qgeom", pts, "ngeom", k = k, tiebreak = "nid")
+        .select("qid", "nid", "knn_dist")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(want.size === 40 * k)
+      assert(got === want, s"k=$k polygon-left grid/broadcast divergence")
+    }
+  }
 }
