@@ -76,10 +76,39 @@ object DupBench {
         else Double.NaN
       (name, on, off)
     }
+
+    // Star-edge output mode (round-8 verdict #1): same operators, linear
+    // (member→rep) output instead of the clique-quadratic expanded pair
+    // list. Edge counts are printed alongside wall time — the contract is
+    // O(corpus + rep pairs) edges regardless of clone factor, vs
+    // C(factor, 2) per clique for the expanded mode timed above.
+    val starResults = Seq(
+      ("minhash_star", () => Dedup.minhashEdges(docs, "doc_id", "text",
+        numHashes = 64, bands = 8, shingle = 5, threshold = 0.7,
+        contract = Dedup.Contract.On)),
+      ("simhash_star", () => Dedup.simhashEdges(docs, "doc_id", "text",
+        maxHamming = 6, contract = Dedup.Contract.On)),
+      ("cosine_star", () => Similarity.cosineNearDupEdges(emb, "vec_id",
+        "embedding", dim = 64, threshold = 0.42, bits = 4, tables = 8,
+        contract = Dedup.Contract.On))
+    ).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val edges = fn().persist()
+      val n = edges.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      edges.unpersist(blocking = false)
+      graft.pipeline.Caches.release()
+      println(f"$name%-24s $t%8.2f s  edges=$n")
+      (name, t, n)
+    }
+
     println("GRAFT_DUPBENCH")
     results.foreach { case (n, on, off) =>
       if (off.isNaN) println(f"$n%-16s on=$on%.2f s off=skipped (mode=on)")
       else println(f"$n%-16s on=$on%.2f s off=$off%.2f s speedup=${off / on}%.1fx")
+    }
+    starResults.foreach { case (n, t, e) =>
+      println(f"$n%-16s star=$t%.2f s edges=$e")
     }
     spark.stop()
   }

@@ -93,6 +93,21 @@ object PipelineQueries {
         .orderBy(col("comp"))
     }),
 
+    // Same cluster resolution through the STAR-EDGE output mode (round-8
+    // verdict #1): the expanded same-hash pair list above is quadratic in
+    // clone multiplicity (C(n,2) edges per n-clique), while exactDupEdges
+    // emits one member→rep edge per clone — linear — with provably the
+    // same connected components. Shares doc_dup_clusters' closed-form
+    // oracle, so the equivalence is hash-certified by DuckDB at every SF
+    // (near-dup-family star equivalence is asserted in PipelineSpec).
+    "doc_dup_clusters_star" -> ((s, d) => {
+      val edges = Dedup.exactDupEdges(Tables.documents(s, d), "doc_id",
+        md5(col("text")))
+      Dedup.connectedComponents(edges)
+        .groupBy(col("comp")).agg(count(lit(1)).as("n_dups"))
+        .orderBy(col("comp"))
+    }),
+
     // Language ID heuristic over the corpus (rows-only gate; accuracy is
     // asserted in PipelineSpec on real multilingual sentences).
     "doc_langid" -> ((s, d) => {
@@ -662,6 +677,11 @@ object PipelineQueries {
            count(*) AS dim
          FROM centroids GROUP BY label ORDER BY label""",
     "doc_dup_clusters" ->
+      """SELECT min(doc_id) AS comp, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1
+         ORDER BY comp""",
+    // star-edge mode resolves the SAME clusters from a linear edge list
+    "doc_dup_clusters_star" ->
       """SELECT min(doc_id) AS comp, count(*) AS n_dups
          FROM documents GROUP BY md5(text) HAVING count(*) > 1
          ORDER BY comp""",

@@ -197,6 +197,64 @@ object Dedup {
       .filter(col("__n") > 1)
       .select(col("__rep"))
 
+  /** Star-edge output (round-8 verdict #1): rep-level near-dup pairs plus
+    * one member→rep edge per clone — LINEAR in corpus size, where the
+    * expanded member-pair contract is quadratic in clone multiplicity
+    * (a clique of n exact clones expands to C(n,2) pairs: 4,950 per
+    * 100-clique, 5×10⁷ per 10⁴-clique — measured: simhash 36.6 s at
+    * 100× clones, the sf10 pair gate sorting ~25 M expanded pairs,
+    * BENCH_NOTES round 8). When the consumer is cluster resolution (the
+    * common dedup endpoint: connected components → keep one per
+    * component), the expansion carries zero extra information.
+    *
+    * Connected components over the star output are PROVABLY identical to
+    * components over the expanded pair list:
+    *  - within a clique, the expanded path emits the complete graph on
+    *    members exactly when the clique's self-similarity passes the
+    *    family's filter — the same `selfVals` row that gates the star
+    *    edges here, so the star (same vertex set, same condition)
+    *    preserves connectivity and membership;
+    *  - a cross-clique rep pair expands to the complete bipartite graph
+    *    between the two cliques' member sets; the rep pair plus both
+    *    cliques' stars connect exactly that vertex set;
+    *  - a clique failing its self filter (e.g. winnow's fingerprint
+    *    floor) can appear in no cross pair either — a shared-fingerprint
+    *    count is bounded by either side's own count — so its members are
+    *    isolated on both paths. (Asserted family-by-family on a
+    *    clone-heavy corpus in PipelineSpec.)
+    *
+    * Component LABELS also agree: reps are clique minima, so the minimum
+    * id of every component is present on both paths.
+    *
+    * `selfVals` carries one row per eligible clique rep (the invariant
+    * [[expandPairs]] already relies on); similarity values are not
+    * carried — star edges link exact clones (similarity is the family's
+    * self value by construction) and rep pairs' values are recoverable
+    * from the pairs output when needed. */
+  private[pipeline] def starEdges(repPairs: DataFrame, selfVals: DataFrame,
+      members: DataFrame): DataFrame =
+    repPairs.select(col("id_a"), col("id_b")).union(
+      members.join(selfVals.select(col("__rep")), Seq("__rep"))
+        .filter(col("__mid") =!= col("__rep"))
+        .select(col("__rep").as("id_a"), col("__mid").as("id_b")))
+
+  /** Exact-duplicate star edges: one (rep = min id, member) edge per
+    * clone — the linear-output form of the exact-dup pair list (whose
+    * complete same-key cliques are quadratic in clone multiplicity).
+    * Connected components over these edges are exactly the same-key
+    * groups of size > 1, so the closed-form oracle is GROUP BY key
+    * HAVING count(*) > 1. Map-side partial agg: only (key, min-id)
+    * shuffles for the rep resolution, plus one narrow re-join. */
+  def exactDupEdges(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keyed = df.select(col(idCol).as("__mid"),
+      coalesce(key.cast("string"), concat(lit("\u0000id:"), col(idCol)))
+        .as("__ckey"))
+    val reps = keyed.groupBy(col("__ckey")).agg(min(col("__mid")).as("__rep"))
+    keyed.join(reps, Seq("__ckey"))
+      .filter(col("__mid") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__mid").as("id_b"))
+  }
+
   /** Exact duplicate groups by content hash of the raw text. */
   def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
@@ -240,6 +298,34 @@ object Dedup {
     if (!shouldContract(df, col(textCol), contract))
       return minhashPairsRaw(df, idCol, textCol, numHashes, bands, shingle,
         threshold)
+    val (repPairs, selfVals, members) =
+      minhashContracted(df, idCol, textCol, numHashes, bands, shingle,
+        threshold)
+    expandPairs(repPairs, selfVals, members, "jaccard")
+  }
+
+  /** [[minhashPairs]] in star-edge output mode — (id_a, id_b) edges,
+    * linear in clone multiplicity, component-equivalent to the expanded
+    * pair list (see [[starEdges]]). The duplicate-light path returns the
+    * raw pair list's edges (already linear: no cliques to expand). */
+  def minhashEdges(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+      threshold: Double = 0.6,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    if (!shouldContract(df, col(textCol), contract))
+      return minhashPairsRaw(df, idCol, textCol, numHashes, bands, shingle,
+        threshold).select(col("id_a"), col("id_b"))
+    val (repPairs, selfVals, members) =
+      minhashContracted(df, idCol, textCol, numHashes, bands, shingle,
+        threshold)
+    starEdges(repPairs, selfVals, members)
+  }
+
+  /** Shared contracted-path pieces for both minhash output modes:
+    * (rep-level pairs, per-eligible-clique self values, member map). */
+  private def minhashContracted(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, shingle: Int,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val c = contractExact(df, idCol, md5(col(textCol)))
     val repPairs = minhashPairsRaw(c.reps, idCol, textCol, numHashes, bands,
       shingle, threshold)
@@ -249,7 +335,7 @@ object Dedup {
         jaccard_shingle(col(textCol), col(textCol), shingle))
       .filter(col("jaccard") >= threshold)
       .select(col("__rep"), col("jaccard"))
-    expandPairs(repPairs, selfVals, c.members, "jaccard")
+    (repPairs, selfVals, c.members)
   }
 
   private def minhashPairsRaw(df: DataFrame, idCol: String, textCol: String,
@@ -328,11 +414,30 @@ object Dedup {
       contract: Contract = Contract.Auto()): DataFrame = {
     if (!shouldContract(df, col(textCol), contract))
       return simhashPairsRaw(df, idCol, textCol, maxHamming)
+    val (repPairs, selfVals, members) =
+      simhashContracted(df, idCol, textCol, maxHamming)
+    expandPairs(repPairs, selfVals, members, "hamming")
+  }
+
+  /** [[simhashPairs]] in star-edge output mode (see [[starEdges]]). */
+  def simhashEdges(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    if (!shouldContract(df, col(textCol), contract))
+      return simhashPairsRaw(df, idCol, textCol, maxHamming)
+        .select(col("id_a"), col("id_b"))
+    val (repPairs, selfVals, members) =
+      simhashContracted(df, idCol, textCol, maxHamming)
+    starEdges(repPairs, selfVals, members)
+  }
+
+  private def simhashContracted(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int): (DataFrame, DataFrame, DataFrame) = {
     val c = contractExact(df, idCol, md5(col(textCol)))
     val repPairs = simhashPairsRaw(c.reps, idCol, textCol, maxHamming)
     // xor(sig, sig) = 0 for identical text — always within any cap >= 0
     val selfVals = cliques(c.members).withColumn("hamming", lit(0))
-    expandPairs(repPairs, selfVals, c.members, "hamming")
+    (repPairs, selfVals, c.members)
   }
 
   /** Winnowing copy-detection pairs (Schleimer/Wilkerson/Aiken-style
@@ -365,6 +470,30 @@ object Dedup {
     if (!shouldContract(df, col(textCol), contract))
       return winnowPairsRaw(df, idCol, textCol, shingle, window, maxDf,
         minShared)._1
+    val (repPairs, selfVals, members) =
+      winnowContracted(df, idCol, textCol, shingle, window, maxDf, minShared)
+    expandPairs(repPairs, selfVals, members, "shared_fps")
+  }
+
+  /** [[winnowPairs]] in star-edge output mode (see [[starEdges]]; the
+    * fingerprint floor gates star cliques exactly as it gates self-pairs,
+    * and a clique under the floor can have no cross pair either — shared
+    * counts are bounded by either side's own count). */
+  def winnowEdges(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 12, window: Int = 16, maxDf: Int = 20,
+      minShared: Int = 10,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    if (!shouldContract(df, col(textCol), contract))
+      return winnowPairsRaw(df, idCol, textCol, shingle, window, maxDf,
+        minShared)._1.select(col("id_a"), col("id_b"))
+    val (repPairs, selfVals, members) =
+      winnowContracted(df, idCol, textCol, shingle, window, maxDf, minShared)
+    starEdges(repPairs, selfVals, members)
+  }
+
+  private def winnowContracted(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int, window: Int, maxDf: Int,
+      minShared: Int): (DataFrame, DataFrame, DataFrame) = {
     val c = contractExact(df, idCol, md5(col(textCol)))
     val (repPairs, prunedFps) = winnowPairsRaw(c.reps, idCol, textCol,
       shingle, window, maxDf, minShared)
@@ -379,7 +508,7 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
     val selfVals = cliques(c.members).join(repFpCounts, Seq("__rep"))
-    expandPairs(repPairs, selfVals, c.members, "shared_fps")
+    (repPairs, selfVals, c.members)
   }
 
   /** Returns (pairs, pruned (id, fp) relation after the df cap) — the

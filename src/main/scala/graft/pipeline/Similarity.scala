@@ -237,6 +237,38 @@ object Similarity {
     if (!doContract)
       return cosineNearDupPairsRaw(df, idCol, vecCol, dim, threshold, bits,
         tables, seed)
+    val (repPairs, selfVals, members) =
+      cosineContracted(df, idCol, vecCol, dim, threshold, bits, tables, seed)
+    Dedup.expandPairs(repPairs, selfVals, members, "sim")
+  }
+
+  /** [[cosineNearDupPairs]] in star-edge output mode — (id_a, id_b) edges
+    * linear in clone multiplicity, component-equivalent to the expanded
+    * pair list (see [[Dedup.starEdges]]; degenerate all-zero-vector
+    * cliques fail the NaN-guarded self filter on both paths, and can
+    * appear in no cross pair either — cosine against a zero vector is
+    * NaN everywhere). */
+  def cosineNearDupEdges(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 8, tables: Int = 8,
+      seed: Long = 42L,
+      contract: Dedup.Contract = Dedup.Contract.Auto()): DataFrame = {
+    val doContract = contract match {
+      case Dedup.Contract.Off => false
+      case Dedup.Contract.On => true
+      case Dedup.Contract.Auto(maxRatio) =>
+        Dedup.distinctRatio(df, col(vecCol)) <= maxRatio
+    }
+    if (!doContract)
+      return cosineNearDupPairsRaw(df, idCol, vecCol, dim, threshold, bits,
+        tables, seed).select(col("id_a"), col("id_b"))
+    val (repPairs, selfVals, members) =
+      cosineContracted(df, idCol, vecCol, dim, threshold, bits, tables, seed)
+    Dedup.starEdges(repPairs, selfVals, members)
+  }
+
+  private def cosineContracted(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int, tables: Int,
+      seed: Long): (DataFrame, DataFrame, DataFrame) = {
     val c = Dedup.contractExact(df, idCol, md5(col(vecCol).cast("string")))
     val repPairs = cosineNearDupPairsRaw(c.reps, idCol, vecCol, dim,
       threshold, bits, tables, seed)
@@ -245,7 +277,7 @@ object Similarity {
       .withColumn("sim", Det.r(cosine(col(vecCol), col(vecCol)), 6))
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("__rep"), col("sim"))
-    Dedup.expandPairs(repPairs, selfVals, c.members, "sim")
+    (repPairs, selfVals, c.members)
   }
 
   private def cosineNearDupPairsRaw(df: DataFrame, idCol: String,

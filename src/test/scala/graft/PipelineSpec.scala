@@ -119,6 +119,82 @@ class PipelineSpec extends SparkFunSuite {
     assert(cnRaw.size >= 435) // C(30,2) within the identical-vector clique
   }
 
+  test("star-edge output: components match the expanded pair path, linear in clones") {
+    // Two exact-dup cliques whose reps are near-dups of EACH OTHER (one
+    // word apart): the component spans both cliques, so star mode must
+    // stitch member→rep stars together with the cross-clique rep pair —
+    // the exact topology the expanded path reaches via a 40×25 complete
+    // bipartite blow-up. Plus a short-text clique (empty-shingle
+    // convention), an unrelated singleton, and null-text rows (must stay
+    // out of both outputs).
+    val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows =
+      (0 until 40).map(i => (1000L + i, baseText)) ++
+        (0 until 25).map(i => (2000L + i, baseText.replaceFirst("quick", "rapid"))) ++
+        Seq((3000L, "entirely unrelated content about parquet shuffles and joins"),
+          (4000L, "abc"), (4001L, "abc"),
+          (5000L, null.asInstanceOf[String]), (5001L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "text")
+
+    def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mhPairs = Dedup.minhashPairs(df, "doc_id", "text", 64, 16, 5, 0.6,
+      contract = Dedup.Contract.On)
+    val mhEdges = Dedup.minhashEdges(df, "doc_id", "text", 64, 16, 5, 0.6,
+      contract = Dedup.Contract.On)
+    val mhLabels = labels(mhEdges)
+    assert(mhLabels === labels(mhPairs))
+    // the merged A∪B component labels by the global min id
+    assert(mhLabels(2024L) === 1000L)
+    // LINEARITY — the point of the mode: the expanded path pays
+    // C(40,2) + C(25,2) + 40×25 = 2080 pairs for the two cliques alone;
+    // the star output is one edge per clone + one rep pair + the
+    // short-text pair
+    val nPairs = mhPairs.count()
+    val nEdges = mhEdges.count()
+    assert(nPairs >= 2080L, s"expanded pair count: $nPairs")
+    assert(nEdges <= 67L, s"star edge count not linear: $nEdges")
+
+    // raw (duplicate-light) path: edges mode degrades to the pair list
+    val mhRawEdges = Dedup.minhashEdges(df, "doc_id", "text", 64, 16, 5, 0.6,
+      contract = Dedup.Contract.Off)
+    assert(labels(mhRawEdges) === mhLabels)
+
+    assert(labels(Dedup.simhashEdges(df, "doc_id", "text", maxHamming = 6,
+      contract = Dedup.Contract.On)) ===
+      labels(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6,
+        contract = Dedup.Contract.On)))
+
+    // winnow: the fingerprint floor gates short docs out of BOTH outputs
+    assert(labels(Dedup.winnowEdges(df, "doc_id", "text",
+      contract = Dedup.Contract.On)) ===
+      labels(Dedup.winnowPairs(df, "doc_id", "text",
+        contract = Dedup.Contract.On)))
+
+    // embedding family: identical-vector clique + perturbed near-dup
+    val r = new scala.util.Random(7)
+    val v0 = Array.fill(64)(r.nextFloat() - 0.5f)
+    val vrows = (0 until 30).map(i => (100L + i, v0)) ++ Seq(
+      (900L, v0.map(x => x + (r.nextFloat() - 0.5f) * 0.02f)),
+      (901L, Array.fill(64)(r.nextFloat() - 0.5f)))
+    val vdf = vrows.toDF("vec_id", "embedding")
+    assert(labels(Similarity.cosineNearDupEdges(vdf, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, bits = 8, tables = 8,
+      contract = Dedup.Contract.On)) ===
+      labels(Similarity.cosineNearDupPairs(vdf, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, bits = 8, tables = 8,
+        contract = Dedup.Contract.On)))
+
+    // exact-dup star edges: components are exactly the md5 groups > 1
+    val exact = Dedup.connectedComponents(
+      Dedup.exactDupEdges(df, "doc_id", md5(col("text"))))
+      .groupBy(col("comp")).agg(count(lit(1)).as("n"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(exact === Set((1000L, 40L), (2000L, 25L), (4000L, 2L)))
+  }
+
   test("winnow df cap counts distinct content on BOTH paths (no recall hole)") {
     // 25 clones of one long doc + 2 distinct docs. With a row-counted cap
     // (rounds <= 7, raw path) every clone fingerprint had df=25 > maxDf=20
