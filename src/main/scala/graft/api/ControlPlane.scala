@@ -106,6 +106,19 @@ final class ControlPlane(resolver: TableResolver,
   private val dropAttempts = new ConcurrentHashMap[String, Integer]()
   private val maxDropAttempts = 5
 
+  // namespaces the sweep gave up on (maxDropAttempts exhausted) — a
+  // silent abandon permanently leaks the namespace with no operator
+  // signal (round-8 advice); surfaced for monitoring/manual cleanup
+  private val abandonedNs = ConcurrentHashMap.newKeySet[String]()
+
+  /** Scratch namespaces the sweep abandoned after [[maxDropAttempts]]
+    * failed drops — these leak until an operator cleans them up. */
+  def abandonedNamespaces: Set[String] = {
+    val b = Set.newBuilder[String]
+    abandonedNs.forEach(ns => b += ns)
+    b.result()
+  }
+
   /** Drop the scratch namespace of every session whose grace expired
     * without a reconnect; returns the dropped namespaces. A namespace
     * that was never created drops as a no-op (reference parity).
@@ -131,10 +144,25 @@ final class ControlPlane(resolver: TableResolver,
         // resets the deadline (must not drop early)
         val claimed = sessionLock.synchronized {
           val dl = pendingCleanup.get(sid)
-          val ok = !sessions.containsKey(sid) &&
+          val expired = !sessions.containsKey(sid) &&
             dl != null && dl.longValue() <= t
-          if (ok) pendingCleanup.remove(sid)
-          ok
+          if (expired) pendingCleanup.remove(sid)
+          // namespace aliasing (round-8 advice): the reference-parity
+          // 8-char prefix means two DISTINCT session ids can share one
+          // scratch namespace; dropping on this session's expiry would
+          // delete a still-connected alias's tables. Hand the namespace's
+          // lifecycle to the live alias — its own disconnect schedules a
+          // fresh cleanup with a full grace period (retrying this stale
+          // entry instead would fire the instant the alias disconnects,
+          // violating its grace). Sessions are a small in-memory map, so
+          // the scan is O(live sessions) under the lock.
+          expired && {
+            val ns = scratchNamespace(sid)
+            var aliasLive = false
+            sessions.forEach((live, _) =>
+              if (scratchNamespace(live) == ns) aliasLive = true)
+            !aliasLive
+          }
         }
         if (claimed) {
           val ns = scratchNamespace(sid)
@@ -150,7 +178,10 @@ final class ControlPlane(resolver: TableResolver,
                 if (!sessions.containsKey(sid))
                   pendingCleanup.putIfAbsent(sid,
                     java.lang.Long.valueOf(now()))
-              } else dropAttempts.remove(sid) // bounded: give up
+              } else {
+                dropAttempts.remove(sid) // bounded: give up...
+                abandonedNs.add(ns) // ...but VISIBLY (round-8 advice)
+              }
           }
         }
       }

@@ -542,8 +542,18 @@ object Dedup {
     val stop = fps.groupBy(col("__fp"))
       .agg(countDistinct(col("__ck")).as("__df"))
       .filter(col("__df") > maxDf).select(col("__fp"))
+    // "few by construction" is a heuristic, not a bound: a boilerplate-
+    // heavy corpus (most fingerprints over the df cap) can make the stop
+    // set arbitrarily large, and an unconditional broadcast hint would
+    // then OOM the driver instead of degrading (round-8 advice). One
+    // cheap agg on the already-persisted fps relation checks the
+    // premise; past ~500k fingerprints (~4 MB of longs, far under any
+    // broadcast limit but a signal the premise broke) fall back to a
+    // plain shuffled left_anti join.
+    val stopCount = stop.count()
+    val stopSide = if (stopCount <= 500000L) broadcast(stop) else stop
     val pruned = fps.select(col("__id"), col("__fp"))
-      .join(broadcast(stop), Seq("__fp"), "left_anti")
+      .join(stopSide, Seq("__fp"), "left_anti")
     val a = pruned.select(col("__id").as("id_a"), col("__fp"))
     val b = pruned.select(col("__id").as("id_b"), col("__fp").as("__fp_b"))
     val pairs = a.join(b,

@@ -194,10 +194,25 @@ object Similarity {
     * same slice (PipelineSpec). */
   def bruteNearDupPairsSliced(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Long = 1000L): DataFrame = {
-    val step = math.max(1L, df.count() / maxRows)
-    bruteNearDupPairs(
-      if (step == 1L) df else df.filter(col(idCol) % step === 0L),
-      idCol, vecCol, threshold)
+    val n = df.count()
+    val step = math.max(1L, n / maxRows)
+    if (step == 1L) return bruteNearDupPairs(df, idCol, vecCol, threshold)
+    val sliced = df.filter(col(idCol) % step === 0L)
+    // The slice premise is ids roughly uniform modulo step. An id space
+    // that defeats it degrades SILENTLY in both directions — all-even
+    // ids with an even step keep far more than maxRows (voiding the
+    // O(n²) cost cap), ids misaligned with the stride keep ~none (a
+    // trivially-green gate with no coverage) — and the mirrored SQL
+    // oracle reproduces either slice, so the differential can't catch
+    // it. Fail loudly instead (round-8 advice): one narrow count on the
+    // already-bounded slice, only on the step>1 scale path.
+    val kept = sliced.count()
+    if (kept > 4L * maxRows || kept < math.min(n, maxRows) / 4L)
+      throw new IllegalStateException(
+        s"bruteNearDupPairsSliced: id slice kept $kept of $n rows " +
+          s"(target ~$maxRows, step $step) — the id space is not " +
+          "uniform modulo the stride; pick a different slice key")
+    bruteNearDupPairs(sliced, idCol, vecCol, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed — the scale

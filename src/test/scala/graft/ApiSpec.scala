@@ -348,6 +348,45 @@ class ApiSpec extends SparkFunSuite {
     }
     assert(cp2.pendingCleanups === 0, "failing drop never drained")
     assert(sweeps <= 6, s"took $sweeps sweeps to give up (bound is 5 attempts)")
+    // the give-up is VISIBLE: the leaked namespace is surfaced for
+    // operators instead of silently abandoned (round-8 advice)
+    assert(cp2.abandonedNamespaces === Set(cp2.scratchNamespace("doomed")))
+    assert(cp.abandonedNamespaces.isEmpty)
+  }
+
+  test("control plane: aliased scratch namespaces never drop under a live session") {
+    // Reference-parity naming truncates the session id to 8 non-dash
+    // chars, so DISTINCT sessions can share one scratch namespace. The
+    // sweep of an expired session must not delete the namespace while an
+    // alias is still connected — lifecycle hands off to the live alias's
+    // own eventual disconnect (round-8 advice).
+    import java.nio.file.Files
+    import graft.api.ControlPlane
+    import graft.sources.ParquetCatalog
+    import spark.implicits._
+    val root = Files.createTempDirectory("cpalias").toString
+    val cat = new ParquetCatalog(spark, root)
+    var clock = 1000L
+    val cp = new ControlPlane(cat, graceMillis = 1000L, now = () => clock)
+    val sidA = "abcdef01-dead"
+    val sidB = "abcdef01-beef" // same 8-char prefix -> same namespace
+    val ns = cp.scratchNamespace(sidA)
+    assert(ns === cp.scratchNamespace(sidB))
+    cat.createOrReplace(ns, "tmp", Seq((1L, "x")).toDF("id", "v"))
+    cp.connect(sidA); cp.connect(sidB)
+    cp.disconnect(sidA) // A expires while B stays connected
+    clock += 5000L
+    assert(cp.sweep().isEmpty, "dropped an aliased namespace under a live session")
+    assert(cat.listTables(ns).nonEmpty, "live alias lost its scratch tables")
+    assert(cp.pendingCleanups === 0,
+      "stale entry must hand off to the live alias, not retry")
+    // B's own lifecycle still cleans up with a FULL grace period
+    cp.disconnect(sidB)
+    clock += 500L
+    assert(cp.sweep().isEmpty, "dropped inside the alias's grace period")
+    clock += 1000L
+    assert(cp.sweep() === Seq(ns))
+    assert(cat.listTables(ns).isEmpty)
   }
 
   test("feature caps: per-geometry-type limits and response byte cap (O5)") {
