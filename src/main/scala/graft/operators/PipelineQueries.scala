@@ -121,41 +121,33 @@ object PipelineQueries {
     // gate; LSH-vs-brute-force equivalence is asserted in PipelineSpec).
     // 8 bands x 8 rows: ~99% recall at j>=0.9 (the planted-dup regime)
     // while keeping low-jaccard candidate pairs ~100x rarer than 16x4 —
-    // the LSH knob that matters at corpus scale.
-    // The pair set is persisted at the gate boundary before the
-    // deterministic orderBy (here and in the sibling pair gates): a
-    // mid-plan sort runs a range-partitioning SAMPLE job first, and on
-    // an unpersisted child that job recomputes the entire pair pipeline
-    // a second time — at sf10 the recompute was ~200 s of the 235 s
-    // gate wall (BENCH_NOTES round 8). With the persist, the sample
-    // pass populates the cache and the sort pass reads it. Tracked in
-    // Caches, evicted by the runner's release().
+    // the LSH knob that matters at corpus scale. Output shape is
+    // [[pairGate]]: the full sorted pair list at driver scale, an
+    // order-free digest once the pair count outgrows a bounded sort.
     "doc_minhash_dedup" -> ((s, d) => {
-      graft.pipeline.Caches.persistTracked(
+      pairGate(
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-          numHashes = 64, bands = 8, shingle = 5, threshold = 0.7))
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
+          numHashes = 64, bands = 8, shingle = 5, threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard")),
+        "jaccard")
     }),
 
-    // SimHash near-dup pairs (rows-only gate).
+    // SimHash near-dup pairs (rows-only gate; pairGate output shape).
     "doc_simhash_dedup" -> ((s, d) => {
-      graft.pipeline.Caches.persistTracked(
-        Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 6))
-        .orderBy(col("id_a"), col("id_b"))
+      pairGate(Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 6), "hamming")
     }),
 
     // Winnowing copy-detection (rows-only gate): the inverted-index
     // fingerprint join with a stop-fingerprint cap counted over DISTINCT
     // content on both paths (see Dedup.winnowPairs: a row-counted cap
     // LOSES recall, not just time, once clones inflate df past it) and
-    // Contract.Auto for cost on clone-heavy corpora.
+    // Contract.Auto for cost on clone-heavy corpora. pairGate output.
     "doc_winnow_pairs" -> ((s, d) => {
-      graft.pipeline.Caches.persistTracked(
-        Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
-          shingle = 12, window = 16, maxDf = 20, minShared = 10))
-        .orderBy(col("id_a"), col("id_b"))
+      pairGate(Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        shingle = 12, window = 16, maxDf = 20, minShared = 10),
+        "shared_fps")
     }),
 
     // Approximate-nearest-neighbor join (rows-only gate): seeded
@@ -287,11 +279,9 @@ object PipelineQueries {
     // recall for candidate-bounded cost; at real near-dup thresholds
     // (>=0.9) the same knobs give >99%.
     "emb_neardup_lsh" -> ((s, d) => {
-      graft.pipeline.Caches.persistTracked(
-        Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-          "vec_id", "embedding", dim = 64, threshold = 0.42,
-          bits = 4, tables = 8))
-        .orderBy(col("id_a"), col("id_b"))
+      pairGate(Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, threshold = 0.42,
+        bits = 4, tables = 8), "sim")
     }),
 
     // Multimodal resize plumbing: decode -> aspect-preserving fit into
@@ -532,6 +522,31 @@ object PipelineQueries {
         .crossJoin(checked.agg(coalesce(sum(col("__viol")), lit(0L))
           .cast("long").as("n_violations")))
     }))
+
+  /** Bounded deterministic output for the no-oracle PAIR gates (round-8
+    * verdict #3). At driver scales (pair count within `maxRows`) the full
+    * pair list is emitted under the historical (id_a, id_b) sort, so
+    * sf0.1/sf1 outputs are byte-identical to prior rounds. Past the bound
+    * a global sort makes the gate measure its own harness — at sf10
+    * doc_minhash_dedup spent 235 s range-sampling + sorting ~25 M
+    * expanded pairs against a 32 s bare operator (BENCH_NOTES round 8) —
+    * so the gate instead emits ONE order-free row: the pair count plus a
+    * commutative xor-of-xxhash64 digest over (id_a, id_b, value). The
+    * digest is partitioning-independent (xor is commutative/associative;
+    * pairs are distinct by construction so cancellation can't occur) and
+    * engine-portable, preserving a deterministic rows>0 gate with no
+    * sort, no single-partition collect, and O(1) output at any SF.
+    *
+    * The pair set is persisted at the gate boundary either way (the
+    * count action + the output both read it; tracked in [[Caches]],
+    * evicted by the runner's release()). */
+  private def pairGate(pairs: DataFrame, valueCol: String,
+      maxRows: Long = 1000000L): DataFrame = {
+    val p = graft.pipeline.Caches.persistTracked(pairs)
+    if (p.count() <= maxRows) p.orderBy(col("id_a"), col("id_b"))
+    else p.agg(count(lit(1)).as("n_pairs"),
+      expr(s"bit_xor(xxhash64(id_a, id_b, $valueCol))").as("pair_digest"))
+  }
 
   /** Deterministic bounded pair sample WITHOUT a total ordering (round-7
     * verdict #1: `orderBy(xxhash64).limit(n)` mid-plan is planned as a
