@@ -44,20 +44,50 @@ final class ControlPlane(resolver: TableResolver,
     * reference regenerating the pygeoapi config + reloading. */
   def configGeneration: Long = generation.get()
 
+  // Push channel (round-8 verdict #6): the analogue of the reference
+  // pushing `layer_ready` events to connected WebSocket clients
+  // (api/main.py:988-1045). Subscribers receive every NON-EMPTY diff a
+  // poll produces, from the first poll after registration — a client
+  // registered mid-stream sees exactly the changes after its
+  // registration point, never a replay.
+  private val listeners =
+    new java.util.concurrent.CopyOnWriteArrayList[CatalogDiff => Unit]()
+
+  /** Register a catalog-change subscriber; returns its unsubscribe
+    * handle. Listeners are invoked on the polling thread AFTER the
+    * registry is updated (so a listener reading [[collections]] sees the
+    * post-diff state); a throwing listener is isolated — it can't break
+    * the poll loop or its sibling subscribers. */
+  def subscribe(listener: CatalogDiff => Unit): () => Unit = {
+    listeners.add(listener)
+    () => { listeners.remove(listener); () }
+  }
+
   /** One discovery pass: list the catalog (scratch namespaces excluded —
-    * they are session-private), diff against the registry, apply. */
-  def poll(): CatalogDiff = synchronized {
-    val found = (for {
-      ns <- resolver.listNamespaces() if !ns.startsWith(scratchPrefix)
-      t <- resolver.listTables(ns)
-    } yield (ns, t)).toSet
-    val added = found -- registered
-    val removed = registered -- found
-    if (added.nonEmpty || removed.nonEmpty) {
-      registered = found
-      generation.incrementAndGet()
+    * they are session-private), diff against the registry, apply, then
+    * notify subscribers of a non-empty diff (outside the registry lock —
+    * a subscriber calling back into the control plane must not
+    * deadlock; diff DELIVERY order matches poll order because polls run
+    * on the single daemon loop). */
+  def poll(): CatalogDiff = {
+    val diff = synchronized {
+      val found = (for {
+        ns <- resolver.listNamespaces() if !ns.startsWith(scratchPrefix)
+        t <- resolver.listTables(ns)
+      } yield (ns, t)).toSet
+      val added = found -- registered
+      val removed = registered -- found
+      if (added.nonEmpty || removed.nonEmpty) {
+        registered = found
+        generation.incrementAndGet()
+      }
+      CatalogDiff(added, removed, registered.size)
     }
-    CatalogDiff(added, removed, registered.size)
+    if (diff.added.nonEmpty || diff.removed.nonEmpty)
+      listeners.forEach(l =>
+        try l(diff)
+        catch { case scala.util.control.NonFatal(_) => () })
+    diff
   }
 
   // ---- scratch-session lifecycle --------------------------------------

@@ -354,6 +354,160 @@ class ApiSpec extends SparkFunSuite {
     assert(cp.abandonedNamespaces.isEmpty)
   }
 
+  test("control plane push channel: mid-stream subscriber gets exactly the post-registration diffs") {
+    // the poll-side analogue of the reference pushing layer_ready events
+    // to connected clients (api/main.py:988-1045)
+    import java.nio.file.Files
+    import graft.api.{CatalogDiff, ControlPlane}
+    import graft.sources.ParquetCatalog
+    import spark.implicits._
+    val root = Files.createTempDirectory("cppush").toString
+    val cat = new ParquetCatalog(spark, root)
+    val cp = new ControlPlane(cat)
+    cat.createOrReplace("geo", "pts", Seq((1L, "a")).toDF("id", "v"))
+    cp.poll() // pre-registration history must NOT replay to subscribers
+
+    // a throwing subscriber registered FIRST: every later delivery proves
+    // sibling isolation
+    cp.subscribe(_ => throw new RuntimeException("boom"))
+    val seen = scala.collection.mutable.Buffer[CatalogDiff]()
+    val unsub = cp.subscribe(d => seen += d)
+
+    assert(cp.poll().added.isEmpty)
+    assert(seen.isEmpty, "no-change poll must not notify")
+
+    cat.createOrReplace("geo", "boxes", Seq((2L, "b")).toDF("id", "v"))
+    cat.createOrReplace("events", "stream", Seq((3L, "c")).toDF("id", "v"))
+    cp.poll()
+    assert(seen.map(_.added) === Seq(Set(("geo", "boxes"), ("events", "stream"))))
+
+    cat.dropNamespace("events")
+    cp.poll()
+    assert(seen.size === 2 && seen.last.removed === Set(("events", "stream")))
+    assert(seen.last.collections === 2)
+
+    unsub()
+    cat.createOrReplace("geo", "more", Seq((4L, "d")).toDF("id", "v"))
+    cp.poll()
+    assert(seen.size === 2, "unsubscribed listener still notified")
+  }
+
+  test("HTTP listener end-to-end: metadata, query formats byte-equal to in-process, lifecycle") {
+    import java.nio.file.Files
+    import graft.api.GraftHttpServer
+    import graft.engine.{QueryEngine, SchemaService}
+    import graft.sources.ParquetCatalog
+    val root = Files.createTempDirectory("httpsrv").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("geo", "points", operators.GeoSynth.points(spark, sf()))
+    val srv = new GraftHttpServer(spark, cat, maxConcurrent = 4, port = 0,
+      pollIntervalMillis = 3600000L) // one startup poll, then dormant
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def get(path: String, post: Option[String] = None): (Int, Array[Byte], String) = {
+      val conn = new java.net.URL(base + path).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      post.foreach { body =>
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        os.write(body.getBytes("UTF-8")); os.close()
+      }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val bytes = is.readAllBytes(); is.close()
+      (code, bytes, Option(conn.getContentType).getOrElse(""))
+    }
+    try {
+      // service directory + layer metadata
+      val (c0, dir, _) = get("/rest/services")
+      assert(c0 === 200 && new String(dir, "UTF-8").contains("\"geo\""))
+      val (c1, meta, _) = get("/rest/services/geo/FeatureServer/0")
+      assert(c1 === 200)
+      assert(mapper.readTree(new String(meta, "UTF-8"))
+        .get("objectIdField").asText === "__oid")
+
+      // the reference request shape, byte-compared against the in-process
+      // translate -> engine -> serializer cycle (same df, same params)
+      val qs = "geometry=-120,25,-110,50&outFields=c_custkey&resultRecordCount=5"
+      val df = cat.load("geo", "points")
+      val sch = SchemaService.describe(df, "geo.points")
+      val qp = FeatureServer.translateQuery(Map(
+        "geometry" -> "-120,25,-110,50", "outFields" -> "c_custkey",
+        "resultRecordCount" -> "5"), sch)
+      val r = QueryEngine.query(df, sch, qp)
+      val rows = r.df.collect().toSeq
+      val served = sch.copy(srid = r.srid)
+      val wantJson = graft.serializers.JsonSerializers.esriFeatureSet(
+        rows, r.df.schema, served, r.exceededTransferLimit)
+      val wantGeo = graft.serializers.JsonSerializers.geoJsonFeatureCollection(
+        rows, r.df.schema, served, r.count)
+      val wantPbf = graft.serializers.EsriPbf.serialize(
+        rows, r.df.schema, served, r.exceededTransferLimit)
+
+      val (cj, gotJson, ctj) = get(s"/rest/services/geo/FeatureServer/0/query?$qs&f=json")
+      assert(cj === 200 && ctj.startsWith("application/json"))
+      assert(new String(gotJson, "UTF-8") === wantJson)
+      val (cg, gotGeo, _) = get(s"/rest/services/geo/FeatureServer/0/query?$qs&f=geojson")
+      assert(cg === 200 && new String(gotGeo, "UTF-8") === wantGeo)
+      val (cb2, gotPbf, ctp) = get(s"/rest/services/geo/FeatureServer/0/query?$qs&f=pbf")
+      assert(cb2 === 200 && ctp.startsWith("application/x-protobuf"))
+      assert(gotPbf.toSeq === wantPbf.toSeq)
+
+      // POST form params merge with URL params (ArcPro sends both)
+      val (cpost, postJson, _) = get(
+        "/rest/services/geo/FeatureServer/0/query?geometry=-120,25,-110,50",
+        post = Some("outFields=c_custkey&resultRecordCount=5&f=json"))
+      assert(cpost === 200 && new String(postJson, "UTF-8") === wantJson)
+
+      // count-only short form matches the in-process count
+      val wantCount = QueryEngine.query(df, sch,
+        qp.copy(countOnly = true)).count.get
+      val (cc, cnt, _) = get(
+        s"/rest/services/geo/FeatureServer/0/query?$qs&returnCountOnly=true")
+      assert(cc === 200)
+      assert(mapper.readTree(new String(cnt, "UTF-8"))
+        .get("count").asLong === wantCount)
+
+      // Esri error contract: unsupported outSR -> HTTP 200 + error body
+      val (ce, err, _) = get(
+        s"/rest/services/geo/FeatureServer/0/query?$qs&outSR=27700")
+      assert(ce === 200)
+      assert(mapper.readTree(new String(err, "UTF-8"))
+        .get("error").get("code").asInt === 400)
+      // invalid name -> HTTP 400; unknown route -> 404
+      assert(get("/api/features/1bad/points")._1 === 400)
+      assert(get("/nope")._1 === 404)
+
+      // OGC items + bbox endpoints
+      val (ci, items, _) = get("/api/features/geo/points?limit=3")
+      assert(ci === 200)
+      assert(mapper.readTree(new String(items, "UTF-8"))
+        .get("features").size === 3)
+      val (cx, bb, _) = get("/api/bbox/geo/points")
+      assert(cx === 200)
+      val bj = mapper.readTree(new String(bb, "UTF-8"))
+      assert(bj.get("xmin").asDouble <= bj.get("xmax").asDouble)
+
+      // the control plane runs WITH the server: its startup poll
+      // registered the collection (spin briefly — the daemon races start)
+      val deadline = System.currentTimeMillis() + 5000
+      while (srv.controlPlane.collections.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(srv.controlPlane.collections === Set(("geo", "points")))
+
+      // sessionId ticks the scratch lifecycle: connect + disconnect per
+      // request leaves one pending cleanup after its grace starts
+      get(s"/rest/services/geo/FeatureServer/0/query?$qs&f=json&sessionId=http-sess-1")
+      assert(srv.controlPlane.pendingCleanups === 1)
+    } finally srv.stop()
+    // stop() closes the socket and the control plane with it
+    assertThrows[java.io.IOException] {
+      val c = new java.net.URL(base + "/rest/services").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      c.setConnectTimeout(500); c.getResponseCode
+    }
+  }
+
   test("control plane: aliased scratch namespaces never drop under a live session") {
     // Reference-parity naming truncates the session id to 8 non-dash
     // chars, so DISTINCT sessions can share one scratch namespace. The
