@@ -47,7 +47,11 @@ final class RequestGate(maxConcurrent: Int = 4) {
     peakSeen.getAndUpdate(p => math.max(p, n))
     val sc = spark.sparkContext
     sc.setLocalProperty("spark.scheduler.pool", pool)
-    try body
+    // request-scoped cache generation: tracked persists registered by
+    // this request are protected from size-bound eviction while it runs,
+    // as long as a completed request's cache can be evicted instead
+    // (round-8 verdict #8 — pipeline/Caches.scala)
+    try graft.pipeline.Caches.withGeneration(body)
     finally {
       sc.setLocalProperty("spark.scheduler.pool", null)
       // evict the pipeline operators' tracked persists at DRAIN points

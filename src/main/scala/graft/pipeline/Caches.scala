@@ -1,7 +1,6 @@
 package graft.pipeline
 
-import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.DataFrame
 
@@ -22,17 +21,38 @@ import org.apache.spark.sql.DataFrame
   * with continuously overlapping requests never sees `active == 0`, so
   * tracked persists would accumulate for its whole lifetime exactly
   * when it is busiest (round-7 verdict #4). [[persistTracked]] therefore
-  * also enforces a size bound itself — once more than [[maxTracked]]
-  * registrations accumulate without a drain, the OLDEST are unpersisted
-  * FIFO (oldest ≈ the caches whose callers' actions have long since
-  * completed). Unpersisting under a still-running plan is safe — Spark
-  * falls back to recomputing from lineage — so the bound trades
-  * worst-case recompute for guaranteed-bounded storage memory.
+  * also enforces a size bound itself — past [[maxTracked]]
+  * registrations without a drain, entries are evicted. Eviction is
+  * GENERATION-AWARE (round-8 verdict #8): requests that declare their
+  * lifetime with [[withGeneration]] (RequestGate does) tag their
+  * registrations, and the evictor prefers entries of COMPLETED
+  * generations — the caches whose callers' actions have finished — so
+  * a still-running request's plan is never deprived of its cache while
+  * any finished request's leftovers remain. Only if every tracked entry
+  * belongs to an in-flight generation (more concurrent registrations
+  * than the bound — pathological) does it fall back to oldest-first;
+  * unpersisting under a running plan stays safe either way (Spark
+  * recomputes from lineage), so the bound trades worst-case recompute
+  * for guaranteed-bounded storage memory.
+  *
+  * Registration/eviction run under one small lock — they happen a
+  * handful of times per QUERY (never per row), so contention is nil and
+  * the generation bookkeeping stays trivially race-free.
   */
 object Caches {
-  private val tracked = new ConcurrentLinkedQueue[DataFrame]()
-  // ConcurrentLinkedQueue.size() is O(n); keep the count alongside.
-  private val n = new AtomicInteger(0)
+  private val lock = new Object
+  // insertion-ordered (generation, cache) registry — oldest first
+  private val tracked =
+    scala.collection.mutable.ArrayDeque.empty[(Long, DataFrame)]
+
+  private val genCounter = new AtomicLong(0L)
+  // generations whose withGeneration body is still executing
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+  // the generation this thread's registrations belong to (0 = undeclared;
+  // undeclared registrations are treated as always-evictable, which is
+  // exactly the legacy FIFO behavior for callers outside a request scope)
+  private val currentGen = new ThreadLocal[java.lang.Long]()
 
   /** Size bound for the no-drain-point fallback. A near-dup gate query
     * registers ≤4 caches, each a narrow projection ≪ its input; 32
@@ -41,23 +61,67 @@ object Caches {
     * footprint. */
   @volatile private[graft] var maxTracked: Int = 32
 
+  /** Test hook: evictions that had to claim a still-in-flight
+    * generation's cache (the recompute-storm fallback — zero under any
+    * load ≤ the registration bound). */
+  private[graft] val inFlightEvictions = new AtomicLong(0L)
+
   /** Caches currently registered (monitoring / specs). */
-  def trackedCount: Int = n.get()
+  def trackedCount: Int = lock.synchronized(tracked.size)
+
+  /** Declare a request-scoped cache generation: registrations from
+    * `body` (on this thread) are tagged and protected from size-bound
+    * eviction until `body` returns, as long as any completed
+    * generation's cache is available to evict instead. Nests (inner
+    * generations shadow, then restore). */
+  def withGeneration[T](body: => T): T = {
+    val g = java.lang.Long.valueOf(genCounter.incrementAndGet())
+    val prev = currentGen.get()
+    inFlight.add(g)
+    currentGen.set(g)
+    try body
+    finally {
+      if (prev == null) currentGen.remove() else currentGen.set(prev)
+      inFlight.remove(g)
+    }
+  }
 
   /** Persist `df` and register it for the next [[release]] — evicting
-    * the oldest registrations first if the registry exceeds
-    * [[maxTracked]] (the busy-session fallback described above). */
+    * past [[maxTracked]], completed generations first (see object doc). */
   private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
-    tracked.add(p)
-    n.incrementAndGet()
-    while (n.get() > maxTracked) {
-      val old = tracked.poll()
-      if (old != null) {
-        n.decrementAndGet()
-        old.unpersist(blocking = false)
-      } else return p // racing release() already drained
+    val g = currentGen.get()
+    val gen = if (g == null) 0L else g.longValue()
+    val evicted: Seq[DataFrame] = lock.synchronized {
+      tracked.append((gen, p))
+      var excess = tracked.size - maxTracked
+      if (excess <= 0) Nil
+      else {
+        val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
+        var i = 0
+        while (excess > 0 && i < tracked.size) { // completed generations
+          if (!inFlight.contains(java.lang.Long.valueOf(tracked(i)._1))) {
+            idx += i; excess -= 1
+          }
+          i += 1
+        }
+        i = 0
+        while (excess > 0 && i < tracked.size) { // pathological fallback
+          if (!idx.contains(i)) {
+            idx += i; excess -= 1
+            inFlightEvictions.incrementAndGet()
+          }
+          i += 1
+        }
+        val out = idx.toSeq.sorted.map(tracked(_)._2)
+        val kept = tracked.zipWithIndex
+          .collect { case (e, j) if !idx.contains(j) => e }
+        tracked.clear()
+        tracked ++= kept
+        out
+      }
     }
+    evicted.foreach(_.unpersist(blocking = false))
     p
   }
 
@@ -65,11 +129,11 @@ object Caches {
     * while other queries still hold plans over the cached data — Spark
     * recomputes from lineage — but intended at action boundaries. */
   def release(): Unit = {
-    var df = tracked.poll()
-    while (df != null) {
-      n.decrementAndGet()
-      df.unpersist(blocking = false)
-      df = tracked.poll()
+    val all = lock.synchronized {
+      val a = tracked.toSeq
+      tracked.clear()
+      a
     }
+    all.foreach(_._2.unpersist(blocking = false))
   }
 }

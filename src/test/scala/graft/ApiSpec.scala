@@ -228,6 +228,7 @@ class ApiSpec extends SparkFunSuite {
     import scala.concurrent.duration.DurationInt
     import graft.pipeline.Caches
     Caches.release() // start from a clean registry
+    val evictionsBefore = Caches.inFlightEvictions.get()
     val gate = new graft.api.RequestGate(maxConcurrent = 4)
     val exec = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
@@ -255,6 +256,12 @@ class ApiSpec extends SparkFunSuite {
         s"(${sawOverlap.get()}/100) to exercise the never-idle regime")
       assert(maxSeen.get() <= Caches.maxTracked + 4, // +4: concurrent adds
         s"tracked caches grew past the bound: ${maxSeen.get()}")
+      // generation-aware eviction (round-8 verdict #8): at <=maxConcurrent
+      // overlapping requests the size bound must be satisfied entirely
+      // from COMPLETED generations' caches — an in-flight request's cache
+      // evicted mid-plan is a silent recompute storm
+      assert(Caches.inFlightEvictions.get() === evictionsBefore,
+        "evicted a still-in-flight generation's cache under bounded load")
     } finally {
       exec.shutdown()
       Caches.release()
@@ -499,7 +506,13 @@ class ApiSpec extends SparkFunSuite {
       // request leaves one pending cleanup after its grace starts
       get(s"/rest/services/geo/FeatureServer/0/query?$qs&f=json&sessionId=http-sess-1")
       assert(srv.controlPlane.pendingCleanups === 1)
-    } finally srv.stop()
+    } finally {
+      srv.stop()
+      // the catalog's snapshot registry persists loaded plans; drop the
+      // namespace so this suite leaves storage memory clean (the
+      // PipelineSpec release test asserts zero persistent RDDs JVM-wide)
+      cat.dropNamespace("geo")
+    }
     // stop() closes the socket and the control plane with it
     assertThrows[java.io.IOException] {
       val c = new java.net.URL(base + "/rest/services").openConnection()
