@@ -33,6 +33,21 @@ object FeatureCaps {
     math.min(requested.getOrElse(schema.maxRecordCount),
       maxFeatures(schema.geometryType))
 
+  /** OGC items paging policy (pygeoapi server-side limits — the
+    * reference's pygeoapi-config.yml:12-14: default 100, max_items
+    * 10000). A raw client `limit` previously reached `collect()`
+    * unclamped — a single request could materialize the whole table on
+    * the driver (round-9 advice). Non-positive values are a client
+    * error, not a clamp. */
+  val OgcDefaultItems: Int = 100
+  val OgcMaxItems: Int = 10000
+  def ogcLimit(requested: Option[Int]): Int = requested match {
+    case None => OgcDefaultItems
+    case Some(n) if n <= 0 =>
+      throw new IllegalArgumentException(s"limit must be positive, got $n")
+    case Some(n) => math.min(n, OgcMaxItems)
+  }
+
   /** Guard a serialized response against the byte cap — throws the same
     * Esri-style error shape the WKID contract uses, so servers can relay
     * it verbatim. */

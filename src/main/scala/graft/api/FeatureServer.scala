@@ -143,8 +143,18 @@ object FeatureServer {
       // requested page size clamped to the per-geometry-type serving cap
       // (O5): a client cannot request an unbounded extract via the page API
       limit = Some(FeatureCaps.effectiveLimit(schema,
-        p("resultRecordCount").map(_.toInt))),
-      offset = p("resultOffset").map(_.toLong).getOrElse(0L),
+        p("resultRecordCount").map { s =>
+          val n = s.toInt
+          // negative/zero page sizes previously reached Spark's limit()
+          // and surfaced as a 500 analysis error (round-9 verdict #7)
+          require(n > 0, s"resultRecordCount must be positive, got $n")
+          n
+        })),
+      offset = p("resultOffset").map { s =>
+        val n = s.toLong
+        require(n >= 0, s"resultOffset must be non-negative, got $n")
+        n
+      }.getOrElse(0L),
       orderBy = orderBy,
       countOnly = p("returnCountOnly").contains("true"),
       idsOnly = p("returnIdsOnly").contains("true"),

@@ -55,6 +55,7 @@ final class GraftHttpServer(
   val gate = new RequestGate(maxConcurrent)
   val controlPlane = new ControlPlane(resolver)
   private val schemas = new SchemaCache(resolver)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -137,7 +138,14 @@ final class GraftHttpServer(
   private def serviceDirectory(): String = {
     val names = resolver.listNamespaces().filterNot(_.startsWith("_scratch_"))
       .sorted
-    names.map(n => s""""$n"""").mkString("""{"services":[""", ",", "]}")
+    // Jackson-serialized (round-9 advice): raw interpolation produced
+    // malformed JSON for names containing quotes/backslashes — the only
+    // route that didn't validate or escape its interpolated names.
+    val root = mapper.createObjectNode()
+    val arr = mapper.createArrayNode()
+    names.foreach(arr.add)
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("services", arr)
+    mapper.writeValueAsString(root)
   }
 
   private def serviceMeta(ns: String): String =
@@ -205,9 +213,13 @@ final class GraftHttpServer(
     val params = requestParams(ex)
     val reserved = Set("offset", "limit", "bbox", "skipGeometry", "hits",
       "sessionId", "pool", "f")
+    val offset = params.get("offset").map(_.toLong).getOrElse(0L)
+    require(offset >= 0, s"offset must be non-negative, got $offset")
     val qp = OgcProvider.translateItems(
-      offset = params.get("offset").map(_.toLong).getOrElse(0L),
-      limit = params.get("limit").map(_.toInt).getOrElse(100),
+      offset = offset,
+      // server-side max (round-9 advice): the raw client limit reached
+      // collect() unclamped — a driver-OOM hole on the bound socket
+      limit = FeatureCaps.ogcLimit(params.get("limit").map(_.toInt)),
       bbox = params.get("bbox").map { b =>
         val p = b.split(",").map(_.trim.toDouble)
         require(p.length == 4, "bbox must be xmin,ymin,xmax,ymax")

@@ -97,16 +97,21 @@ object Caches {
       var excess = tracked.size - maxTracked
       if (excess <= 0) Nil
       else {
+        // never scan the entry just appended (round-9 advice): the newest
+        // registration is the one cache its caller is GUARANTEED to read
+        // next, so evicting it here returns an unpersisted DataFrame and
+        // silently recomputes the whole upstream pipeline on first use
+        val scanLimit = tracked.size - 1
         val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
         var i = 0
-        while (excess > 0 && i < tracked.size) { // completed generations
+        while (excess > 0 && i < scanLimit) { // completed generations
           if (!inFlight.contains(java.lang.Long.valueOf(tracked(i)._1))) {
             idx += i; excess -= 1
           }
           i += 1
         }
         i = 0
-        while (excess > 0 && i < tracked.size) { // pathological fallback
+        while (excess > 0 && i < scanLimit) { // pathological fallback
           if (!idx.contains(i)) {
             idx += i; excess -= 1
             inFlightEvictions.incrementAndGet()

@@ -575,6 +575,21 @@ class ApiSpec extends SparkFunSuite {
       FeatureCaps.checkResponseSize(257L * 1024 * 1024)
     }
     assert(ex.code === 413)
+    // OGC paging policy (pygeoapi-config.yml:12-14): 100 default, 10k max,
+    // non-positive limits rejected as a client error
+    assert(FeatureCaps.ogcLimit(scala.None) === 100)
+    assert(FeatureCaps.ogcLimit(Some(3)) === 3)
+    assert(FeatureCaps.ogcLimit(Some(Int.MaxValue)) === 10000)
+    intercept[IllegalArgumentException](FeatureCaps.ogcLimit(Some(0)))
+    intercept[IllegalArgumentException](FeatureCaps.ogcLimit(Some(-5)))
+    // negative paging params on the Esri translation are a 400, not a
+    // Spark analysis 500 (round-9 verdict #7)
+    intercept[IllegalArgumentException](FeatureServer.translateQuery(
+      Map("resultRecordCount" -> "-1"), schema))
+    intercept[IllegalArgumentException](FeatureServer.translateQuery(
+      Map("resultRecordCount" -> "0"), schema))
+    intercept[IllegalArgumentException](FeatureServer.translateQuery(
+      Map("resultOffset" -> "-7"), schema))
   }
 
   test("OGC items translation: property filters escape quotes; hits mode") {
