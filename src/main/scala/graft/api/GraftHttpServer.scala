@@ -6,7 +6,7 @@ import java.util.concurrent.Executors
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, element_at, max, min}
+import org.apache.spark.sql.functions.{col, element_at, lit, max, min}
 
 import graft.engine._
 import graft.geo.{GeoFunctions => G}
@@ -97,11 +97,40 @@ final class GraftHttpServer(
           ogcItems(ex, ns, table)
         case Array("api", "bbox", ns, table) =>
           bbox(ex, ns, table)
+        case Array("api", "bbox", ns) =>
+          namespaceBbox(ex, ns)
+        case Array("api", "namespaces") =>
+          respond(ex, 200, "application/json",
+            mapper.writeValueAsString(publicNamespaces().toArray))
+        case Array("api", "namespaces", "tree") =>
+          respond(ex, 200, "application/json",
+            mapper.writeValueAsString(
+              publicNamespaces().map(_.split("\\.")).toArray))
+        case Array("api", "tables", ns) =>
+          FeatureServer.validateName(ns)
+          respond(ex, 200, "application/json",
+            mapper.writeValueAsString(resolver.listTables(ns).sorted.toArray))
+        case Array("api", "upload") if ex.getRequestMethod == "POST" =>
+          upload(ex)
+        case Array("api", "upload") => // the reference's upload UI form
+          respond(ex, 200, "text/html",
+            """<!doctype html><html><body><h1>Upload dataset</h1>
+              |<form method="post" enctype="multipart/form-data">
+              |<input type="file" name="files" multiple>
+              |<button type="submit">Upload</button></form>
+              |</body></html>""".stripMargin)
+        case Array("api", "health") =>
+          respond(ex, 200, "application/json", """{"status":"ok"}""")
         case _ =>
           respond(ex, 404, "application/json",
             """{"error":{"code":404,"message":"not found","details":[]}}""")
       }
     } catch {
+      case e: HttpError => // reference /api shape: {"error": "..."} + status
+        val body = mapper.createObjectNode()
+        body.put("error", e.message)
+        respond(ex, e.status, "application/json",
+          mapper.writeValueAsString(body))
       case e: EsriApiException =>
         respond(ex, 200, "application/json", e.toJson) // Esri client contract
       case e @ (_: IllegalArgumentException | _: NoSuchElementException) =>
@@ -114,6 +143,14 @@ final class GraftHttpServer(
             .toJson)
     } finally ex.close()
   }
+
+  /** Status-typed /api error (api/main.py's `{"error": str}` + HTTP
+    * status contract — distinct from the Esri 200-with-error shape). */
+  private[api] final case class HttpError(status: Int, message: String)
+    extends RuntimeException(message)
+
+  private def publicNamespaces(): Seq[String] =
+    resolver.listNamespaces().filterNot(_.startsWith("_scratch_")).sorted
 
   private object LayerId {
     def unapply(s: String): Option[Int] = s.toIntOption
@@ -136,14 +173,12 @@ final class GraftHttpServer(
   }
 
   private def serviceDirectory(): String = {
-    val names = resolver.listNamespaces().filterNot(_.startsWith("_scratch_"))
-      .sorted
     // Jackson-serialized (round-9 advice): raw interpolation produced
     // malformed JSON for names containing quotes/backslashes — the only
     // route that didn't validate or escape its interpolated names.
     val root = mapper.createObjectNode()
     val arr = mapper.createArrayNode()
-    names.foreach(arr.add)
+    publicNamespaces().foreach(arr.add)
     root.set[com.fasterxml.jackson.databind.node.ObjectNode]("services", arr)
     mapper.writeValueAsString(root)
   }
@@ -208,11 +243,29 @@ final class GraftHttpServer(
     }
   }
 
+  /** The webmap's data route (api/main.py:306-480): GeoParquet bytes by
+    * default (`X-Total-Count`/`X-Truncated` truncation headers),
+    * `f=geojson` for the OGC items body, `mode=aggregate` for the
+    * grid-binned-centroid LOD plan (parquet of (geometry,
+    * feature_count), `X-Aggregation-Mode`/`X-Resolution` headers), and
+    * `simplify`/`zoom` wired to [[Lod]] for feature-mode geometry
+    * thinning. */
   private def ogcItems(ex: HttpExchange, ns: String, table: String): Unit = {
     FeatureServer.validateName(ns); FeatureServer.validateName(table)
     val params = requestParams(ex)
     val reserved = Set("offset", "limit", "bbox", "skipGeometry", "hits",
-      "sessionId", "pool", "f")
+      "sessionId", "pool", "f", "simplify", "zoom", "mode", "resolution")
+    val schema = schemas.describe(ns, table)
+    val zoom = params.get("zoom").map(_.toInt)
+    val bbox = params.get("bbox").map { b =>
+      val p = b.split(",").map(_.trim.toDouble)
+      require(p.length == 4, "bbox must be xmin,ymin,xmax,ymax")
+      Bbox(p(0), p(1), p(2), p(3))
+    }
+    if (params.get("mode").contains("aggregate")) {
+      aggregateItems(ex, ns, table, schema, params, bbox, zoom)
+      return
+    }
     val offset = params.get("offset").map(_.toLong).getOrElse(0L)
     require(offset >= 0, s"offset must be non-negative, got $offset")
     val qp = OgcProvider.translateItems(
@@ -220,27 +273,96 @@ final class GraftHttpServer(
       // server-side max (round-9 advice): the raw client limit reached
       // collect() unclamped — a driver-OOM hole on the bound socket
       limit = FeatureCaps.ogcLimit(params.get("limit").map(_.toInt)),
-      bbox = params.get("bbox").map { b =>
-        val p = b.split(",").map(_.trim.toDouble)
-        require(p.length == 4, "bbox must be xmin,ymin,xmax,ymax")
-        Bbox(p(0), p(1), p(2), p(3))
-      },
+      bbox = bbox,
       propertyFilters = (params -- reserved).toSeq.sortBy(_._1),
       skipGeometry = params.get("skipGeometry").contains("true"),
       hits = params.get("hits").contains("true"))
-    val schema = schemas.describe(ns, table)
+    // Douglas-Peucker tolerance: explicit `simplify` (degrees) wins, else
+    // the zoom ladder (main.ts:217-221 — off at zoom >= 12)
+    val tolerance = params.get("simplify").map(_.toDouble).filter(_ > 0)
+      .orElse(zoom.flatMap(Lod.simplifyTolerance))
     withSession(params) {
       val (result, rows, outSchema) =
         gate.run(spark, params.getOrElse("pool", "interactive")) {
           val r = QueryEngine.query(resolver.load(ns, table), schema, qp)
-          (r, r.df.collect().toSeq, r.df.schema)
+          // simplification applies to the OUTPUT geometry only — the bbox
+          // filter above ran against the raw column (api/main.py:368-378)
+          val page = (tolerance, schema.geometryColumn) match {
+            case (Some(tol), Some(g)) if r.df.columns.contains(g) =>
+              r.df.withColumn(g, G.st_simplify(col(g), lit(tol)))
+            case _ => r.df
+          }
+          (r, page.collect().toSeq, page.schema)
         }
       if (qp.countOnly)
         respond(ex, 200, "application/json",
           s"""{"numberMatched":${result.count.get}}""")
-      else respond(ex, 200, "application/geo+json",
-        JsonSerializers.geoJsonFeatureCollection(rows, outSchema, schema,
-          result.count))
+      else params.getOrElse("f", "parquet") match {
+        case "geojson" =>
+          respond(ex, 200, "application/geo+json",
+            JsonSerializers.geoJsonFeatureCollection(rows, outSchema, schema,
+              result.count))
+        case _ => // reference default: GeoParquet bytes (api/main.py:446-480)
+          result.count.foreach { total =>
+            ex.getResponseHeaders.set("X-Total-Count", total.toString)
+            ex.getResponseHeaders.set("X-Truncated",
+              result.exceededTransferLimit.toString)
+          }
+          respondBytes(ex, 200, "application/x-parquet",
+            parquetPage(rows, outSchema,
+              schema.geometryColumn.filter(outSchema.fieldNames.contains),
+              schema.geometryType))
+      }
+    }
+  }
+
+  /** mode=aggregate (A6 over the wire, api/main.py:410-443): grid-binned
+    * centroid counts at `resolution` (else the zoom ladder, else 0.1°),
+    * bbox-filtered, top cells by count, served as GeoParquet. The cell
+    * list is clamped to the OGC page cap — a server-side bound the
+    * reference leaves to the client (its aggregate limit is optional);
+    * cells are count-descending so the densest survive the clamp. */
+  private def aggregateItems(ex: HttpExchange, ns: String, table: String,
+      schema: FeatureSchema, params: Map[String, String],
+      bbox: Option[Bbox], zoom: Option[Int]): Unit = {
+    val g = schema.geometryColumn.getOrElse(
+      throw HttpError(400, s"$ns.$table has no geometry column"))
+    val res = params.get("resolution").map(_.toDouble).filter(_ > 0)
+      .orElse(zoom.flatMap(Lod.aggregationResolution))
+      .getOrElse(Lod.DefaultResolution)
+    val limit = FeatureCaps.ogcLimit(params.get("limit").map(_.toInt))
+    withSession(params) {
+      val (rows, outSchema) =
+        gate.run(spark, params.getOrElse("pool", "interactive")) {
+          val base = QueryEngine.filtered(resolver.load(ns, table), schema,
+            graft.engine.QueryParams(bbox = bbox))
+          val agg = Lod.aggregate(base, col(g), res).limit(limit)
+          (agg.collect().toSeq, agg.schema)
+        }
+      ex.getResponseHeaders.set("X-Aggregation-Mode", "true")
+      ex.getResponseHeaders.set("X-Resolution", res.toString)
+      respondBytes(ex, 200, "application/x-parquet",
+        parquetPage(rows, outSchema, Some("geometry"), Some("Point")))
+    }
+  }
+
+  /** Serialize a collected page to single-file (Geo)Parquet bytes via the
+    * footer-stamping writer (Spark's writer has no footer hook). */
+  private def parquetPage(rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      geomCol: Option[String], geometryType: Option[String]): Array[Byte] = {
+    val tmp = java.nio.file.Files.createTempFile("graft-page", ".parquet")
+    java.nio.file.Files.delete(tmp) // parquet writer refuses to overwrite
+    try {
+      graft.sources.GeoParquetIO.writePageOpt(rows, schema, geomCol,
+        tmp.toString, geometryTypes = geometryType.toSeq)
+      val bytes = java.nio.file.Files.readAllBytes(tmp)
+      FeatureCaps.checkResponseSize(bytes.length) // O5 byte cap
+      bytes
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      val crc = tmp.resolveSibling("." + tmp.getFileName + ".crc")
+      java.nio.file.Files.deleteIfExists(crc); ()
     }
   }
 
@@ -263,6 +385,124 @@ final class GraftHttpServer(
       respond(ex, 200, "application/json",
         s"""{"xmin":${r.getDouble(0)},"ymin":${r.getDouble(1)},""" +
           s""""xmax":${r.getDouble(2)},"ymax":${r.getDouble(3)}}""")
+    }
+  }
+
+  /** Namespace-level extent (api/main.py:225-261): the union of every
+    * member table's min/max envelope bounds, `{"bbox":[...]}` shape;
+    * tables without geometry (or that fail to scan) are skipped, and a
+    * namespace with no spatial data is a 404 — reference behavior on all
+    * three counts. One Spark job per table, all inside one gate slot (the
+    * admission unit is the REQUEST). */
+  private def namespaceBbox(ex: HttpExchange, ns: String): Unit = {
+    FeatureServer.validateName(ns)
+    val params = requestParams(ex)
+    withSession(params) {
+      val extents = gate.run(spark, params.getOrElse("pool", "interactive")) {
+        resolver.listTables(ns).sorted.flatMap { t =>
+          try {
+            schemas.describe(ns, t).geometryColumn.map { g =>
+              val r = resolver.load(ns, t)
+                .select(G.st_envelope_bounds(col(g)).as("__b"))
+                .agg(min(element_at(col("__b"), 1)), min(element_at(col("__b"), 2)),
+                  max(element_at(col("__b"), 3)), max(element_at(col("__b"), 4)))
+                .head()
+              (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+      if (extents.isEmpty)
+        throw HttpError(404, s"No data found for namespace $ns")
+      val body = mapper.createObjectNode()
+      val arr = mapper.createArrayNode()
+      arr.add(extents.map(_._1).min); arr.add(extents.map(_._2).min)
+      arr.add(extents.map(_._3).max); arr.add(extents.map(_._4).max)
+      body.set[com.fasterxml.jackson.databind.node.ObjectNode]("bbox", arr)
+      respond(ex, 200, "application/json", mapper.writeValueAsString(body))
+    }
+  }
+
+  /** POST /api/upload (S6 over the wire, api/main.py:678-817): multipart
+    * GeoJSON / GeoParquet files → unified schema → catalog table.
+    * `namespace`/`table_name`/`append` ride the query string exactly as
+    * the reference's FastAPI Query params do. Each part lands in a temp
+    * file and is read by the SAME distributed sources the in-process
+    * tests cover (GeoJsonSource / GeoParquetIO); multi-file uploads
+    * unify via [[graft.sources.GeoJsonSource.unify]] — missing columns
+    * null-fill, incompatible types are the 400 the reference raises on
+    * concat. Existing table without `append=true` → 409. */
+  private def upload(ex: HttpExchange): Unit = {
+    val params = parseEncoded(
+      Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    val ns = params.getOrElse("namespace",
+      throw HttpError(400, "namespace query param required"))
+    val table = params.getOrElse("table_name",
+      throw HttpError(400, "table_name query param required"))
+    val append = params.get("append").contains("true")
+    try { FeatureServer.validateName(ns); FeatureServer.validateName(table) }
+    catch { case e: IllegalArgumentException =>
+      throw HttpError(400, Option(e.getMessage).getOrElse("invalid name")) }
+    val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("")
+    if (!contentType.startsWith("multipart/form-data"))
+      throw HttpError(400, "expected multipart/form-data")
+    val files = Multipart.parse(ex.getRequestBody.readAllBytes(), contentType)
+    if (files.isEmpty) throw HttpError(400, "No files provided")
+
+    // stage parts to temp files; the distributed readers take paths
+    val staged = files.map { case (filename, bytes) =>
+      val lower = filename.toLowerCase
+      val fmt =
+        if (lower.endsWith(".geojson") || lower.endsWith(".json")) "geojson"
+        else if (lower.endsWith(".parquet") || lower.endsWith(".geoparquet"))
+          "geoparquet"
+        else throw HttpError(400, s"Unsupported file: $filename. " +
+          "Upload .geojson or .parquet/.geoparquet files.")
+      val tmp = java.nio.file.Files.createTempFile("graft-upload",
+        if (fmt == "geojson") ".geojson" else ".parquet")
+      java.nio.file.Files.write(tmp, bytes)
+      (tmp, fmt)
+    }
+    try {
+      val frames = staged.map { case (tmp, fmt) =>
+        if (fmt == "geojson") graft.sources.GeoJsonSource.read(spark, tmp.toString)
+        else graft.sources.GeoParquetIO.read(spark, tmp.toString)
+      }
+      val combined =
+        try graft.sources.GeoJsonSource.unify(frames)
+        catch { case e: IllegalArgumentException =>
+          throw HttpError(400, s"Schema mismatch across uploaded files: " +
+            s"${e.getMessage}. All files must share the same schema.") }
+      val existed = resolver.listTables(ns).contains(table)
+      if (existed && !append)
+        throw HttpError(409, s"Table $ns.$table already exists. " +
+          "Set append=true to add data to it.")
+      // one materialization BEFORE the commit: the temp files are deleted
+      // on return, so the write must not re-read them lazily afterwards —
+      // and it doubles as the reported row count
+      val (rows, cols) = gate.run(spark, params.getOrElse("pool", "ingest")) {
+        val cached = combined.persist()
+        val n = cached.count()
+        if (existed) resolver.append(ns, table, cached)
+        else resolver.createOrReplace(ns, table, cached)
+        val c = cached.columns.toSeq
+        cached.unpersist(blocking = false)
+        (n, c)
+      }
+      val body = mapper.createObjectNode()
+      body.put("status", "ok")
+      body.put("namespace", ns)
+      body.put("table", table)
+      body.put("created", !existed)
+      body.put("rows", rows)
+      body.put("files_processed", files.size)
+      val colArr = mapper.createArrayNode()
+      cols.foreach(colArr.add)
+      body.set[com.fasterxml.jackson.databind.node.ObjectNode]("columns", colArr)
+      respond(ex, 200, "application/json", mapper.writeValueAsString(body))
+    } finally staged.foreach { case (tmp, _) =>
+      java.nio.file.Files.deleteIfExists(tmp); ()
     }
   }
 

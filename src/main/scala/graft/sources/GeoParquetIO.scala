@@ -84,6 +84,17 @@ object GeoParquetIO {
     writePageWithMeta(rows.iterator, schema, geomCol, outPath,
       geoMetadataJson(geomCol, geometryTypes, bbox))
 
+  /** Page write for a possibly non-spatial result (the HTTP features
+    * route with `skipGeometry`): with a geometry column it is a full
+    * GeoParquet page; without one it is plain parquet, no `geo` footer. */
+  def writePageOpt(rows: Seq[Row], schema: StructType,
+      geomCol: Option[String], outPath: String,
+      geometryTypes: Seq[String] = Seq("Point"),
+      bbox: Option[Bbox] = None): Unit = geomCol match {
+    case Some(g) => writePage(rows, schema, g, outPath, geometryTypes, bbox)
+    case None => writePageWithMeta(rows.iterator, schema, "", outPath, null)
+  }
+
   /** Distributed GeoParquet export: every partition writes its own
     * `part-NNNNN.parquet` with the `geo` footer — the multi-file path for
     * large extracts (Spark's own writer exposes no footer hook, so each
@@ -109,10 +120,12 @@ object GeoParquetIO {
     val msg: MessageType = new MessageType("spark_schema",
       (reordered.fields.map(parquetType).toList: List[org.apache.parquet.schema.Type]).asJava)
     val factory = new SimpleGroupFactory(msg)
+    val extra: Map[String, String] =
+      if (metaJson == null) Map.empty else Map("geo" -> metaJson)
     val writer = ExampleParquetWriter.builder(new Path(outPath))
       .withConf(new Configuration())
       .withType(msg)
-      .withExtraMetaData(Map("geo" -> metaJson).asJava)
+      .withExtraMetaData(extra.asJava)
       .build()
     try {
       val srcIdx = reordered.fields.map(f => schema.fieldIndex(f.name))

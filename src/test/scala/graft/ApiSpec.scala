@@ -486,7 +486,7 @@ class ApiSpec extends SparkFunSuite {
       assert(get("/nope")._1 === 404)
 
       // OGC items + bbox endpoints
-      val (ci, items, _) = get("/api/features/geo/points?limit=3")
+      val (ci, items, _) = get("/api/features/geo/points?limit=3&f=geojson")
       assert(ci === 200)
       assert(mapper.readTree(new String(items, "UTF-8"))
         .get("features").size === 3)
@@ -518,6 +518,165 @@ class ApiSpec extends SparkFunSuite {
       val c = new java.net.URL(base + "/rest/services").openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       c.setConnectTimeout(500); c.getResponseCode
+    }
+  }
+
+  test("HTTP /api surface: parquet bytes + headers, aggregate mode, upload round-trip, discovery, clamps") {
+    import java.nio.file.Files
+    import graft.api.GraftHttpServer
+    import graft.sources.{GeoParquetIO, ParquetCatalog}
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("httpapi").toString
+    val cat = new ParquetCatalog(spark, root)
+    val pts = operators.GeoSynth.points(spark, sf())
+    cat.createOrReplace("geo", "points", pts)
+    val total = pts.count()
+    val srv = new GraftHttpServer(spark, cat, maxConcurrent = 4, port = 0,
+      pollIntervalMillis = 3600000L)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def req(path: String, post: Option[Array[Byte]] = None,
+        contentType: Option[String] = None):
+        (Int, Array[Byte], java.net.HttpURLConnection) = {
+      val conn = new java.net.URL(base + path).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      post.foreach { body =>
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        contentType.foreach(ct => conn.setRequestProperty("Content-Type", ct))
+        val os = conn.getOutputStream
+        os.write(body); os.close()
+      }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val bytes = is.readAllBytes(); is.close()
+      (code, bytes, conn)
+    }
+    def json(b: Array[Byte]) = mapper.readTree(new String(b, "UTF-8"))
+    try {
+      // discovery + health (api/main.py:151-199, 905-908)
+      assert(json(req("/api/health")._2).get("status").asText === "ok")
+      val nsArr = json(req("/api/namespaces")._2)
+      assert(nsArr.size === 1 && nsArr.get(0).asText === "geo")
+      val tree = json(req("/api/namespaces/tree")._2)
+      assert(tree.get(0).get(0).asText === "geo")
+      val tbls = json(req("/api/tables/geo")._2)
+      assert(tbls.size === 1 && tbls.get(0).asText === "points")
+
+      // default response is GeoParquet bytes with truncation headers
+      // (api/main.py:446-480) — bytes round-trip through GeoParquetIO.read
+      val (cp, pq, conn) = req("/api/features/geo/points?limit=5")
+      assert(cp === 200)
+      assert(conn.getContentType.startsWith("application/x-parquet"))
+      assert(conn.getHeaderField("X-Total-Count") === total.toString)
+      assert(conn.getHeaderField("X-Truncated") === "true")
+      val tmp = Files.createTempFile("resp", ".parquet")
+      Files.write(tmp, pq)
+      val back = GeoParquetIO.read(spark, tmp.toString)
+      assert(back.count() === 5)
+      // geometry-first column order + geo footer, the readGeoParquet contract
+      assert(back.columns.head === "geom")
+      assert(GeoParquetIO.readGeoMetadata(tmp.toString) === Some(("geom", "WKB")))
+
+      // 10k server-side clamp (pygeoapi max_items): a hostile limit is
+      // served clamped, not collected unbounded; non-positive is a 400
+      assert(req("/api/features/geo/points?limit=2147483647&f=geojson")._1 === 200)
+      assert(req("/api/features/geo/points?limit=0")._1 === 400)
+      assert(req("/api/features/geo/points?limit=-3")._1 === 400)
+      assert(req("/api/features/geo/points?offset=-1")._1 === 400)
+      // Esri route: negative page params are the Esri 400 body, not a 500
+      val (ce, eb, _) = req(
+        "/rest/services/geo/FeatureServer/0/query?resultRecordCount=-1")
+      assert(ce === 400 && json(eb).get("error").get("code").asInt === 400)
+
+      // mode=aggregate hash-matches the in-process Lod.aggregate plan
+      val (ca, apq, aconn) = req(
+        "/api/features/geo/points?mode=aggregate&resolution=2")
+      assert(ca === 200)
+      assert(aconn.getHeaderField("X-Aggregation-Mode") === "true")
+      assert(aconn.getHeaderField("X-Resolution") === "2.0")
+      val atmp = Files.createTempFile("agg", ".parquet")
+      Files.write(atmp, apq)
+      val gotAgg = GeoParquetIO.read(spark, atmp.toString)
+        .collect().map(r => (r.getAs[Array[Byte]]("geometry").toSeq,
+          r.getLong(1))).toSet
+      val wantAgg = graft.api.Lod.aggregate(
+        cat.load("geo", "points"), col("geom"), 2.0)
+        .collect().map(r => (r.getAs[Array[Byte]]("geometry").toSeq,
+          r.getLong(1))).toSet
+      assert(gotAgg === wantAgg && gotAgg.nonEmpty)
+
+      // zoom ladder wiring: zoom=4 → 2.0° cells, same result set
+      val (cz, zpq, zconn) = req(
+        "/api/features/geo/points?mode=aggregate&zoom=4")
+      assert(cz === 200 && zconn.getHeaderField("X-Resolution") === "2.0")
+      val ztmp = Files.createTempFile("aggz", ".parquet")
+      Files.write(ztmp, zpq)
+      assert(GeoParquetIO.read(spark, ztmp.toString)
+        .collect().map(r => (r.getAs[Array[Byte]]("geometry").toSeq,
+          r.getLong(1))).toSet === wantAgg)
+
+      // upload round-trip (api/main.py:678-817): the parquet response
+      // uploads back as a multipart file into a NEW table, then serves
+      val boundary = "XgraftBoundaryX"
+      def part(filename: String, bytes: Array[Byte]): Array[Byte] = {
+        val head = (s"--$boundary\r\n" +
+          s"""Content-Disposition: form-data; name="files"; filename="$filename"\r\n""" +
+          "Content-Type: application/octet-stream\r\n\r\n").getBytes("UTF-8")
+        head ++ bytes ++ "\r\n".getBytes("UTF-8")
+      }
+      def multipart(files: (String, Array[Byte])*): Array[Byte] =
+        files.toArray.flatMap((part _).tupled) ++
+          s"--$boundary--\r\n".getBytes("UTF-8")
+      val mpCt = s"multipart/form-data; boundary=$boundary"
+      val (cu, ub, _) = req("/api/upload?namespace=up&table_name=page5",
+        post = Some(multipart("page.parquet" -> pq)), contentType = Some(mpCt))
+      assert(cu === 200, new String(ub, "UTF-8"))
+      val uj = json(ub)
+      assert(uj.get("status").asText === "ok" && uj.get("created").asBoolean &&
+        uj.get("rows").asLong === 5L && uj.get("files_processed").asInt === 1)
+      val (cq, qb, _) = req("/api/features/up/page5?f=geojson")
+      assert(cq === 200 && json(qb).get("features").size === 5)
+      // existing table without append → 409; with append → rows double
+      assert(req("/api/upload?namespace=up&table_name=page5",
+        post = Some(multipart("page.parquet" -> pq)),
+        contentType = Some(mpCt))._1 === 409)
+      val (c2, b2, _) = req(
+        "/api/upload?namespace=up&table_name=page5&append=true",
+        post = Some(multipart("page.parquet" -> pq)), contentType = Some(mpCt))
+      assert(c2 === 200 && json(b2).get("created").asBoolean === false)
+      assert(json(req("/api/features/up/page5?f=geojson&limit=100")._2)
+        .get("features").size === 10)
+
+      // multi-file upload with differing property sets unifies (S6 over
+      // the wire): missing columns null-fill
+      val gj1 = """{"type":"FeatureCollection","features":[
+        {"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]},
+         "properties":{"name":"a","v":1}}]}""".getBytes("UTF-8")
+      val gj2 = """{"type":"FeatureCollection","features":[
+        {"type":"Feature","geometry":{"type":"Point","coordinates":[3.0,4.0]},
+         "properties":{"name":"b","extra":"x"}}]}""".getBytes("UTF-8")
+      val (cm, mb, _) = req("/api/upload?namespace=up&table_name=mixed",
+        post = Some(multipart("a.geojson" -> gj1, "b.geojson" -> gj2)),
+        contentType = Some(mpCt))
+      assert(cm === 200, new String(mb, "UTF-8"))
+      assert(json(mb).get("rows").asLong === 2L)
+      val mixed = cat.load("up", "mixed")
+      assert(mixed.columns.toSet === Set("geometry", "name", "v", "extra"))
+      assert(mixed.count() === 2)
+      // unsupported extension → 400
+      assert(req("/api/upload?namespace=up&table_name=bad",
+        post = Some(multipart("x.csv" -> "a,b".getBytes("UTF-8"))),
+        contentType = Some(mpCt))._1 === 400)
+
+      // namespace-level bbox union (api/main.py:225-261): {"bbox": [...]}
+      val nb = json(req("/api/bbox/geo")._2)
+      val tb = json(req("/api/bbox/geo/points")._2)
+      assert(nb.get("bbox").get(0).asDouble === tb.get("xmin").asDouble)
+      assert(nb.get("bbox").get(3).asDouble === tb.get("ymax").asDouble)
+      assert(req("/api/bbox/nowhere")._1 === 404) // no tables → no data
+    } finally {
+      srv.stop()
+      cat.dropNamespace("geo"); cat.dropNamespace("up")
     }
   }
 
