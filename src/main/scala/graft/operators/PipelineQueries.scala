@@ -150,6 +150,43 @@ object PipelineQueries {
         "shared_fps")
     }),
 
+    // Near-dup cluster resolution through STAR edges (round-10 verdict
+    // #5): `connectedComponents(minhashEdges(...))` — the linear-output
+    // path a 100 TB dedup pipeline actually runs — must produce the SAME
+    // components as the expanded pair list. The two legs are forced onto
+    // DIFFERENT code paths (star: Contract.On → contracted banding +
+    // member→rep edges; expanded: Contract.Off → raw banding + full
+    // clique pairs), so the equality certifies the whole contraction
+    // machinery, not a shared shortcut. Both label maps use comp = min
+    // id, so partition equality is exact (id, comp) equality: violations
+    // count full-outer-join rows that disagree or appear on one side
+    // only. minhash is seeded, so the oracle is the certificate form —
+    // closed-form n_docs anchor + zero violations (PipelineSpec asserts
+    // the same equivalence structurally at unit scale; this gate
+    // certifies it under the oracle harness at every SF).
+    "doc_neardup_clusters_star" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val star = Dedup.connectedComponents(
+        Dedup.minhashEdges(docs, "doc_id", "text", numHashes = 64,
+          bands = 8, shingle = 5, threshold = 0.7,
+          contract = Dedup.Contract.On))
+      val expanded = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 64,
+          bands = 8, shingle = 5, threshold = 0.7,
+          contract = Dedup.Contract.Off)
+          .select(col("id_a"), col("id_b")))
+      val joined = star
+        .select(col("id").as("__id"), col("comp").as("__cs"))
+        .join(expanded.select(col("id").as("__id"), col("comp").as("__ce")),
+          Seq("__id"), "full_outer")
+        .withColumn("__viol",
+          when(col("__cs").isNull || col("__ce").isNull ||
+            col("__cs") =!= col("__ce"), 1L).otherwise(0L))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        joined.agg(coalesce(sum(col("__viol")), lit(0L))
+          .cast("long").as("n_violations")))
+    }),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -797,6 +834,9 @@ object PipelineQueries {
     // violations among the emitted pairs — certifying no false positives
     // from the seeded-hash operators without needing their exact output.
     "doc_minhash_sound" ->
+      """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+         FROM documents""",
+    "doc_neardup_clusters_star" ->
       """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
          FROM documents""",
     "doc_simhash_sound" ->
