@@ -1,0 +1,265 @@
+package graft
+
+import java.net.{HttpURLConnection, URL, URLEncoder}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, element_at, max, min}
+
+import graft.api.{FeatureCaps, FeatureServer, GraftHttpServer, Lod, OgcProvider}
+import graft.engine.{QueryEngine, SchemaService}
+import graft.geo.{GeoFunctions => G}
+import graft.serializers.JsonSerializers
+import graft.sources.{GeoParquetIO, ParquetCatalog}
+
+/** HTTP soak main (round-10 verdict directive #4, carried from round 9):
+  * drive the engine / features / bbox gate shapes through the BOUND
+  * SOCKET at `maxConcurrent = 4`, against a catalog built from
+  * `SPARK_GRAFT_SF_DIR`-scale data, and time the identical in-process
+  * composition alongside — the soak's claim is that the HTTP layer adds
+  * routing + serialization + socket, nothing else, so the wire totals
+  * must sit within ~1.2x of the in-process totals with zero 500s.
+  *
+  * Probes (min-of-2 each, warm path — the bench protocol):
+  *  - `esri_page`    Esri query: bbox ∧ WHERE ∧ order ∧ page ∧ projection
+  *                   (engine_page's shape) → f=json FeatureSet
+  *  - `esri_count`   returnCountOnly short form (engine_count's shape)
+  *  - `esri_pbf`     same page as `esri_page`, PBF serializer
+  *  - `ogc_parquet`  OGC items default GeoParquet page, limit=10000 —
+  *                   "one parquet-response page" at soak scale
+  *  - `ogc_aggregate` mode=aggregate zoom=6 — "one aggregate-mode page"
+  *  - `bbox_table` / `bbox_ns`  extent fold routes
+  *
+  * Then the CONCURRENT leg: `threads` (default 8, i.e. 2x the gate)
+  * client threads each run the full probe set against the live port;
+  * every response must be 200 (the gate queues, never errors). Output is
+  * one JSON artifact (arg 2, default `soak_http.json`):
+  * per-probe http/in-process seconds + ratio, totals, the concurrent
+  * wall/error counts, and `validated` = (total ratio <= 1.2 && zero
+  * errors).
+  *
+  * Usage: `runMain graft.HttpSoak [sfDir] [outJson] [threads]`
+  */
+object HttpSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val outPath = args.lift(1).getOrElse("soak_http.json")
+    val threads = args.lift(2).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.geo.GeoRegistry.install(spark)
+
+    val root = java.nio.file.Files.createTempDirectory("httpsoak").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("geo", "points", operators.GeoSynth.points(spark, sfDir))
+    val srv = new GraftHttpServer(spark, cat, maxConcurrent = 4, port = 0,
+      pollIntervalMillis = 3600000L)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+
+    // the catalog copy both legs read (same files, same snapshot cache)
+    val df = cat.load("geo", "points")
+    val schema = SchemaService.describe(df, "geo.points")
+
+    def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+    def http(path: String): (Int, Long) = {
+      val conn = new URL(base + path).openConnection()
+        .asInstanceOf[HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val n = {
+        var total = 0L
+        val buf = new Array[Byte](64 * 1024)
+        var r = is.read(buf)
+        while (r >= 0) { total += r; r = is.read(buf) }
+        total
+      }
+      is.close()
+      (code, n)
+    }
+
+    // ---- probe definitions ---------------------------------------------
+    val whereClause = "c_nationkey IN (1, 2, 3, 4, 5)"
+    val esriQs = "geometry=-110,30,-80,45&where=" + enc(whereClause) +
+      "&outFields=c_custkey,c_nationkey,lat&returnGeometry=false" +
+      "&orderByFields=" + enc("lat DESC") + "&resultOffset=10" +
+      "&resultRecordCount=50"
+    val esriParams = Map(
+      "geometry" -> "-110,30,-80,45", "where" -> whereClause,
+      "outFields" -> "c_custkey,c_nationkey,lat",
+      "returnGeometry" -> "false", "orderByFields" -> "lat DESC",
+      "resultOffset" -> "10", "resultRecordCount" -> "50")
+
+    def esriInproc(serialize: Boolean, pbf: Boolean = false): Unit = {
+      val qp = FeatureServer.translateQuery(esriParams, schema)
+      val r = QueryEngine.query(df, schema, qp)
+      val rows = r.df.collect().toSeq
+      val served = schema.copy(srid = r.srid)
+      if (pbf)
+        graft.serializers.EsriPbf.serialize(rows, r.df.schema, served,
+          r.exceededTransferLimit)
+      else if (serialize)
+        JsonSerializers.esriFeatureSet(rows, r.df.schema, served,
+          r.exceededTransferLimit)
+      ()
+    }
+
+    def parquetPageBytes(rows: Seq[org.apache.spark.sql.Row],
+        rowSchema: org.apache.spark.sql.types.StructType,
+        geomCol: Option[String], geomType: Option[String]): Int = {
+      val tmp = java.nio.file.Files.createTempFile("soak-page", ".parquet")
+      java.nio.file.Files.delete(tmp)
+      try {
+        GeoParquetIO.writePageOpt(rows, rowSchema, geomCol, tmp.toString,
+          geometryTypes = geomType.toSeq)
+        val bytes = java.nio.file.Files.readAllBytes(tmp)
+        FeatureCaps.checkResponseSize(bytes.length)
+        bytes.length
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp)
+        java.nio.file.Files.deleteIfExists(
+          tmp.resolveSibling("." + tmp.getFileName + ".crc"))
+        ()
+      }
+    }
+
+    val probes: Seq[(String, String, () => Unit)] = Seq(
+      ("esri_page", s"/rest/services/geo/FeatureServer/0/query?$esriQs&f=json",
+        () => esriInproc(serialize = true)),
+      ("esri_count",
+        s"/rest/services/geo/FeatureServer/0/query?$esriQs&returnCountOnly=true",
+        () => {
+          val qp = FeatureServer.translateQuery(esriParams, schema)
+          QueryEngine.query(df, schema, qp.copy(countOnly = true)).count.get
+          ()
+        }),
+      ("esri_pbf", s"/rest/services/geo/FeatureServer/0/query?$esriQs&f=pbf",
+        () => esriInproc(serialize = true, pbf = true)),
+      ("ogc_parquet", "/api/features/geo/points?limit=10000",
+        () => {
+          val qp = OgcProvider.translateItems(offset = 0,
+            limit = FeatureCaps.ogcLimit(Some(10000)), bbox = None,
+            propertyFilters = Seq.empty, skipGeometry = false, hits = false)
+          val r = QueryEngine.query(df, schema, qp)
+          val rows = r.df.collect().toSeq
+          parquetPageBytes(rows, r.df.schema,
+            schema.geometryColumn.filter(r.df.schema.fieldNames.contains),
+            schema.geometryType)
+          ()
+        }),
+      ("ogc_aggregate", "/api/features/geo/points?mode=aggregate&zoom=6",
+        () => {
+          val res = Lod.aggregationResolution(6).getOrElse(Lod.DefaultResolution)
+          val agg = Lod.aggregate(
+            QueryEngine.filtered(df, schema, graft.engine.QueryParams()),
+            col(schema.geometryColumn.get), res)
+            .limit(FeatureCaps.ogcLimit(None))
+          val rows = agg.collect().toSeq
+          parquetPageBytes(rows, agg.schema, Some("geometry"), Some("Point"))
+          ()
+        }),
+      ("bbox_table", "/api/bbox/geo/points",
+        () => {
+          df.select(G.st_envelope_bounds(col(schema.geometryColumn.get))
+            .as("__b"))
+            .agg(min(element_at(col("__b"), 1)).as("xmin"),
+              min(element_at(col("__b"), 2)).as("ymin"),
+              max(element_at(col("__b"), 3)).as("xmax"),
+              max(element_at(col("__b"), 4)).as("ymax"))
+            .head()
+          ()
+        }),
+      ("bbox_ns", "/api/bbox/geo",
+        () => {
+          df.select(G.st_envelope_bounds(col(schema.geometryColumn.get))
+            .as("__b"))
+            .agg(min(element_at(col("__b"), 1)).as("xmin"),
+              min(element_at(col("__b"), 2)).as("ymin"),
+              max(element_at(col("__b"), 3)).as("xmax"),
+              max(element_at(col("__b"), 4)).as("ymax"))
+            .head()
+          ()
+        }))
+
+    // warm both paths once (JIT, codegen, snapshot cache, socket setup)
+    probes.foreach { case (_, path, inproc) =>
+      val (code, _) = http(path)
+      require(code == 200, s"warmup $path -> $code")
+      inproc()
+    }
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- sequential timed leg (min-of-3, warm path) --------------------
+    // min-of-3, not 2: the fast probes run ~100-200 ms, where one GC or
+    // scheduler hiccup on either leg swings a per-probe ratio by ±50%
+    val results = probes.map { case (name, path, inproc) =>
+      val httpSec = (1 to 3).map(_ => timed {
+        val (code, _) = http(path)
+        require(code == 200, s"$name -> $code")
+      }).min
+      val inSec = (1 to 3).map(_ => timed(inproc())).min
+      (name, httpSec, inSec)
+    }
+
+    // ---- concurrent leg: threads x all probes, gate queues at 4 --------
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val tasks = (1 to threads).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = probes.foreach { case (_, path, _) =>
+          try {
+            val (code, _) = http(path)
+            codes.add(code)
+            if (code >= 500) { errors.incrementAndGet(); () }
+          } catch { case _: Throwable => errors.incrementAndGet(); () }
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    val concurrentWall = (System.nanoTime() - t0) / 1e9
+    val non200 = {
+      import scala.jdk.CollectionConverters._
+      codes.asScala.count(_ != 200)
+    }
+
+    srv.stop()
+    cat.dropNamespace("geo")
+
+    val httpTotal = results.map(_._2).sum
+    val inTotal = results.map(_._3).sum
+    val ratio = httpTotal / inTotal
+    val validated = ratio <= 1.2 && errors.get() == 0 && non200 == 0
+    def f(d: Double) = math.rint(d * 10000) / 10000
+    val probeJson = results.map { case (n, h, i) =>
+      s""""$n":{"http":${f(h)},"inproc":${f(i)},"ratio":${f(h / i)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"http_soak","sf":"$sfDir","max_concurrent":4,""" +
+        s""""probes":$probeJson,"http_total":${f(httpTotal)},""" +
+        s""""inproc_total":${f(inTotal)},"ratio":${f(ratio)},""" +
+        s""""concurrent":{"threads":$threads,""" +
+        s""""requests":${threads * probes.size},"wall":${f(concurrentWall)},""" +
+        s""""non_200":$non200,"errors":${errors.get()}},""" +
+        s""""validated":$validated}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    println("GRAFT_SOAK_JSON")
+    println(json)
+  }
+}
