@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench self-validation plumbing (round-10 verdict #1): priors must be
+  * recoverable from the DRIVER's committed wrapper shape — per-query
+  * values live inside a head-truncated stdout `tail` string, not a
+  * navigable `queries` node — and must be sf-matched so soak runs at
+  * other scales don't flag the whole suite as hot. Pure JVM, no Spark. */
+class BenchSpec extends AnyFunSuite {
+
+  private def driverWrapper(round: Int, sfDir: String,
+      pairs: Seq[(String, Double)], truncateHead: Boolean): String = {
+    val qs = pairs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val full = s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$qs},"sf":"$sfDir"}"""
+    // the driver keeps a bounded stdout TAIL: cut the line's head INTO
+    // the first pair's name (mid-token), like BENCH_r10.json's real tail
+    val tail =
+      if (truncateHead) full.substring(full.indexOf(pairs.head._1) + 3)
+      else full
+    s"""{"n": $round, "rc": 0, "cpus": 32, "sf": 0.1, "tail": ${quote(tail)},
+       | "parsed": {"metric":"total","value":1.0,"sf":"$sfDir"}}""".stripMargin
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("priors parse from the driver wrapper, head-truncated tail included") {
+    val dir = Files.createTempDirectory("benchprior")
+    val sf = "/root/testdata/sf0.1"
+    Files.writeString(dir.resolve("BENCH_r9.json"),
+      driverWrapper(9, sf, Seq("q1_agg" -> 0.30, "q4_topk" -> 0.12),
+        truncateHead = false))
+    Files.writeString(dir.resolve("BENCH_r10.json"),
+      driverWrapper(10, sf, Seq("q1_agg" -> 0.25, "q4_topk" -> 0.40),
+        truncateHead = true))
+    val priors = Bench.priorMins(sf, Some(dir.toString))
+    // min across rounds, per query; r10's first pair lost its name
+    // prefix to the truncation ("agg":0.25), so it contributes nothing
+    // and q1_agg's prior is r9's value
+    assert(priors.get("q4_topk") === Some(0.12))
+    assert(priors.get("q1_agg") === Some(0.30))
+    // no invented names from non-query numeric pairs ("value", "n", ...)
+    assert(priors.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("priors are sf-matched: another scale's bench contributes nothing") {
+    val dir = Files.createTempDirectory("benchprior2")
+    Files.writeString(dir.resolve("BENCH_r10.json"),
+      driverWrapper(10, "/root/testdata/sf0.1",
+        Seq("q1_agg" -> 0.25), truncateHead = false))
+    assert(Bench.priorMins("tmp/sf10", Some(dir.toString)) === Map.empty)
+    assert(Bench.priorMins("/root/testdata/sf0.1",
+      Some(dir.toString)).nonEmpty)
+  }
+
+  test("absent or unreadable prior dir means no priors, no throw") {
+    assert(Bench.priorMins("/root/testdata/sf0.1",
+      Some("/nonexistent/nowhere")) === Map.empty)
+  }
+
+  test("priors recover from the REAL committed driver benches") {
+    // the repo root always carries the driver's BENCH_r*.json wrappers;
+    // the validation path is only real if it can read them (the first
+    // implementation navigated a `queries` node that does not exist in
+    // the wrapper shape and silently recovered zero priors)
+    val real = new java.io.File(".").listFiles()
+      .exists(_.getName.matches("BENCH_r\\d+\\.json"))
+    assume(real, "no committed driver benches in cwd")
+    val priors = Bench.priorMins("/root/testdata/sf0.1", None)
+    assert(priors.nonEmpty)
+    assert(priors.contains("q1_agg"))
+    assert(priors.values.forall(v => v > 0 && v < 60))
+  }
+}
