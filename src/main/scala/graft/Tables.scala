@@ -25,14 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read nanos as long and convert with integer division (a double division
-    * would lose precision — epoch-nanos exceed the 53-bit mantissa). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    * generations and TIMESTAMP(MICROS) in others; normalize both to
+    * session-zoned TimestampType so every downstream plan sees one type.
+    * Nanos: Spark's reader rejects the physical type outright, so read
+    * them as long and convert with integer division (a double division
+    * would lose precision — epoch-nanos exceed the 53-bit mantissa).
+    * Micros: the reader yields TIMESTAMP_NTZ; a cast in the UTC session
+    * maps wall-clock to the same instants the nanos path produced. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -41,9 +41,13 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   private val lock = new Object
-  // insertion-ordered (generation, cache) registry — oldest first
+  // insertion-ordered (generation, cleanup) registry — oldest first.
+  // Cleanup is a thunk, not a DataFrame: persisted plans release through
+  // Dataset.unpersist (the CacheManager), but localCheckpointed plans'
+  // blocks belong to the LogicalRDD's backing RDD, which the CacheManager
+  // never sees — each entry knows how to free its own storage.
   private val tracked =
-    scala.collection.mutable.ArrayDeque.empty[(Long, DataFrame)]
+    scala.collection.mutable.ArrayDeque.empty[(Long, () => Unit)]
 
   private val genCounter = new AtomicLong(0L)
   // generations whose withGeneration body is still executing
@@ -90,10 +94,37 @@ object Caches {
     * past [[maxTracked]], completed generations first (see object doc). */
   private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
+    register(() => p.unpersist(blocking = false))
+    p
+  }
+
+  /** Register a `localCheckpoint`ed DataFrame for the next [[release]].
+    * Dataset.unpersist consults only the CacheManager, which never sees
+    * checkpoint blocks — they belong to the LogicalRDD's backing RDD, so
+    * this entry's cleanup drops that RDD's storage directly. Checkpointed
+    * blocks cannot be recomputed from lineage once dropped: callers must
+    * consume derived results before the boundary release — the lifecycle
+    * every tracked persist already follows (release fires at query/request
+    * boundaries, after results are materialized), and request scopes get
+    * the same in-flight-generation eviction protection as persists. */
+  private[graft] def trackCheckpointed(df: DataFrame): DataFrame = {
+    register(() => unpersistCheckpoint(df))
+    df
+  }
+
+  /** Drop the storage behind a localCheckpointed DataFrame's RDD. */
+  private[pipeline] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  private def register(cleanup: () => Unit): Unit = {
     val g = currentGen.get()
     val gen = if (g == null) 0L else g.longValue()
-    val evicted: Seq[DataFrame] = lock.synchronized {
-      tracked.append((gen, p))
+    val evicted: Seq[() => Unit] = lock.synchronized {
+      tracked.append((gen, cleanup))
       var excess = tracked.size - maxTracked
       if (excess <= 0) Nil
       else {
@@ -126,8 +157,7 @@ object Caches {
         out
       }
     }
-    evicted.foreach(_.unpersist(blocking = false))
-    p
+    evicted.foreach(_.apply())
   }
 
   /** Unpersist every cache tracked since the last release. Safe to call
@@ -139,6 +169,6 @@ object Caches {
       tracked.clear()
       a
     }
-    all.foreach(_._2.unpersist(blocking = false))
+    all.foreach(_._2())
   }
 }

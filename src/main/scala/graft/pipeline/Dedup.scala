@@ -673,6 +673,11 @@ object Dedup {
       // job), and the next round's plan roots at the checkpointed blocks
       val next = leaves.union(centers).distinct().localCheckpoint(false)
       val nfp = fingerprint(next)
+      // the probe materialized `next`'s checkpoint, so the previous
+      // round's blocks are dead weight — free them now instead of
+      // waiting for RDD garbage collection (a busy serving session
+      // would otherwise hold O(rounds) stale edge sets in storage)
+      Caches.unpersistCheckpoint(edges)
       converged = nfp == fp
       edges = next
       fp = nfp
@@ -683,6 +688,10 @@ object Dedup {
     // (maxIter-capped) edge set by picking the best label seen so far.
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
+    // the fixed-point checkpoint backs the returned labels plan; hand it
+    // to Caches so the caller's boundary release frees it (checkpoint
+    // blocks never free through Dataset.unpersist, only via their RDD)
+    Caches.trackCheckpointed(edges)
     val comp = edges.groupBy(col("src")).agg(min(col("dst")).as("__comp"))
     val labels = nodes.join(comp, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("__comp"), col("id")).as("comp"))
