@@ -81,6 +81,26 @@ def spark_sampled(files):
     return names, keep, len(rows)
 
 
+DWITHIN_PRED = ("WHERE sqrt((lon - cx) * (lon - cx) + "
+                "(lat - cy) * (lat - cy)) <= 0.313")
+# The circle predicate implies |lon-cx| <= r and |lat-cy| <= r, so
+# prepending the bbox conditions is a REDUNDANT predicate — the result
+# set is identical. What changes is the plan: DuckDB evaluates the bare
+# CROSS JOIN + sqrt filter as a nested loop (1.5M pts x 100k cents =
+# 150B sqrt evaluations at sf10 — hours), but the BETWEEN pair qualifies
+# for its inequality join, making the committed semantics tractable at
+# any SF. --selftest proves result equality at a base scale.
+DWITHIN_BBOX = ("WHERE lon BETWEEN cx - 0.313 AND cx + 0.313 "
+                "AND lat BETWEEN cy - 0.313 AND cy + 0.313 "
+                "AND sqrt((lon - cx) * (lon - cx) + "
+                "(lat - cy) * (lat - cy)) <= 0.313")
+
+
+def dwithin_sql(oracle_sql):
+    assert oracle_sql.count(DWITHIN_PRED) == 1
+    return oracle_sql.replace(DWITHIN_PRED, DWITHIN_BBOX)
+
+
 def selftest(base_sf):
     """At a base scale the sampled evaluation must hash-equal the
     committed oracle filtered to the same residues (exactness of the
@@ -105,6 +125,14 @@ def selftest(base_sf):
         ok &= same
         print(f"{'EQUIV' if same else 'MISMATCH'} {name} "
               f"(sampled-chunk vs committed-filtered @ {base_sf})")
+    full = con.sql(oracles["geo_dwithin_join"])
+    want = (list(full.columns), full.fetchall())
+    rel = con.sql(dwithin_sql(oracles["geo_dwithin_join"]))
+    got = (list(rel.columns), rel.fetchall())
+    same = table_hash(*want) == table_hash(*got)
+    ok &= same
+    print(f"{'EQUIV' if same else 'MISMATCH'} geo_dwithin_join "
+          f"(bbox-augmented vs committed @ {base_sf})")
     sys.exit(0 if ok else 1)
 
 
@@ -136,6 +164,29 @@ def main():
             n_fail += 1
         print(f"{status} {name} ({len(g_rows)} vs {len(e_rows)} sampled rows"
               f" of {g_total} total)", flush=True)
+    # dwithin: committed semantics with the implied bbox predicate
+    # prepended (identical result set, inequality-join-able plan)
+    files = glob.glob(f"{out_dir}/geo_dwithin_join/*.parquet")
+    got = pq.read_table(files[0])
+    g_names = list(got.schema.names)
+    g_rows = [tuple(c[i].as_py() for c in got.columns)
+              for i in range(got.num_rows)]
+    rel = con.sql(dwithin_sql(oracles["geo_dwithin_join"]))
+    e_names, e_rows = list(rel.columns), rel.fetchall()
+    ok = (sorted(g_names) == sorted(e_names) and len(g_rows) == len(e_rows)
+          and table_hash(g_names, g_rows) == table_hash(e_names, e_rows))
+    report["geo_dwithin_join"] = {
+        "rows_match": len(g_rows) == len(e_rows),
+        "schema_match": sorted(g_names) == sorted(e_names),
+        "hash_match": table_hash(g_names, g_rows) == table_hash(e_names,
+                                                               e_rows),
+        "spark_rows": len(g_rows), "oracle_rows": len(e_rows),
+        "err": "sf10 oracle: committed SQL + implied bbox predicate "
+               "(tools/sf10_oracles.py dwithin_sql)"}
+    if not ok:
+        n_fail += 1
+    print(f"{'PASS' if ok else 'FAIL'} geo_dwithin_join "
+          f"({len(g_rows)} vs {len(e_rows)} rows)", flush=True)
     # union area: the sf1 anchor-aware closed form, copy-count-independent
     files = glob.glob(f"{out_dir}/geo_union_area/*.parquet")
     got = pq.read_table(files[0])
