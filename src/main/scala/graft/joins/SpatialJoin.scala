@@ -53,25 +53,59 @@ object SpatialJoin {
   /** Grid-partitioned spatial join. `predicate(l, r)` is the exact refine
     * test (st_within / st_intersects / st_dwithin...). For st_dwithin with
     * distance d, pass `expand = d` so near-but-not-touching candidates
-    * still share a cell. Left/right must not share column names. */
+    * still share a cell. Left/right must not share column names; the
+    * geometry expressions must be deterministic (each is evaluated in the
+    * candidate stage and again in the expansion join).
+    *
+    * The candidate stage runs over DISTINCT geometries per side, not
+    * rows. Clone-heavy corpora (many rows sharing one geometry — the
+    * derived soak corpora place 100 coincident copies of every box)
+    * would otherwise multiply every candidate test by the clone PRODUCT
+    * of the two sides; contraction makes candidate work scale with
+    * distinct-geometry density and the final expansion joins are
+    * output-linear. Unique-geometry data benefits too: the cell
+    * explode/shuffle carries only geometry bytes, with full rows
+    * re-attached once per emitted pair — column pruning the join itself.
+    * The same collapse idea as [[knnGrid]]'s k-per-location window
+    * (round-8), applied to the relational spatial join. */
   def grid(left: DataFrame, leftGeom: Column,
       right: DataFrame, rightGeom: Column,
       predicate: (Column, Column) => Column,
       cellSize: Double,
       expand: Double = 0.0): DataFrame = {
-    val l = withCells(left, leftGeom, cellSize, "__l", 0.0)
-    val r = withCells(right, rightGeom, cellSize, "__r", expand)
+    val lg = left.select(leftGeom.as("__lgeom")).distinct()
+    val rg = right.select(rightGeom.as("__rgeom")).distinct()
+    val l = withCells(lg, col("__lgeom"), cellSize, "__l", 0.0)
+    val r = withCells(rg, col("__rgeom"), cellSize, "__r", expand)
 
     // reference-point dedup: the candidate envelope intersection's min
     // corner lies in exactly one cell; emit the pair only there.
     val refIx = floor(greatest(col("__l_xmin"), col("__r_xmin")) / cellSize).cast("long")
     val refIy = floor(greatest(col("__l_ymin"), col("__r_ymin")) / cellSize).cast("long")
 
-    l.join(r, col("__l_ix") === col("__r_ix") && col("__l_iy") === col("__r_iy"))
+    val hits = l
+      .join(r, col("__l_ix") === col("__r_ix") && col("__l_iy") === col("__r_iy"))
       .filter(col("__l_ix") === refIx && col("__l_iy") === refIy)
-      .filter(predicate(leftGeom, rightGeom))
-      .drop("__l_xmin", "__l_ymin", "__l_xmax", "__l_ymax", "__l_ix", "__l_iy",
-        "__r_xmin", "__r_ymin", "__r_xmax", "__r_ymax", "__r_ix", "__r_iy")
+      // envelope filter-and-refine: every supported predicate implies the
+      // (distance-expanded) envelopes overlap — within (containment ⇒
+      // overlap), intersects, dwithin (expand already widened the right
+      // bounds above). These are codegen'd double compares on columns the
+      // cell stage already computed, so the JTS refine — two WKB decodes
+      // + an exact predicate per candidate — runs only on pairs whose
+      // envelopes actually meet, not on every cell cohabitant.
+      .filter(col("__l_xmin") <= col("__r_xmax") &&
+        col("__l_xmax") >= col("__r_xmin") &&
+        col("__l_ymin") <= col("__r_ymax") &&
+        col("__l_ymax") >= col("__r_ymin"))
+      .filter(predicate(col("__lgeom"), col("__rgeom")))
+      .select(col("__lgeom"), col("__rgeom"))
+
+    // expansion: re-attach every row carrying a hit geometry (equi-joins
+    // on the geometry bytes — null geometries drop on both paths, as the
+    // cell explode already dropped them before contraction)
+    hits.join(left, col("__lgeom") === leftGeom)
+      .join(right, col("__rgeom") === rightGeom)
+      .drop("__lgeom", "__rgeom")
   }
 
   /** Partitioned k-NN join — the scale path for a right side that does
