@@ -86,7 +86,7 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     * cell-id explodes. Mirrors SpatialJoin.withCells exactly. */
   private def cellSide(child: LogicalPlan, geom: Expression, cell: Double,
       pfx: String, expand: Double)
-      : (LogicalPlan, Attribute, Attribute, Attribute, Attribute) = {
+      : (LogicalPlan, Attribute, Attribute, Seq[Attribute]) = {
     val b = Alias(StEnvelopeBounds(geom), s"${pfx}b")()
     val p1 = Project(child.output :+ b, child)
     def elem(i: Int): Expression = ElementAt(b.toAttribute, Literal(i))
@@ -108,14 +108,32 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     }
     val (g1, ix) = explodeRange(xmin.toAttribute, xmax.toAttribute, s"${pfx}ix", p2)
     val (g2, iy) = explodeRange(ymin.toAttribute, ymax.toAttribute, s"${pfx}iy", g1)
-    (g2, ix, iy, xmin.toAttribute, ymin.toAttribute)
+    (g2, ix, iy, Seq(xmin, ymin, xmax, ymax).map(_.toAttribute))
   }
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
       spatialCond: Expression, lGeom: Expression, rGeom: Expression,
       expand: Double, cell: Double, hint: JoinHint): LogicalPlan = {
-    val (lp, lix, liy, lxmin, lymin) = cellSide(left, lGeom, cell, "__l_", 0.0)
-    val (rp, rix, riy, rxmin, rymin) = cellSide(right, rGeom, cell, "__r_", expand)
+    // contraction (parity with SpatialJoin.grid): candidates run over
+    // DISTINCT geometries per side — clone-heavy corpora would otherwise
+    // multiply every candidate test by the clone product — and hits
+    // expand back through output-linear equi-joins on the geometry bytes
+    val lgAlias = Alias(lGeom, "__l_geom")()
+    val rgAlias = Alias(rGeom, "__r_geom")()
+    val lgAttr = lgAlias.toAttribute
+    val rgAttr = rgAlias.toAttribute
+    // Aggregate directly (not Distinct): this rule runs in
+    // extraOptimizations, after ReplaceDistinctWithAggregate has already
+    // fired, so a Distinct emitted here would survive to physical
+    // planning and fail
+    val lgPlan =
+      Aggregate(Seq(lgAttr), Seq(lgAttr), Project(Seq(lgAlias), left))
+    val rgPlan =
+      Aggregate(Seq(rgAttr), Seq(rgAttr), Project(Seq(rgAlias), right))
+    val (lp, lix, liy, lb) = cellSide(lgPlan, lgAttr, cell, "__l_", 0.0)
+    val (rp, rix, riy, rb) = cellSide(rgPlan, rgAttr, cell, "__r_", expand)
+    val Seq(lxmin, lymin, lxmax, lymax) = lb
+    val Seq(rxmin, rymin, rxmax, rymax) = rb
     val cellEq = And(EqualTo(lix, rix), EqualTo(liy, riy))
     // reference-point dedup: emit the pair only in the cell holding the
     // min corner of the envelope intersection
@@ -123,9 +141,30 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       Floor(Divide(Greatest(Seq(a, bb)), Literal(cell)))
     val refOk = And(EqualTo(lix, refCell(lxmin, rxmin)),
       EqualTo(liy, refCell(lymin, rymin)))
-    val joined = Join(lp, rp, Inner, Some(cellEq), hint)
-    val filtered = Filter(And(refOk, spatialCond), joined)
-    Project((left.output ++ right.output).map(a => a: NamedExpression), filtered)
+    // envelope filter-and-refine (parity with SpatialJoin.grid): every
+    // supported predicate implies the distance-expanded envelopes
+    // overlap, so the codegen'd double compares gate the exact refine
+    val envOk = And(
+      And(LessThanOrEqual(lxmin, rxmax), GreaterThanOrEqual(lxmax, rxmin)),
+      And(LessThanOrEqual(lymin, rymax), GreaterThanOrEqual(lymax, rymin)))
+    // the exact refine over the CONTRACTED geometry attributes: the
+    // matched geometry subtrees are substituted in place, keeping the
+    // predicate's own constructor and argument order
+    val refine = spatialCond.transformUp {
+      case e if e.semanticEquals(lGeom) => lgAttr
+      case e if e.semanticEquals(rGeom) => rgAttr
+    }
+    val joined = Join(lp, rp, Inner, Some(cellEq), JoinHint.NONE)
+    val hits = Project(Seq(lgAttr, rgAttr),
+      Filter(And(refOk, And(envOk, refine)), joined))
+    // expansion: re-attach every original row carrying a hit geometry.
+    // `left`/`right` each appear twice in the produced tree (inside the
+    // Distinct branch and as an expansion side); outputs never collide —
+    // the contracted branches surface only the fresh geometry aliases.
+    val e1 = Join(hits, left, Inner, Some(EqualTo(lgAttr, lGeom)),
+      JoinHint.NONE)
+    val e2 = Join(e1, right, Inner, Some(EqualTo(rgAttr, rGeom)), hint)
+    Project((left.output ++ right.output).map(a => a: NamedExpression), e2)
   }
 }
 
