@@ -150,6 +150,25 @@ object PipelineQueries {
         "shared_fps")
     }),
 
+    // EXACT n-gram Jaccard similarity join (prefix-filtered AllPairs —
+    // the zero-recall-loss member of the dedup family, and the only one
+    // with a full hash oracle: deterministic values, no seeded LSH).
+    // Gated on a CONSTANT deterministic id-slice (the emb_neardup exact-
+    // oracle pattern): exact all-pairs on the single-topic synthetic
+    // corpus is candidate-dense by construction — every doc shares the
+    // ~20-word vocabulary, so prefix filtering can prune little and the
+    // full-corpus exact join costs candidate-quadratic verify time (the
+    // measurement that motivates the LSH family: doc_minhash_dedup IS the
+    // full-corpus scale path for this measure). Det.r for the portable
+    // rounding (see Det.scala).
+    "doc_jaccard_pairs" -> ((s, d) => {
+      Dedup.jaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 1000),
+        "doc_id", "text", shingle = 5, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), Det.r(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Near-dup cluster resolution through STAR edges (round-10 verdict
     // #5): `connectedComponents(minhashEdges(...))` — the linear-output
     // path a 100 TB dedup pipeline actually runs — must produce the SAME
@@ -696,6 +715,44 @@ object PipelineQueries {
          count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
            AS n_distinct_fp
          FROM documents""",
+    // Exact Jaccard twin: inverted-index intersection counts over DISTINCT
+    // character 5-shingles of the normalized text (same normalization as
+    // doc_fingerprint), jaccard = |I| / (|A| + |B| - |I|); documents whose
+    // normalized text is shorter than one shingle pair at 1.0 with each
+    // other (the empty-set convention). Floor-rounding twin of Det.r.
+    "doc_jaccard_pairs" ->
+      """WITH docs AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+             AS norm
+           FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS g
+           FROM docs, unnest(range(1, greatest(length(norm) - 4, 0) + 1))
+             AS t(i)
+         ),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ),
+         scored AS (
+           SELECT ia, ib, i * 1.0 / (sa.sz + sb.sz - i) AS jac
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = ia
+           JOIN sizes sb ON sb.doc_id = ib
+         ),
+         empties AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib, 1.0 AS jac
+           FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+           WHERE length(a.norm) < 5 AND length(b.norm) < 5
+         )
+         SELECT ia AS id_a, ib AS id_b,
+           floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         FROM (SELECT * FROM scored WHERE jac >= 0.7
+               UNION ALL SELECT * FROM empties)
+         ORDER BY id_a, id_b""",
     "emb_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -598,6 +598,135 @@ object Dedup {
   final case class Components(labels: DataFrame, converged: Boolean,
       rounds: Int)
 
+  // ---- exact n-gram Jaccard set-similarity join (prefix-filtered) --------
+
+  /** EXACT character-shingle Jaccard join: every pair with
+    * jaccard >= `threshold` — the n-gram-Jaccard dedup family's
+    * zero-recall-loss member (minhash approximates exactly this measure)
+    * — at equi-join cost via prefix filtering (AllPairs, Bayardo et al.
+    * WWW'07; PPJoin prefix scheme, Xiao et al. WWW'08).
+    *
+    * Candidate generation: shingles are ordered globally rarest-first
+    * (document frequency, hash tiebreak) and each document indexes only
+    * its first `|A| - ceil(t*|A|) + 1` shingles — two sets with
+    * J >= t MUST share a prefix shingle under any consistent global
+    * order, so joining prefixes on the shingle (with the size filter
+    * `min >= t*max` the threshold also implies) is candidate-complete.
+    * Verification merges each side's once-computed sorted shingle-hash
+    * array ([[TextFunctions.sorted_intersect_size]]) — the same fnv1a
+    * hashes and inter/union arithmetic as the LSH families' refine
+    * ([[TextFunctions.jaccard_shingle]]), so the two report identical
+    * values without re-hashing texts per candidate pair.
+    *
+    * At 100 TB every stage is a shuffle equi-join or per-document window:
+    * explode is linear, the df count and prefix self-join shuffle on the
+    * shingle hash (AQE skew-splits the frequent-shingle buckets), and
+    * verification joins shingle arrays back by id. The prune strength is the
+    * data's: a single-topic corpus (like the synthetic one, ~20-word
+    * vocabulary) keeps even rare shingles frequent and the candidate set
+    * dense, while a natural web corpus concentrates prefixes on genuinely
+    * rare shingles. Degenerate documents (normalized text shorter than
+    * one shingle) score 1.0 with each other under the jaccard empty-set
+    * convention — their mutual clique is the correct OUTPUT, so its
+    * quadratic size is answer size, not overhead (`contract` collapses
+    * exact clones of them like everything else).
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b; null texts emit no
+    * pairs. `contract` as in [[minhashPairs]]. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 5, threshold: Double = 0.7,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    if (!shouldContract(df, col(textCol), contract))
+      return jaccardPairsRaw(df, idCol, textCol, shingle, threshold)
+    val (repPairs, selfVals, members) =
+      jaccardContracted(df, idCol, textCol, shingle, threshold)
+    expandPairs(repPairs, selfVals, members, "jaccard")
+  }
+
+  /** [[jaccardPairs]] in star-edge output mode — (id_a, id_b) edges,
+    * linear in clone multiplicity, component-equivalent to the expanded
+    * pair list (see [[starEdges]]). */
+  def jaccardEdges(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 5, threshold: Double = 0.7,
+      contract: Contract = Contract.Auto()): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    if (!shouldContract(df, col(textCol), contract))
+      return jaccardPairsRaw(df, idCol, textCol, shingle, threshold)
+        .select(col("id_a"), col("id_b"))
+    val (repPairs, selfVals, members) =
+      jaccardContracted(df, idCol, textCol, shingle, threshold)
+    starEdges(repPairs, selfVals, members)
+  }
+
+  private def jaccardContracted(df: DataFrame, idCol: String,
+      textCol: String, shingle: Int,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    val c = contractExact(df, idCol, md5(col(textCol)))
+    val repPairs = jaccardPairsRaw(c.reps, idCol, textCol, shingle, threshold)
+    val selfVals = c.reps
+      .join(cliques(c.members), col(idCol) === col("__rep"))
+      .withColumn("jaccard",
+        jaccard_shingle(col(textCol), col(textCol), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__rep"), col("jaccard"))
+    (repPairs, selfVals, c.members)
+  }
+
+  private def jaccardPairsRaw(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persistTracked: the shingle arrays feed five consumers (empties, the
+    // explode, and both verify joins) — without the cache each re-runs the
+    // linear shingle pass; released at the Caches.release() boundary
+    val base = Caches.persistTracked(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__jid"),
+        shingle_set(col(textCol), shingle).as("__jsh"))
+      .withColumn("__jsz", size(col("__jsh"))))
+    val empties = base.filter(col("__jsz") === 0).select(col("__jid"))
+    val emptyPairs = empties.select(col("__jid").as("id_a"))
+      .crossJoin(empties.select(col("__jid").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+    val sh = base.filter(col("__jsz") > 0)
+      .select(col("__jid"), col("__jsz"), explode(col("__jsh")).as("__jg"))
+    val dfreq = sh.groupBy(col("__jg")).agg(count(lit(1)).as("__jdf"))
+    val w = Window.partitionBy(col("__jid")).orderBy(col("__jdf"), col("__jg"))
+    // Prefix length |A| - ceil(t*|A|) + 1; the epsilon keeps ceil from
+    // overshooting when t*|A| lands on an exact integer one double-ulp
+    // high (an overshot ceil SHORTENS the prefix and drops true pairs —
+    // undershooting merely lengthens it).
+    val prefix = sh.join(dfreq, Seq("__jg"))
+      .withColumn("__jrn", row_number().over(w))
+      .filter(col("__jrn") <=
+        col("__jsz") - ceil(col("__jsz") * threshold - lit(1e-9)) + 1)
+      .select(col("__jg"), col("__jid"), col("__jsz"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__jg") === col("b.__jg") && col("a.__jid") < col("b.__jid") &&
+          least(col("a.__jsz"), col("b.__jsz")).cast("double") >=
+            greatest(col("a.__jsz"), col("b.__jsz")) * threshold - lit(1e-9))
+      .select(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"))
+      .distinct()
+    // Verify from the PRE-COMPUTED sorted shingle arrays (one per doc, not
+    // per pair): a two-pointer merge per candidate instead of re-normalizing
+    // and re-hashing both texts — the same inter/union arithmetic as
+    // jaccard_shingle over the same fnv1a hashes, so values agree exactly.
+    val sets = base.select(col("__jid"), col("__jsh"), col("__jsz"))
+    cands
+      .join(sets.select(col("__jid").as("id_a"), col("__jsh").as("__jsha"),
+        col("__jsz").as("__jsza")), Seq("id_a"))
+      .join(sets.select(col("__jid").as("id_b"), col("__jsh").as("__jshb"),
+        col("__jsz").as("__jszb")), Seq("id_b"))
+      .withColumn("__jint",
+        sorted_intersect_size(col("__jsha"), col("__jshb")))
+      .withColumn("jaccard", col("__jint").cast("double") /
+        (col("__jsza") + col("__jszb") - col("__jint")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionByName(emptyPairs)
+  }
+
   /** Connected components over an undirected duplicate-pair edge list —
     * the cluster-resolution step every dedup pipeline needs after pair
     * generation (keep one representative per component, drop the rest).

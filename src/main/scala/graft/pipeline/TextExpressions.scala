@@ -83,6 +83,26 @@ object TextHash {
     sig
   }
 
+  /** Distinct character-shingle hash set of the normalized text, sorted
+    * (fnv1a, the SAME per-shingle hash [[jaccard]] compares with, so set
+    * sizes agree between candidate generation and the exact refine even
+    * under a hash collision). Texts shorter than one shingle yield the
+    * empty array — the [[jaccard]] empty-set convention's domain. */
+  def shingleSet(text: String, shingle: Int): Array[Long] = {
+    val norm = normalize(text)
+    if (norm.length < shingle) return Array.empty
+    val set = new java.util.HashSet[Long]()
+    var i = 0
+    val last = norm.length - shingle
+    while (i <= last) { set.add(fnv1a(norm, i, i + shingle)); i += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** Exact character-shingle Jaccard between two texts (the refine step
     * after LSH candidate generation). */
   def jaccard(a: String, b: String, shingle: Int): Double = {
@@ -249,6 +269,40 @@ case class WinnowFingerprints(child: Expression, shingle: Int = 5, window: Int =
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class ShingleSet(child: Expression, shingle: Int = 5)
+    extends TextUnaryExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHash.shingleSet(v.toString, shingle))
+  override def prettyName: String = "shingle_set"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Intersection size of two SORTED long arrays (as produced by
+  * [[ShingleSet]]): allocation-free two-pointer merge, O(|A|+|B|) — the
+  * exact-Jaccard verify step without per-pair re-hashing of the texts. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+  override def prettyName: String = "sorted_intersect_size"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class LangId(child: Expression) extends TextUnaryExpr {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
@@ -281,6 +335,11 @@ object TextFunctions {
     graftbridge.column(Fingerprint64(graftbridge.expression(c)))
   def winnow_fingerprints(c: Column, shingle: Int = 5, window: Int = 4): Column =
     graftbridge.column(WinnowFingerprints(graftbridge.expression(c), shingle, window))
+  def shingle_set(c: Column, shingle: Int = 5): Column =
+    graftbridge.column(ShingleSet(graftbridge.expression(c), shingle))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    graftbridge.column(SortedIntersectSize(
+      graftbridge.expression(a), graftbridge.expression(b)))
   def langid(c: Column): Column =
     graftbridge.column(LangId(graftbridge.expression(c)))
   def jaccard_shingle(a: Column, b: Column, shingle: Int = 5): Column =

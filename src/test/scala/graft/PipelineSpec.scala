@@ -42,6 +42,45 @@ class PipelineSpec extends SparkFunSuite {
     assert(plantedPairs >= 9)
   }
 
+  test("exact jaccard join: prefix-filtered == brute force, both contract paths") {
+    // brute force is the ground truth at every threshold — the prefix
+    // filter must lose NOTHING (exact triple equality, values included)
+    for (t <- Seq(0.4, 0.6, 0.9)) {
+      val brute = Dedup.bruteForcePairs(planted, "doc_id", "text", 5, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pp = Dedup.jaccardPairs(planted, "doc_id", "text", 5, t,
+        Dedup.Contract.Off).as[(Long, Long, Double)].collect().toSet
+      assert(pp === brute, s"prefix-filtered join diverged at t=$t")
+      if (t <= 0.6) assert(brute.nonEmpty)
+    }
+    // degenerate texts (normalized shorter than one shingle): empty-set
+    // convention pairs them at 1.0 with each other only
+    val degen = Seq((1L, "ab"), (2L, "  cd  "), (3L, ""),
+      (4L, "a normal length document about prefix filtering"))
+      .toDF("doc_id", "text")
+    val dp = Dedup.jaccardPairs(degen, "doc_id", "text", 5, 0.7,
+      Dedup.Contract.Off).as[(Long, Long, Double)].collect().toSet
+    assert(dp === Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+    // contraction parity on a clone-heavy corpus: same pair set, and star
+    // edges resolve to the same components as the expanded list
+    val clones = planted.as[(Long, String)].collect().flatMap {
+      case (id, t) => (0 until 8).map(k => (id + 1000000L * k, t))
+    }.toSeq.toDF("doc_id", "text")
+    val exp = Dedup.jaccardPairs(clones, "doc_id", "text", 5, 0.6,
+      Dedup.Contract.Off).as[(Long, Long, Double)].collect().toSet
+    val con = Dedup.jaccardPairs(clones, "doc_id", "text", 5, 0.6,
+      Dedup.Contract.On).as[(Long, Long, Double)].collect().toSet
+    assert(con === exp)
+    val expComps = Dedup.connectedComponents(
+      Dedup.jaccardPairs(clones, "doc_id", "text", 5, 0.6,
+        Dedup.Contract.Off).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    val starComps = Dedup.connectedComponents(
+      Dedup.jaccardEdges(clones, "doc_id", "text", 5, 0.6,
+        Dedup.Contract.On)).as[(Long, Long)].collect().toSet
+    assert(starComps === expComps)
+  }
+
   test("simhash near-dup pairs include planted mutations, none below") {
     val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 10)
       .as[(Long, Long, Long)].collect()
