@@ -700,14 +700,28 @@ object Dedup {
       .withColumn("__jrn", row_number().over(w))
       .filter(col("__jrn") <=
         col("__jsz") - ceil(col("__jsz") * threshold - lit(1e-9)) + 1)
-      .select(col("__jg"), col("__jid"), col("__jsz"))
+      .select(col("__jg"), col("__jid"), col("__jsz"), col("__jrn"))
+    // Candidate dedup doubles as the PPJoin positional filter: among a
+    // pair's shared prefix shingles, the FIRST in global order has
+    // simultaneously the min rank on both sides (both sides rank by the
+    // same order), and everything the pair can still share after it is
+    // bounded by the shorter remaining tail — so the intersection is at
+    // most 1 + min(|A|-rA, |B|-rB), which must reach the overlap the
+    // threshold demands, ceil(t/(1+t) * (|A|+|B|)). Same shuffle as the
+    // plain distinct, strictly fewer rows into the verify joins.
+    val alpha = threshold / (1.0 + threshold)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.__jg") === col("b.__jg") && col("a.__jid") < col("b.__jid") &&
           least(col("a.__jsz"), col("b.__jsz")).cast("double") >=
             greatest(col("a.__jsz"), col("b.__jsz")) * threshold - lit(1e-9))
-      .select(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"))
-      .distinct()
+      .groupBy(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"))
+      .agg(min(col("a.__jrn")).as("__jra"), min(col("b.__jrn")).as("__jrb"),
+        min(col("a.__jsz")).as("__jsza"), min(col("b.__jsz")).as("__jszb"))
+      .filter(lit(1) +
+        least(col("__jsza") - col("__jra"), col("__jszb") - col("__jrb")) >=
+        ceil((col("__jsza") + col("__jszb")) * alpha - lit(1e-9)))
+      .select(col("id_a"), col("id_b"))
     // Verify from the PRE-COMPUTED sorted shingle arrays (one per doc, not
     // per pair): a two-pointer merge per candidate instead of re-normalizing
     // and re-hashing both texts — the same inter/union arithmetic as
