@@ -92,16 +92,26 @@ object Bench {
     val flagged = results.filter { case (name, v) =>
       priors.get(name).exists(p => v > 2 * p && v - p > 0.25)
     }.map(_._1)
-    val revalidated = flagged.map { name =>
+    val revalidated = flagged.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
+      // a failed run must NOT contribute its (near-zero) wall time — that
+      // would publish a bogus fast min and flip the suite to
+      // validated:true, corrupting exactly the integrity this pass exists
+      // to protect; failures are logged and only successful runs count
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] revalidate $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       graft.pipeline.Caches.release()
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }.toMap
     val finalResults = results.map { case (name, v) =>
       name -> math.min(v, revalidated.getOrElse(name, v))

@@ -43,7 +43,17 @@ object DupBench {
     val emb = cloned(
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
       "vec_id")
-    println(s"corpus: docs=${docs.count()} emb=${emb.count()} factor=$factor")
+    // exact jaccard runs on the gate's 1000-doc base slice, cloned: its
+    // full-corpus all-pairs cost is the documented reason the LSH rows
+    // above are the scale path — what the clone regime measures HERE is
+    // contraction collapsing the clique-quadratic candidate stage back to
+    // distinct-content cost
+    val docsSlice = cloned(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000),
+      "doc_id")
+    println(s"corpus: docs=${docs.count()} emb=${emb.count()} " +
+      s"jaccard_slice=${docsSlice.count()} factor=$factor")
 
     def time(name: String)(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -68,7 +78,9 @@ object DupBench {
         "text", maxHamming = 6, contract = c)),
       ("cosine_neardup", (c: Dedup.Contract) => Similarity.cosineNearDupPairs(
         emb, "vec_id", "embedding", dim = 64, threshold = 0.42,
-        bits = 4, tables = 8, contract = c))
+        bits = 4, tables = 8, contract = c)),
+      ("jaccard_exact", (c: Dedup.Contract) => Dedup.jaccardPairs(docsSlice,
+        "doc_id", "text", shingle = 5, threshold = 0.7, contract = c))
     ).map { case (name, fn) =>
       val on = time(s"$name contract=On")(fn(Dedup.Contract.On))
       val off =
@@ -90,7 +102,9 @@ object DupBench {
         maxHamming = 6, contract = Dedup.Contract.On)),
       ("cosine_star", () => Similarity.cosineNearDupEdges(emb, "vec_id",
         "embedding", dim = 64, threshold = 0.42, bits = 4, tables = 8,
-        contract = Dedup.Contract.On))
+        contract = Dedup.Contract.On)),
+      ("jaccard_star", () => Dedup.jaccardEdges(docsSlice, "doc_id", "text",
+        shingle = 5, threshold = 0.7, contract = Dedup.Contract.On))
     ).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val edges = fn().persist()

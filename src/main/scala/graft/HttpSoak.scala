@@ -74,15 +74,19 @@ object HttpSoak {
       val conn = new URL(base + path).openConnection()
         .asInstanceOf[HttpURLConnection]
       val code = conn.getResponseCode
+      // getErrorStream is null for bodyless error responses — reading it
+      // blindly would NPE and mask the status the caller's require() is
+      // about to report
       val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val n = {
-        var total = 0L
-        val buf = new Array[Byte](64 * 1024)
-        var r = is.read(buf)
-        while (r >= 0) { total += r; r = is.read(buf) }
-        total
-      }
-      is.close()
+      val n = if (is == null) 0L
+      else
+        try {
+          var total = 0L
+          val buf = new Array[Byte](64 * 1024)
+          var r = is.read(buf)
+          while (r >= 0) { total += r; r = is.read(buf) }
+          total
+        } finally is.close()
       (code, n)
     }
 

@@ -31,17 +31,24 @@ object Tables {
     * Nanos: Spark's reader rejects the physical type outright, so read
     * them as long and convert with integer division (a double division
     * would lose precision — epoch-nanos exceed the 53-bit mantissa).
-    * Micros: the reader yields TIMESTAMP_NTZ; a cast in the UTC session
-    * maps wall-clock to the same instants the nanos path produced. */
+    * Micros: the reader yields TIMESTAMP_NTZ whose wall clock is the
+    * corpus's UTC instants; a bare cast would interpret it in the SESSION
+    * zone (correct only for the UTC-pinned mains — a non-UTC serving
+    * session would shift every instant by its offset), so the NTZ is
+    * first re-expressed from UTC into the session zone and then cast —
+    * the same instants on any session, and an identity + cast under the
+    * UTC mains. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts",
-        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val zone = s.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          s"cast(convert_timezone('UTC', '$zone', ts) as timestamp)"))
       case _ => df
     }
   }

@@ -52,10 +52,14 @@ object Multipart {
     // to the stream makes the first delimiter (at offset 0, no preceding
     // CRLF per RFC 2046) match the same pattern as every later one.
     val delim = ("\r\n--" + boundary).getBytes(StandardCharsets.UTF_8)
+    // Bound the BODY stream only: the two virtual CRLF bytes prepended
+    // below are parser bookkeeping, not body bytes — metering them would
+    // reject a body of exactly maxBytes that the caller's Content-Length
+    // check just admitted (off-by-two 413 at the cap boundary).
     val stream = new BufferedInputStream(
-      new BoundedStream(new SequenceInputStream(
+      new SequenceInputStream(
         new ByteArrayInputStream("\r\n".getBytes(StandardCharsets.UTF_8)),
-        in), maxBytes), 64 * 1024)
+        new BoundedStream(in, maxBytes)), 64 * 1024)
 
     val parts = Seq.newBuilder[(String, Path)]
     val created = scala.collection.mutable.ArrayBuffer.empty[Path]

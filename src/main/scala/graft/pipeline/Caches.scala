@@ -46,8 +46,15 @@ object Caches {
   // Dataset.unpersist (the CacheManager), but localCheckpointed plans'
   // blocks belong to the LogicalRDD's backing RDD, which the CacheManager
   // never sees — each entry knows how to free its own storage.
+  // (generation, cleanup, sizeEvictable): persists are recomputable from
+  // lineage so the size bound may claim them; checkpoint blocks are NOT —
+  // localCheckpoint truncates lineage, so a size-evicted checkpoint would
+  // make the caller's next action throw a missing-block SparkException
+  // instead of recomputing. Checkpoint entries therefore only ever free at
+  // [[release]] boundaries (the bound goes soft by the ≤1 checkpoint a
+  // query registers — correctness over strictness).
   private val tracked =
-    scala.collection.mutable.ArrayDeque.empty[(Long, () => Unit)]
+    scala.collection.mutable.ArrayDeque.empty[(Long, () => Unit, Boolean)]
 
   private val genCounter = new AtomicLong(0L)
   // generations whose withGeneration body is still executing
@@ -105,10 +112,12 @@ object Caches {
     * blocks cannot be recomputed from lineage once dropped: callers must
     * consume derived results before the boundary release — the lifecycle
     * every tracked persist already follows (release fires at query/request
-    * boundaries, after results are materialized), and request scopes get
-    * the same in-flight-generation eviction protection as persists. */
+    * boundaries, after results are materialized). Checkpoint entries are
+    * EXEMPT from size-bound eviction entirely (not merely
+    * generation-protected): an evicted persist costs a recompute, an
+    * evicted checkpoint kills the caller's next action. */
   private[graft] def trackCheckpointed(df: DataFrame): DataFrame = {
-    register(() => unpersistCheckpoint(df))
+    register(() => unpersistCheckpoint(df), sizeEvictable = false)
     df
   }
 
@@ -120,11 +129,12 @@ object Caches {
       case _ => ()
     }
 
-  private def register(cleanup: () => Unit): Unit = {
+  private def register(cleanup: () => Unit,
+      sizeEvictable: Boolean = true): Unit = {
     val g = currentGen.get()
     val gen = if (g == null) 0L else g.longValue()
     val evicted: Seq[() => Unit] = lock.synchronized {
-      tracked.append((gen, cleanup))
+      tracked.append((gen, cleanup, sizeEvictable))
       var excess = tracked.size - maxTracked
       if (excess <= 0) Nil
       else {
@@ -136,14 +146,15 @@ object Caches {
         val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
         var i = 0
         while (excess > 0 && i < scanLimit) { // completed generations
-          if (!inFlight.contains(java.lang.Long.valueOf(tracked(i)._1))) {
+          if (tracked(i)._3 &&
+            !inFlight.contains(java.lang.Long.valueOf(tracked(i)._1))) {
             idx += i; excess -= 1
           }
           i += 1
         }
         i = 0
         while (excess > 0 && i < scanLimit) { // pathological fallback
-          if (!idx.contains(i)) {
+          if (tracked(i)._3 && !idx.contains(i)) {
             idx += i; excess -= 1
             inFlightEvictions.incrementAndGet()
           }

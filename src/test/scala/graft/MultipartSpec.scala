@@ -63,6 +63,19 @@ class MultipartSpec extends AnyFunSuite {
     assert(e.cap === 1024)
   }
 
+  test("a body of exactly maxBytes parses (virtual CRLF not metered)") {
+    // the parser prepends two virtual CRLF bytes so the first delimiter
+    // matches the strict pattern; those are bookkeeping, not body bytes —
+    // a body the Content-Length check just admitted at the cap must not
+    // 413 inside the parser (off-by-two at the boundary)
+    val payload = Array.fill[Byte](512)('x')
+    val full = body("edge.bin" -> payload)
+    val got = Multipart.parseToFiles(new ByteArrayInputStream(full), ct,
+      maxBytes = full.length.toLong)
+    try assert(Files.readAllBytes(got.head._2).toSeq === payload.toSeq)
+    finally got.foreach(p => Files.deleteIfExists(p._2))
+  }
+
   test("malformed framing rejected: unterminated part, missing boundary") {
     val unterminated = part("x.parquet", Array[Byte](1, 2, 3)).dropRight(10)
     intercept[IllegalArgumentException] {

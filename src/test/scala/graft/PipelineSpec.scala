@@ -42,6 +42,40 @@ class PipelineSpec extends SparkFunSuite {
     assert(plantedPairs >= 9)
   }
 
+  test("checkpoint cache entries are exempt from size-bound eviction") {
+    import graft.pipeline.Caches
+    Caches.release()
+    // a checkpointed plan registered OUTSIDE any request generation (gen 0,
+    // the 'always evictable' class for persists) must survive a registry
+    // flood: localCheckpoint truncates lineage, so a size-evicted
+    // checkpoint would make the next action throw instead of recompute
+    val cp = spark.range(100).toDF("id").localCheckpoint(true)
+    Caches.trackCheckpointed(cp)
+    (1 to Caches.maxTracked + 8).foreach { i =>
+      Caches.persistTracked(spark.range(i, i + 5).toDF("id")).count()
+    }
+    assert(cp.count() === 100L)
+    Caches.release()
+    assert(Caches.trackedCount === 0)
+  }
+
+  test("events NTZ (micros corpus) normalization is session-zone independent") {
+    val dir = java.nio.file.Files.createTempDirectory("evts").toString
+    spark.sql(
+      "SELECT 1L AS event_id, timestamp_ntz'2024-03-01 12:00:00' AS ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def instant(): Long =
+      Tables.events(spark, dir).select("ts").collect()(0)
+        .getTimestamp(0).getTime
+    val utc = instant()
+    val zoneBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(instant() === utc,
+        "NTZ events shifted when read under a non-UTC session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", zoneBefore)
+  }
+
   test("exact jaccard join: prefix-filtered == brute force, both contract paths") {
     // brute force is the ground truth at every threshold — the prefix
     // filter must lose NOTHING (exact triple equality, values included)
