@@ -145,10 +145,12 @@ object Bench {
     println(compact)
   }
 
-  /** Per-query min over the last (up to) 3 committed round benches whose
-    * scale factor matches `sfDir` — an sf1/sf10 soak run must not be
-    * judged against sf0.1 priors (every query would read "hot" and the
-    * whole suite would re-measure for nothing).
+  /** Per-query min over the last (up to) 3 committed round benches plus
+    * the committed bench_out.json, restricted to files whose scale factor
+    * matches `sfDir` — an sf1/sf10 soak run must not be judged against
+    * sf0.1 priors (every query would read "hot" and the whole suite would
+    * re-measure for nothing). bench_out.json covers queries added since
+    * the last driver round, which have no BENCH_r* row yet.
     *
     * The driver's committed `BENCH_r{N}.json` is a WRAPPER — `{n, rc,
     * cpus, sf, tail: "<last stdout bytes>", parsed: {...}}` — whose
@@ -169,7 +171,7 @@ object Bench {
     val dir = java.nio.file.Paths.get(dirOverride.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR_DIR", ".")))
     val Name = """BENCH_r(\d+)\.json""".r
-    val files =
+    val roundFiles =
       try java.nio.file.Files.list(dir).iterator().asScala
         .flatMap { p =>
           p.getFileName.toString match {
@@ -178,6 +180,16 @@ object Bench {
           }
         }.toSeq.sortBy(-_._1).take(3).map(_._2)
       catch { case scala.util.control.NonFatal(_) => Nil }
+    // The committed bench_out.json (this run will only overwrite it at the
+    // END — at priors-read time it still holds the previous committed run)
+    // is an extra prior source: queries added since the last driver round
+    // have no BENCH_r* row yet, and without a prior the self-validation
+    // cannot flag contention on exactly the newest (often heaviest) gates.
+    val selfFile = dir.resolve(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    val files =
+      if (java.nio.file.Files.isRegularFile(selfFile)) roundFiles :+ selfFile
+      else roundFiles
     val known = SparkEntry.queries.keySet
     val SfStr = """"sf"\s*:\s*"([^"]+)"""".r
     val Pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)""".r

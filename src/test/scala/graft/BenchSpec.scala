@@ -56,6 +56,22 @@ class BenchSpec extends AnyFunSuite {
       Some(dir.toString)).nonEmpty)
   }
 
+  test("committed bench_out.json is a prior source for round-new queries") {
+    // a query added this round has no BENCH_r* row yet — without the
+    // self-produced artifact as a prior the record run cannot flag
+    // contention on exactly the newest gates
+    val dir = Files.createTempDirectory("benchprior3")
+    val sf = "/root/testdata/sf0.1"
+    Files.writeString(dir.resolve("BENCH_r10.json"),
+      driverWrapper(10, sf, Seq("q1_agg" -> 0.25), truncateHead = false))
+    Files.writeString(dir.resolve("bench_out.json"),
+      s"""{"metric":"total","value":2.0,"unit":"sec",""" +
+        s""""queries":{"doc_jaccard_pairs":2.2,"q1_agg":0.5},"sf":"$sf"}""")
+    val priors = Bench.priorMins(sf, Some(dir.toString))
+    assert(priors.get("doc_jaccard_pairs") === Some(2.2))
+    assert(priors.get("q1_agg") === Some(0.25)) // min across sources
+  }
+
   test("absent or unreadable prior dir means no priors, no throw") {
     assert(Bench.priorMins("/root/testdata/sf0.1",
       Some("/nonexistent/nowhere")) === Map.empty)
