@@ -34,10 +34,15 @@ object Tables {
     * Micros: the reader yields TIMESTAMP_NTZ whose wall clock is the
     * corpus's UTC instants; a bare cast would interpret it in the SESSION
     * zone (correct only for the UTC-pinned mains — a non-UTC serving
-    * session would shift every instant by its offset), so the NTZ is
-    * first re-expressed from UTC into the session zone and then cast —
-    * the same instants on any session, and an identity + cast under the
-    * UTC mains. */
+    * session would shift every instant by its offset). The instant is
+    * therefore rebuilt from the NTZ's own datetime FIELDS via
+    * `make_timestamp(..., 'UTC')` — every step is zone-free (field
+    * extraction reads the wall clock directly; UTC has no DST), so no
+    * wall clock is ever re-interpreted in a zone where it could be
+    * ambiguous. The earlier convert-to-session-zone-then-cast form
+    * round-tripped through the session zone's wall clock, which is
+    * ambiguous during a DST fall-back overlap (cast resolves to the
+    * earlier offset, shifting second-pass instants by the DST gap). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
@@ -46,9 +51,9 @@ object Tables {
       case LongType => df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType =>
-        val zone = s.conf.get("spark.sql.session.timeZone")
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          s"cast(convert_timezone('UTC', '$zone', ts) as timestamp)"))
+          "make_timestamp(year(ts), month(ts), day(ts), hour(ts), " +
+            "minute(ts), extract(SECOND FROM ts), 'UTC')"))
       case _ => df
     }
   }

@@ -61,19 +61,34 @@ class PipelineSpec extends SparkFunSuite {
 
   test("events NTZ (micros corpus) normalization is session-zone independent") {
     val dir = java.nio.file.Files.createTempDirectory("evts").toString
+    // Three corpus instants (UTC wall clocks): an ordinary one, one whose
+    // New York rendering (01:30 EST, second pass of the repeated hour)
+    // is AMBIGUOUS during the 2024-11-03 fall-back overlap, and one whose
+    // rendering (02:30) does not EXIST during the 2024-03-10 spring-forward
+    // gap. A normalization that round-trips through the session zone's
+    // wall clock shifts either of the latter by the DST gap.
     spark.sql(
-      "SELECT 1L AS event_id, timestamp_ntz'2024-03-01 12:00:00' AS ts")
+      """SELECT * FROM VALUES
+           (1L, timestamp_ntz'2024-03-01 12:00:00'),
+           (2L, timestamp_ntz'2024-11-03 06:30:00.123456'),
+           (3L, timestamp_ntz'2024-03-10 07:30:00')
+         AS t(event_id, ts)""")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    def instant(): Long =
-      Tables.events(spark, dir).select("ts").collect()(0)
-        .getTimestamp(0).getTime
-    val utc = instant()
+    def instants(): Seq[Long] =
+      Tables.events(spark, dir).orderBy("event_id").select("ts").collect()
+        .toSeq.map(_.getTimestamp(0).getTime)
+    val utc = instants()
     val zoneBefore = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-      assert(instant() === utc,
+      assert(instants() === utc,
         "NTZ events shifted when read under a non-UTC session zone")
     } finally spark.conf.set("spark.sql.session.timeZone", zoneBefore)
+    // the fields really were UTC instants, not zone-relative
+    assert(utc(0) === java.time.Instant.parse("2024-03-01T12:00:00Z")
+      .toEpochMilli)
+    assert(utc(1) === java.time.Instant.parse("2024-11-03T06:30:00.123Z")
+      .toEpochMilli)
   }
 
   test("exact jaccard join: prefix-filtered == brute force, both contract paths") {
