@@ -57,13 +57,27 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // A failed run must not contribute its (near-zero) wall time as a
+      // min — in the fresh-JVM revalidation child that bogus-fast value
+      // would flip the parent's record to validated:true. Successful runs
+      // set the min; if EVERY run failed, report the max elapsed instead
+      // (the map stays total, and a broken query can only read slow,
+      // never fast — the correctness gate is what flags the breakage).
+      val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val times = timed.collect { case (t, true) => t } match {
+        case ok if ok.nonEmpty => ok
+        case _ => Seq(timed.map(_._1).max)
       }
       // evict the pipeline operators' internal persists BETWEEN QUERIES so
       // cache entries don't accumulate across the 80+ query suite
@@ -75,49 +89,69 @@ object Bench {
       graft.pipeline.Caches.release()
       name -> times.min
     }
-    // ---- self-validation (round-10 verdict #1) --------------------------
+    // ---- self-validation (round-10 verdict #1, round-11 verdict #1) -----
     // The sandbox is shared: five of ten record runs measured ambient
     // contention, overstating untouched queries 5-10× and burning a judge
     // re-measure each round. Validate the record against the committed
     // prior rounds: any query whose suite min exceeds 2× its prior-round
     // min (min over the last 3 BENCH_r*.json, so one contaminated prior
-    // can't set the bar) is re-measured isolated min-of-3 in the now-quiet
-    // JVM, and the REPORTED value is the min over all runs — still a true
-    // measurement, just with more samples where the first ones looked hot.
-    // `validated:false` survives only when a re-measured query STILL reads
-    // >2× its prior — a genuine regression (or a sandbox so loaded the
-    // numbers shouldn't be trusted), which is exactly what the judge
-    // should see flagged.
-    val priors: Map[String, Double] = priorMins(sfDir)
-    val flagged = results.filter { case (name, v) =>
+    // can't set the bar) is re-measured, and the REPORTED value is the min
+    // over all runs — still a true measurement, just with more samples
+    // where the first ones looked hot. `validated:false` survives only
+    // when a re-measured query STILL reads >2× its prior — a genuine
+    // regression (or a sandbox so loaded the numbers shouldn't be
+    // trusted), which is exactly what the judge should see flagged.
+    //
+    // The remedial re-measure runs in a FRESH FORKED JVM (round-11
+    // verdict #1): the end-of-suite JVM carries 90+ queries of heap/GC
+    // history, and re-measuring there read a 0.9 s query at 9.08 s —
+    // worse than its contended suite read — so the record shipped
+    // `validated:false` on pure noise. `run / fork := true` means
+    // java.class.path IS the full app classpath, so the child is the same
+    // Bench main restricted via SPARK_GRAFT_BENCH_ONLY, min-of-3, with
+    // SPARK_GRAFT_BENCH_CHILD suppressing the child's own validation
+    // pass (no recursion, no prior-flagging inside the probe). If the
+    // fork cannot run (no classpath — e.g. an unforked test harness), the
+    // old in-JVM isolated pass is the fallback: strictly more samples,
+    // never fewer.
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val priors: Map[String, Double] =
+      if (isChild) Map.empty else priorMins(sfDir)
+    def hot(name: String, v: Double): Boolean =
       priors.get(name).exists(p => v > 2 * p && v - p > 0.25)
-    }.map(_._1)
-    val revalidated = flagged.flatMap { name =>
-      val fn = SparkEntry.queries(name)
-      // a failed run must NOT contribute its (near-zero) wall time — that
-      // would publish a bogus fast min and flip the suite to
-      // validated:true, corrupting exactly the integrity this pass exists
-      // to protect; failures are logged and only successful runs count
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            true
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] revalidate $name failed: ${e.getMessage}")
-            false
-          }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      graft.pipeline.Caches.release()
-      if (times.isEmpty) None else Some(name -> times.min)
-    }.toMap
+    val flagged = results.filter { case (name, v) => hot(name, v) }.map(_._1)
+    val freshJvm: Map[String, Double] =
+      if (flagged.isEmpty) Map.empty
+      else freshJvmReMeasure(flagged, sfDir, cpus)
+    val revalidated = freshJvm ++ flagged.filterNot(freshJvm.contains)
+      .flatMap { name =>
+        val fn = SparkEntry.queries(name)
+        // a failed run must NOT contribute its (near-zero) wall time —
+        // that would publish a bogus fast min and flip the suite to
+        // validated:true, corrupting exactly the integrity this pass
+        // exists to protect; failures are logged and only successful
+        // runs count
+        val times = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[bench] revalidate $name failed: ${e.getMessage}")
+              false
+            }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        graft.pipeline.Caches.release()
+        if (times.isEmpty) None else Some(name -> times.min)
+      }.toMap
     val finalResults = results.map { case (name, v) =>
       name -> math.min(v, revalidated.getOrElse(name, v))
     }
     val stillHot = finalResults.collect { case (name, v)
-      if priors.get(name).exists(p => v > 2 * p && v - p > 0.25) => name }
+      if hot(name, v) => name }
     val validated = stillHot.isEmpty
 
     val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
@@ -125,7 +159,8 @@ object Bench {
     val total = finalResults.map(_._2).sum
     val reval = revalidated.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":{\"suite\":" + results.toMap.apply(k) +
-        ",\"isolated\":" + v + "}"
+        ",\"isolated\":" + v + ",\"mode\":\"" +
+        (if (freshJvm.contains(k)) "fresh_jvm" else "in_jvm") + "\"}"
     }.mkString("{", ",", "}")
     val hotList = stillHot.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
@@ -143,6 +178,64 @@ object Bench {
       s""""validated":$validated,"detail":"$outPath"}"""
     println("GRAFT_BENCH_JSON")
     println(compact)
+  }
+
+  /** Re-measure `flagged` queries in a FRESH JVM: fork this same main with
+    * SPARK_GRAFT_BENCH_ONLY=<flagged>, SPARK_GRAFT_BENCH_RUNS=3 and
+    * SPARK_GRAFT_BENCH_CHILD=1 (child skips its own validation pass), then
+    * harvest its per-query mins from the child's own out file. The child
+    * inherits this JVM's full argument list (the JDK-17 --add-opens set,
+    * -Xmx, -D flags) and classpath — `run / fork := true` guarantees
+    * java.class.path is the real app classpath, not an sbt launcher stub;
+    * when that doesn't hold (in-process test harness) the Spark jars are
+    * absent and the probe returns empty, letting the caller fall back to
+    * the in-JVM isolated pass. Child stdout goes to a temp log (its
+    * sentinel lines must not land inside the parent's tail window);
+    * stderr is inherited so failures surface. Bounded at 30 min — an
+    * unkillable child must not hang the round's bench of record. */
+  private def freshJvmReMeasure(flagged: Seq[String], sfDir: String,
+      cpus: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      if (cp == null || !cp.contains("spark")) return Map.empty
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val outFile = java.nio.file.Files
+        .createTempFile("bench-reval", ".json")
+      val logFile = java.nio.file.Files
+        .createTempFile("bench-reval", ".log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", flagged.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "3")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectOutput(logFile.toFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(s"[bench] fresh-JVM re-measure: " +
+        flagged.mkString(", "))
+      val proc = pb.start()
+      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); return Map.empty }
+      if (proc.exitValue() != 0) return Map.empty
+      val text = java.nio.file.Files.readString(outFile)
+      val Pair =
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)"""
+          .r
+      val want = flagged.toSet
+      Pair.findAllMatchIn(text).collect {
+        case m if want(m.group(1)) => m.group(1) -> m.group(2).toDouble
+      }.toList.groupMapReduce(_._1)(_._2)(math.min)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] fresh-JVM re-measure failed: $e")
+      Map.empty
+    }
   }
 
   /** Per-query min over the last (up to) 3 committed round benches plus
