@@ -854,6 +854,35 @@ object Dedup {
     r.labels
   }
 
+  /** Deterministic bounded id-slice — the form a quadratic CERTIFICATE leg
+    * is allowed to take at soak scale (the [[Similarity.bruteNearDupPairsSliced]]
+    * pattern, round-7 verdict #2: a gate suite whose wall is half
+    * certificate measures the certificate, not the engine). At or below
+    * `maxRows` rows the slice is the WHOLE input; above, one cheap count()
+    * picks `step = n / maxRows` and keeps ids ≡ 0 (mod step) — closed-form
+    * and engine-agnostic, spanning the whole id range (key-shifted clone
+    * copies at any multiple-of-step offset land uniformly, so exact-clone
+    * cliques survive into the slice and contraction stays exercised).
+    *
+    * The slice premise is ids roughly uniform modulo step; an id space
+    * that defeats it degrades SILENTLY in both directions (see the guard
+    * rationale in [[Similarity.bruteNearDupPairsSliced]]), so the step>1
+    * path pays one narrow count on the already-bounded slice and fails
+    * loudly outside [target/4, 4*target]. */
+  def slicedById(df: DataFrame, idCol: String, maxRows: Long): DataFrame = {
+    val n = df.count()
+    val step = math.max(1L, n / maxRows)
+    if (step == 1L) return df
+    val sliced = df.filter(col(idCol) % step === 0L)
+    val kept = sliced.count()
+    if (kept > 4L * maxRows || kept < math.min(n, maxRows) / 4L)
+      throw new IllegalStateException(
+        s"slicedById: id slice kept $kept of $n rows (target ~$maxRows, " +
+          s"step $step) — the id space is not uniform modulo the stride; " +
+          "pick a different slice key")
+    sliced
+  }
+
   /** Brute-force exact n-gram Jaccard over all pairs — the test oracle for
     * the LSH paths (O(n²); never use at scale). */
   def bruteForcePairs(df: DataFrame, idCol: String, textCol: String,

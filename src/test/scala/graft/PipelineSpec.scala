@@ -376,6 +376,31 @@ class PipelineSpec extends SparkFunSuite {
     assert(wholeSliced === whole)
   }
 
+  test("slicedById: identity at/below maxRows, modulo slice above, loud guard") {
+    // identity: n <= maxRows returns the input unchanged (no extra jobs)
+    val small = spark.range(100).toDF("doc_id")
+    assert(Dedup.slicedById(small, "doc_id", 200L).count() === 100L)
+    // step path: n=1000, maxRows=250 → step 4 → ids ≡ 0 (mod 4)
+    val big = spark.range(1000).toDF("doc_id")
+    val got = Dedup.slicedById(big, "doc_id", 250L)
+      .as[Long].collect().toSet
+    assert(got === (0L until 1000L by 4).toSet)
+    // key-shifted clone copies (offsets that are multiples of the step)
+    // land uniformly — the slice keeps every copy's residue class
+    val shifted = spark.range(1000).toDF("doc_id")
+      .union(spark.range(1000).toDF("doc_id")
+        .select((col("doc_id") + 100000000L).as("doc_id")))
+    val sh = Dedup.slicedById(shifted, "doc_id", 250L).as[Long].collect()
+    assert(sh.count(_ >= 100000000L) > 0 && sh.count(_ < 100000000L) > 0)
+    // guard: an all-odd id space misses the stride entirely → throws
+    // (silent degradation would make the certificate trivially green)
+    val odd = spark.range(1000).toDF("doc_id")
+      .select((col("doc_id") * 2 + 1).as("doc_id"))
+    intercept[IllegalStateException] {
+      Dedup.slicedById(odd, "doc_id", 250L)
+    }
+  }
+
   test("cosine near-dup: all-zero vectors (NaN sim) are excluded on every path") {
     // Spark orders NaN above every number, so `sim >= threshold` alone
     // would EMIT zero-vector pairs; the explicit !isnan guard must drop
