@@ -32,6 +32,13 @@ import graft.geo.{GeoFunctions => G, GeoIO}
   */
 object SpatialJoin {
 
+  /** Default distinct-geometry-ratio threshold below which [[grid]]'s
+    * Contract.Auto engages contraction (see the [[grid]] scaladoc for why
+    * it is stricter than the dedup family's 0.95). Shared with
+    * [[graft.plans.SpatialJoinRule]] so naive theta-join syntax makes the
+    * same decision. */
+  val AutoMaxRatio = 0.8
+
   private def withCells(df: DataFrame, geom: Column, cell: Double,
       pfx: String, expand: Double): DataFrame = {
     // one WKB decode per row for all four bounds (st_envelope_bounds),
@@ -57,55 +64,115 @@ object SpatialJoin {
     * geometry expressions must be deterministic (each is evaluated in the
     * candidate stage and again in the expansion join).
     *
-    * The candidate stage runs over DISTINCT geometries per side, not
-    * rows. Clone-heavy corpora (many rows sharing one geometry — the
-    * derived soak corpora place 100 coincident copies of every box)
-    * would otherwise multiply every candidate test by the clone PRODUCT
-    * of the two sides; contraction makes candidate work scale with
-    * distinct-geometry density and the final expansion joins are
-    * output-linear. Unique-geometry data benefits too: the cell
-    * explode/shuffle carries only geometry bytes, with full rows
-    * re-attached once per emitted pair — column pruning the join itself.
-    * The same collapse idea as [[knnGrid]]'s k-per-location window
-    * (round-8), applied to the relational spatial join. */
+    * Two plan shapes, selected by `contract` (round-11 verdict #5):
+    *
+    *  - CONTRACTED (clone-heavy corpora): the candidate stage runs over
+    *    DISTINCT geometries per side, not rows. Many rows sharing one
+    *    geometry (the derived soak corpora place 100 coincident copies of
+    *    every box) would otherwise multiply every candidate test by the
+    *    clone PRODUCT of the two sides; contraction makes candidate work
+    *    scale with distinct-geometry density and the final expansion
+    *    joins are output-linear (measured at sf10: geo_pip_join
+    *    34.4 s → 2.1 s). The trade: each input is SCANNED TWICE — once
+    *    (geometry-column-pruned) for the distinct candidate stage, once
+    *    for the expansion join. The same collapse idea as [[knnGrid]]'s
+    *    k-per-location window (round-8), applied to the relational join.
+    *
+    *  - DIRECT (unique-geometry corpora): cells over full rows, one scan
+    *    per input, no distinct shuffle and no expansion joins. When
+    *    geometries are ~unique, contraction's distinct pass removes
+    *    nothing and its second scan is pure extra I/O — at 100 TB a real
+    *    cost.
+    *
+    * [[Dedup.Contract.Auto]] (the default) picks per input: one memoized
+    * `approx_count_distinct / count` probe job per side at plan-build
+    * time (the [[Dedup.minhashPairs]] policy; a narrow single-column
+    * scan, small against the join itself at any scale) engages
+    * contraction only when EITHER side is duplicate-heavy — the clone
+    * product blows up when one side alone carries cliques. The default
+    * threshold is [[AutoMaxRatio]] (0.8), stricter than the dedup
+    * family's 0.95: contraction here pays two extra scans plus distinct
+    * shuffles and only wins under substantial cloning, and the probe's
+    * ±5% rsd makes a 0.95 cutoff coin-flip on genuinely unique
+    * geometry columns (a ~200-distinct estimate can read 0.94). Both
+    * shapes share the cell/reference-point/envelope/refine candidate
+    * logic, so they are result-identical by construction;
+    * SpatialJoinRuleSpec pins plan shape and the gates pin results. */
   def grid(left: DataFrame, leftGeom: Column,
       right: DataFrame, rightGeom: Column,
       predicate: (Column, Column) => Column,
       cellSize: Double,
-      expand: Double = 0.0): DataFrame = {
-    val lg = left.select(leftGeom.as("__lgeom")).distinct()
-    val rg = right.select(rightGeom.as("__rgeom")).distinct()
-    val l = withCells(lg, col("__lgeom"), cellSize, "__l", 0.0)
-    val r = withCells(rg, col("__rgeom"), cellSize, "__r", expand)
+      expand: Double = 0.0,
+      contract: graft.pipeline.Dedup.Contract =
+        graft.pipeline.Dedup.Contract.Auto(AutoMaxRatio)): DataFrame = {
+    import graft.pipeline.Dedup
+    val doContract = contract match {
+      case Dedup.Contract.Off => false
+      case Dedup.Contract.On => true
+      case Dedup.Contract.Auto(maxRatio) =>
+        Dedup.distinctRatio(left.select(leftGeom.as("__pg")),
+          col("__pg")) <= maxRatio ||
+          Dedup.distinctRatio(right.select(rightGeom.as("__pg")),
+            col("__pg")) <= maxRatio
+    }
+    if (doContract)
+      gridContracted(left, leftGeom, right, rightGeom, predicate, cellSize,
+        expand)
+    else gridDirect(left, leftGeom, right, rightGeom, predicate, cellSize,
+      expand)
+  }
 
-    // reference-point dedup: the candidate envelope intersection's min
-    // corner lies in exactly one cell; emit the pair only there.
+  /** Shared candidate filters: reference-point dedup (the candidate
+    * envelope intersection's min corner lies in exactly one cell; emit
+    * the pair only there) and envelope filter-and-refine (every supported
+    * predicate implies the distance-expanded envelopes overlap — within
+    * (containment ⇒ overlap), intersects, dwithin (expand already
+    * widened the right bounds). These are codegen'd double compares on
+    * columns the cell stage already computed, so the JTS refine — two
+    * WKB decodes + an exact predicate per candidate — runs only on pairs
+    * whose envelopes actually meet, not on every cell cohabitant.) */
+  private def candidates(l: DataFrame, r: DataFrame,
+      cellSize: Double): DataFrame = {
     val refIx = floor(greatest(col("__l_xmin"), col("__r_xmin")) / cellSize).cast("long")
     val refIy = floor(greatest(col("__l_ymin"), col("__r_ymin")) / cellSize).cast("long")
-
-    val hits = l
-      .join(r, col("__l_ix") === col("__r_ix") && col("__l_iy") === col("__r_iy"))
+    l.join(r, col("__l_ix") === col("__r_ix") && col("__l_iy") === col("__r_iy"))
       .filter(col("__l_ix") === refIx && col("__l_iy") === refIy)
-      // envelope filter-and-refine: every supported predicate implies the
-      // (distance-expanded) envelopes overlap — within (containment ⇒
-      // overlap), intersects, dwithin (expand already widened the right
-      // bounds above). These are codegen'd double compares on columns the
-      // cell stage already computed, so the JTS refine — two WKB decodes
-      // + an exact predicate per candidate — runs only on pairs whose
-      // envelopes actually meet, not on every cell cohabitant.
       .filter(col("__l_xmin") <= col("__r_xmax") &&
         col("__l_xmax") >= col("__r_xmin") &&
         col("__l_ymin") <= col("__r_ymax") &&
         col("__l_ymax") >= col("__r_ymin"))
+  }
+
+  private def gridContracted(left: DataFrame, leftGeom: Column,
+      right: DataFrame, rightGeom: Column,
+      predicate: (Column, Column) => Column,
+      cellSize: Double, expand: Double): DataFrame = {
+    val lg = left.select(leftGeom.as("__lgeom")).distinct()
+    val rg = right.select(rightGeom.as("__rgeom")).distinct()
+    val l = withCells(lg, col("__lgeom"), cellSize, "__l", 0.0)
+    val r = withCells(rg, col("__rgeom"), cellSize, "__r", expand)
+    val hits = candidates(l, r, cellSize)
       .filter(predicate(col("__lgeom"), col("__rgeom")))
       .select(col("__lgeom"), col("__rgeom"))
-
     // expansion: re-attach every row carrying a hit geometry (equi-joins
     // on the geometry bytes — null geometries drop on both paths, as the
     // cell explode already dropped them before contraction)
     hits.join(left, col("__lgeom") === leftGeom)
       .join(right, col("__rgeom") === rightGeom)
       .drop("__lgeom", "__rgeom")
+  }
+
+  private def gridDirect(left: DataFrame, leftGeom: Column,
+      right: DataFrame, rightGeom: Column,
+      predicate: (Column, Column) => Column,
+      cellSize: Double, expand: Double): DataFrame = {
+    val l = withCells(left.withColumn("__lgeom", leftGeom), col("__lgeom"),
+      cellSize, "__l", 0.0)
+    val r = withCells(right.withColumn("__rgeom", rightGeom), col("__rgeom"),
+      cellSize, "__r", expand)
+    candidates(l, r, cellSize)
+      .filter(predicate(col("__lgeom"), col("__rgeom")))
+      .select(left.columns.map(col).toSeq ++ right.columns.map(col): _*)
   }
 
   /** Partitioned k-NN join — the scale path for a right side that does

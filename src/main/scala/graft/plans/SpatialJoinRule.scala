@@ -33,13 +33,19 @@ import graft.geo.{StContains, StDWithin, StEnvelopeBounds, StIntersects, StWithi
   * Install per session via [[SpatialJoinRule.install]] (experimental
   * extraOptimizations) or at session build time via [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions`). Tunables:
-  * `spark.graft.spatialJoin.enabled` (default true) and
-  * `spark.graft.spatialJoin.cellSize` (default 0.5 degrees).
+  * `spark.graft.spatialJoin.enabled` (default true),
+  * `spark.graft.spatialJoin.cellSize` (default 0.5 degrees), and
+  * `spark.graft.spatialJoin.contract` (`auto`/`on`/`off`, default auto —
+  * see [[graft.joins.SpatialJoin.grid]] for the contracted-vs-direct
+  * trade; `auto` runs the same memoized distinct-ratio probe as the
+  * function API, one narrow aggregate per join side at optimization
+  * time, so naive theta-join syntax gets the same shape decision).
   */
 object SpatialJoinRule extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.spatialJoin.enabled"
   val CellSizeKey = "spark.graft.spatialJoin.cellSize"
+  val ContractKey = "spark.graft.spatialJoin.contract"
 
   /** Idempotently register on an existing session. */
   def install(spark: SparkSession): Unit =
@@ -111,9 +117,45 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     (g2, ix, iy, Seq(xmin, ymin, xmax, ymax).map(_.toAttribute))
   }
 
+  /** Contraction decision (parity with [[graft.joins.SpatialJoin.grid]]):
+    * `on`/`off` force a shape; `auto` (default) runs the memoized
+    * distinct-ratio probe over each side's geometry expression — an
+    * eager narrow aggregate executed AT OPTIMIZATION TIME via the
+    * graftbridge (its own plan is a Project+Aggregate, so this rule
+    * cannot re-match inside the probe; any nested spatial joins in the
+    * probed child were already rewritten by transformUp's bottom-up
+    * order). A probe failure keeps the contracted shape: on
+    * clone-heavy data the direct shape is the catastrophic direction
+    * (clone-product candidates), the contracted one merely re-scans. */
+  private def shouldContract(left: LogicalPlan, right: LogicalPlan,
+      lGeom: Expression, rGeom: Expression): Boolean =
+    conf.getConfString(ContractKey, "auto") match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        try {
+          val spark = SparkSession.active
+          def ratio(child: LogicalPlan, g: Expression): Double = {
+            val df = org.apache.spark.sql.graftbridge.ofRows(spark,
+              Project(Seq(Alias(g, "__pg")()), child))
+            graft.pipeline.Dedup.distinctRatio(df,
+              org.apache.spark.sql.functions.col("__pg"))
+          }
+          ratio(left, lGeom) <= graft.joins.SpatialJoin.AutoMaxRatio ||
+            ratio(right, rGeom) <= graft.joins.SpatialJoin.AutoMaxRatio
+        } catch { case scala.util.control.NonFatal(e) =>
+          logWarning(s"spatial-join contraction probe failed, " +
+            s"keeping contracted shape: $e")
+          true
+        }
+    }
+
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
       spatialCond: Expression, lGeom: Expression, rGeom: Expression,
       expand: Double, cell: Double, hint: JoinHint): LogicalPlan = {
+    if (!shouldContract(left, right, lGeom, rGeom))
+      return rewriteDirect(left, right, spatialCond, lGeom, rGeom, expand,
+        cell, hint)
     // contraction (parity with SpatialJoin.grid): candidates run over
     // DISTINCT geometries per side — clone-heavy corpora would otherwise
     // multiply every candidate test by the clone product — and hits
@@ -165,6 +207,31 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       JoinHint.NONE)
     val e2 = Join(e1, right, Inner, Some(EqualTo(rgAttr, rGeom)), hint)
     Project((left.output ++ right.output).map(a => a: NamedExpression), e2)
+  }
+
+  /** The unique-geometry shape: cells over the FULL children (one scan
+    * per input, no distinct shuffle, no expansion joins), same
+    * cell-equality / reference-point / envelope / exact-refine candidate
+    * logic as the contracted form — result-identical by construction. */
+  private def rewriteDirect(left: LogicalPlan, right: LogicalPlan,
+      spatialCond: Expression, lGeom: Expression, rGeom: Expression,
+      expand: Double, cell: Double, hint: JoinHint): LogicalPlan = {
+    val (lp, lix, liy, lb) = cellSide(left, lGeom, cell, "__l_", 0.0)
+    val (rp, rix, riy, rb) = cellSide(right, rGeom, cell, "__r_", expand)
+    val Seq(lxmin, lymin, lxmax, lymax) = lb
+    val Seq(rxmin, rymin, rxmax, rymax) = rb
+    val cellEq = And(EqualTo(lix, rix), EqualTo(liy, riy))
+    def refCell(a: Attribute, bb: Attribute) =
+      Floor(Divide(Greatest(Seq(a, bb)), Literal(cell)))
+    val refOk = And(EqualTo(lix, refCell(lxmin, rxmin)),
+      EqualTo(liy, refCell(lymin, rymin)))
+    val envOk = And(
+      And(LessThanOrEqual(lxmin, rxmax), GreaterThanOrEqual(lxmax, rxmin)),
+      And(LessThanOrEqual(lymin, rymax), GreaterThanOrEqual(lymax, rymin)))
+    val joined = Join(lp, rp, Inner, Some(cellEq), hint)
+    val filtered = Filter(And(refOk, And(envOk, spatialCond)), joined)
+    Project((left.output ++ right.output).map(a => a: NamedExpression),
+      filtered)
   }
 }
 

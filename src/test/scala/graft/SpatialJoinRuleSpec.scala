@@ -81,6 +81,73 @@ class SpatialJoinRuleSpec extends SparkFunSuite {
     assert(eq.count() === 20)
   }
 
+  test("grid contraction is probe-guarded: direct plan on unique data, contracted on clones") {
+    // 400 rows carrying only 8 distinct point geometries (50 coincident
+    // clones each — the derived soak corpora's regime) vs the unique
+    // pts/boxes fixtures. The distinct-ratio probe must pick the
+    // contracted shape for the clones and the direct single-scan shape
+    // for unique data. Plan shape is read off the optimized logical
+    // plan's leaf count: contraction scans each input twice (distinct
+    // candidate branch + expansion join), so the join goes 2 -> 4
+    // LocalRelation leaves.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def leaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .count(_.isInstanceOf[LocalRelation])
+    val clonePts = (0 until 400).map { i =>
+      val j = i % 8
+      (i.toLong, GeoIO.toWkb(GeoIO.point(-119.9 + j * 0.5, 25.1 + j * 0.1)))
+    }.toDF("pid", "geom")
+
+    // function API, Contract.Auto (the default)
+    val direct = graft.joins.SpatialJoin.grid(pts, col("geom"), boxes,
+      col("bgeom"), (l, r) => G.st_within(l, r), cellSize = 0.5)
+    assert(leaves(direct) === 2, "unique-geometry data must take the " +
+      s"single-scan direct plan:\n${direct.queryExecution.optimizedPlan}")
+    val contracted = graft.joins.SpatialJoin.grid(clonePts, col("geom"),
+      boxes, col("bgeom"), (l, r) => G.st_within(l, r), cellSize = 0.5)
+    assert(leaves(contracted) === 4, "clone-heavy data must take the " +
+      s"contracted plan:\n${contracted.queryExecution.optimizedPlan}")
+
+    // both shapes produce identical rows on the same (clone-heavy) input
+    def rows(c: graft.pipeline.Dedup.Contract): Set[(Long, Long)] =
+      graft.joins.SpatialJoin.grid(clonePts, col("geom"), boxes,
+        col("bgeom"), (l, r) => G.st_within(l, r), cellSize = 0.5,
+        contract = c)
+        .select("pid", "bid").as[(Long, Long)].collect().toSet
+    val on = rows(graft.pipeline.Dedup.Contract.On)
+    val off = rows(graft.pipeline.Dedup.Contract.Off)
+    assert(on.nonEmpty)
+    assert(on === off)
+
+    // optimizer rule: the same probe drives the same shape decision on
+    // naive theta-join syntax (conf default is auto)
+    SpatialJoinRule.install(spark)
+    val ruleDirect = pts.join(boxes, G.st_within(col("geom"), col("bgeom")))
+    assert(!ruleDirect.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(leaves(ruleDirect) === 2,
+      s"rule must go direct on unique data:\n${ruleDirect.queryExecution.optimizedPlan}")
+    val ruleContracted = clonePts.join(boxes,
+      G.st_within(col("geom"), col("bgeom")))
+    assert(leaves(ruleContracted) === 4,
+      s"rule must contract on clone data:\n${ruleContracted.queryExecution.optimizedPlan}")
+    assert(ruleContracted.select("pid", "bid").as[(Long, Long)]
+      .collect().toSet === on)
+    // forced shapes via conf override both directions
+    try {
+      spark.conf.set(SpatialJoinRule.ContractKey, "on")
+      assert(leaves(pts.join(boxes,
+        G.st_within(col("geom"), col("bgeom")))) === 4)
+      spark.conf.set(SpatialJoinRule.ContractKey, "off")
+      val forcedOff = clonePts.join(boxes,
+        G.st_within(col("geom"), col("bgeom")))
+      assert(leaves(forcedOff) === 2)
+      assert(forcedOff.select("pid", "bid").as[(Long, Long)]
+        .collect().toSet === on)
+    } finally spark.conf.set(SpatialJoinRule.ContractKey, "auto")
+  }
+
   test("knn tie groups larger than the fetch pad resolve deterministically") {
     // 60 COINCIDENT neighbors (a duplicate-heavy corpus: every clone maps
     // to the same geometry) outnumber the k+pad fetch window; the winner
