@@ -31,11 +31,29 @@ import graft.sources.{GeoParquetIO, ParquetCatalog}
   *
   * Then the CONCURRENT leg: `threads` (default 8, i.e. 2x the gate)
   * client threads each run the full probe set against the live port;
-  * every response must be 200 (the gate queues, never errors). Output is
-  * one JSON artifact (arg 2, default `soak_http.json`):
+  * every response must be 200 (the gate queues, never errors).
+  *
+  * Round-12 additions (round-11 verdict #6/#7):
+  *  - `upload`  one multipart round-trip over the wire — a served
+  *              parquet page POSTs into a new table (200), re-POSTs
+  *              without append (409), appends (200), and the doubled
+  *              table serves back — the S6 write path under the same
+  *              soak harness as the read paths
+  *  - `events`  an SSE subscriber connected BEFORE the concurrent leg
+  *              receives a `layer_ready` diff pushed MID-SOAK (the
+  *              catalog change lands while all `threads` clients are
+  *              hammering the gate)
+  *  - `keyset`  the documented 100 TB pagination path over the wire:
+  *              a full keyset walk (`__oid > last` + ORDER BY __oid,
+  *              the Esri route) across a WHERE-bounded slice, asserting
+  *              page disjointness + completeness against
+  *              returnCountOnly, with per-page seconds recorded — flat
+  *              in page index where OFFSET paging would grow linearly
+  *
+  * Output is one JSON artifact (arg 2, default `soak_http.json`):
   * per-probe http/in-process seconds + ratio, totals, the concurrent
-  * wall/error counts, and `validated` = (total ratio <= 1.2 && zero
-  * errors).
+  * wall/error counts, the upload/events/keyset sections, and
+  * `validated` = (total ratio <= 1.2 && zero errors && all sections ok).
   *
   * Usage: `runMain graft.HttpSoak [sfDir] [outJson] [threads]`
   */
@@ -70,6 +88,33 @@ object HttpSoak {
     val schema = SchemaService.describe(df, "geo.points")
 
     def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+    // GET returning the full body (upload round-trip + keyset walk need
+    // bytes, not just a count), optional POST with a content type
+    def httpBytes(path: String,
+        post: Option[(Array[Byte], String)] = None): (Int, Array[Byte]) = {
+      val conn = new URL(base + path).openConnection()
+        .asInstanceOf[HttpURLConnection]
+      post.foreach { case (body, ct) =>
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", ct)
+        conn.setFixedLengthStreamingMode(body.length)
+        val os = conn.getOutputStream
+        try os.write(body) finally os.close()
+      }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (is == null) Array.emptyByteArray
+      else
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 * 1024)
+          var r = is.read(buf)
+          while (r >= 0) { bos.write(buf, 0, r); r = is.read(buf) }
+          bos.toByteArray
+        } finally is.close()
+      (code, body)
+    }
     def http(path: String): (Int, Long) = {
       val conn = new URL(base + path).openConnection()
         .asInstanceOf[HttpURLConnection]
@@ -218,6 +263,52 @@ object HttpSoak {
       (name, httpSec, inSec)
     }
 
+    // ---- upload round-trip: write -> 409 -> append -> serve ------------
+    // (round-11 verdict #6) the S6 write path over the same bound socket:
+    // a served parquet page is the upload payload, so the bytes exercised
+    // are exactly what the read probes produce.
+    val uploadT0 = System.nanoTime()
+    val (pageCode, pageBytes) = httpBytes("/api/features/geo/points?limit=5")
+    val boundary = "XgraftSoakBoundaryX"
+    val mpCt = s"multipart/form-data; boundary=$boundary"
+    def multipart(filename: String, bytes: Array[Byte]): Array[Byte] =
+      (s"--$boundary\r\n" +
+        s"""Content-Disposition: form-data; name="files"; filename="$filename"\r\n""" +
+        "Content-Type: application/octet-stream\r\n\r\n").getBytes("UTF-8") ++
+        bytes ++ s"\r\n--$boundary--\r\n".getBytes("UTF-8")
+    val up = "/api/upload?namespace=soakup&table_name=u1"
+    val (c1, _) = httpBytes(up, Some((multipart("page.parquet", pageBytes), mpCt)))
+    val (c409, _) = httpBytes(up, Some((multipart("page.parquet", pageBytes), mpCt)))
+    val (c2, _) = httpBytes(up + "&append=true",
+      Some((multipart("page.parquet", pageBytes), mpCt)))
+    val (cServe, served) = httpBytes("/api/features/soakup/u1?f=geojson&limit=100")
+    val servedFeatures =
+      "\"type\":\"Feature\"".r.findAllMatchIn(new String(served, "UTF-8")).size
+    val uploadSec = (System.nanoTime() - uploadT0) / 1e9
+    val uploadOk = pageCode == 200 && c1 == 200 && c409 == 409 &&
+      c2 == 200 && cServe == 200 && servedFeatures == 10
+
+    // ---- SSE subscriber: connect BEFORE the concurrent leg -------------
+    // (round-11 verdict #6) the push channel under load: the catalog diff
+    // lands while `threads` clients hammer the gate; the subscriber must
+    // still receive the live `layer_ready` event.
+    srv.controlPlane.poll() // prime: register everything created above
+    val sseGen = srv.controlPlane.configGeneration
+    val sseLines = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val sseConn = new URL(base + s"/api/events?since=$sseGen&timeoutMs=60000")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    val sseCode = sseConn.getResponseCode
+    val sseReader = new Thread(() => {
+      try {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          sseConn.getInputStream, "UTF-8"))
+        Iterator.continually(r.readLine()).takeWhile(_ != null)
+          .foreach(sseLines.put)
+      } catch { case _: java.io.IOException => () }
+    })
+    sseReader.setDaemon(true)
+    sseReader.start()
+
     // ---- concurrent leg: threads x all probes, gate queues at 4 --------
     val errors = new java.util.concurrent.atomic.AtomicInteger(0)
     val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
@@ -234,6 +325,9 @@ object HttpSoak {
         }
       })
     }
+    // the push diff lands MID-SOAK, while the pool is at full depth
+    cat.createOrReplace("geo", "pushed", df.limit(3))
+    srv.controlPlane.poll()
     tasks.foreach(_.get())
     pool.shutdown()
     val concurrentWall = (System.nanoTime() - t0) / 1e9
@@ -242,13 +336,94 @@ object HttpSoak {
       codes.asScala.count(_ != 200)
     }
 
+    // harvest the SSE event (sent while the soak ran; bounded wait)
+    var sseEventId = -1L
+    var sseSawLayerReady = false
+    var sseData = ""
+    locally {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var ev = ""
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        val line = sseLines.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+        if (line != null) {
+          if (line.startsWith("id: "))
+            sseEventId = line.stripPrefix("id: ").toLong
+          else if (line.startsWith("event: ")) ev = line.stripPrefix("event: ")
+          else if (line.startsWith("data: ")) sseData = line.stripPrefix("data: ")
+          else if (line.isEmpty && ev == "layer_ready") {
+            sseSawLayerReady = true; done = true
+          }
+        }
+      }
+    }
+    sseConn.disconnect()
+    val sseOk = sseCode == 200 && sseSawLayerReady &&
+      sseEventId == sseGen + 1 && sseData.contains("pushed")
+
+    // ---- keyset-paged walk over the wire (round-11 verdict #7) ---------
+    // `(WHERE slice) AND __oid > last` + ORDER BY __oid through the Esri
+    // route: each page is a pushable range scan + TakeOrdered, so page
+    // latency stays flat in page index (OFFSET's grows — it re-sorts and
+    // discards the prefix every page). Disjointness falls out of strictly
+    // increasing __oid across pages; completeness is checked against
+    // returnCountOnly on the same WHERE slice.
+    val ksWhere = "c_nationkey IN (1, 2)"
+    val ksCount = {
+      val (c, b) = httpBytes(
+        "/rest/services/geo/FeatureServer/0/query?where=" + enc(ksWhere) +
+          "&returnCountOnly=true&f=json")
+      if (c != 200) -1L
+      else """"count"\s*:\s*(\d+)""".r.findFirstMatchIn(new String(b, "UTF-8"))
+        .map(_.group(1).toLong).getOrElse(-1L)
+    }
+    val OidRe = """"__oid"\s*:\s*(\d+)""".r
+    val ksPageSize = 2000
+    val ksPageSecs = scala.collection.mutable.ArrayBuffer[Double]()
+    var ksRows = 0L
+    var ksLast = -1L
+    var ksMonotone = true
+    var ksHttpOk = true
+    var ksDone = false
+    while (!ksDone && ksHttpOk && ksPageSecs.length < 1000) {
+      val where = s"($ksWhere) AND __oid > $ksLast"
+      val p0 = System.nanoTime()
+      val (c, b) = httpBytes(
+        "/rest/services/geo/FeatureServer/0/query?where=" + enc(where) +
+          "&orderByFields=" + enc("__oid ASC") +
+          s"&resultRecordCount=$ksPageSize&returnGeometry=false" +
+          "&outFields=c_custkey&f=json")
+      ksPageSecs += (System.nanoTime() - p0) / 1e9
+      if (c != 200) ksHttpOk = false
+      else {
+        val oids = OidRe.findAllMatchIn(new String(b, "UTF-8"))
+          .map(_.group(1).toLong).toSeq
+        if (oids.isEmpty) ksDone = true
+        else {
+          // strictly increasing WITHIN the page and ACROSS pages: pages
+          // are disjoint and ordered, no row seen twice
+          ksMonotone &&= oids.head > ksLast &&
+            oids.sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+          ksRows += oids.length
+          ksLast = oids.last
+        }
+      }
+    }
+    val ksOk = ksHttpOk && ksMonotone && ksCount >= 0 && ksRows == ksCount
+    val ksRatio =
+      if (ksPageSecs.length >= 4)
+        ksPageSecs.takeRight(2).min / math.max(ksPageSecs.take(2).min, 1e-9)
+      else 1.0
+
     srv.stop()
     cat.dropNamespace("geo")
+    cat.dropNamespace("soakup")
 
     val httpTotal = results.map(_._2).sum
     val inTotal = results.map(_._3).sum
     val ratio = httpTotal / inTotal
-    val validated = ratio <= 1.2 && errors.get() == 0 && non200 == 0
+    val validated = ratio <= 1.2 && errors.get() == 0 && non200 == 0 &&
+      uploadOk && sseOk && ksOk
     def f(d: Double) = math.rint(d * 10000) / 10000
     val probeJson = results.map { case (n, h, i) =>
       s""""$n":{"http":${f(h)},"inproc":${f(i)},"ratio":${f(h / i)}}"""
@@ -260,6 +435,14 @@ object HttpSoak {
         s""""concurrent":{"threads":$threads,""" +
         s""""requests":${threads * probes.size},"wall":${f(concurrentWall)},""" +
         s""""non_200":$non200,"errors":${errors.get()}},""" +
+        s""""upload":{"ok":$uploadOk,"seconds":${f(uploadSec)},""" +
+        s""""statuses":[$c1,$c409,$c2],"features_served":$servedFeatures},""" +
+        s""""events":{"ok":$sseOk,"event_id":$sseEventId,""" +
+        s""""received_mid_soak":$sseSawLayerReady},""" +
+        s""""keyset":{"ok":$ksOk,"pages":${ksPageSecs.length},""" +
+        s""""rows":$ksRows,"count":$ksCount,""" +
+        s""""latency_ratio_last_first":${f(ksRatio)},""" +
+        s""""page_seconds":[${ksPageSecs.map(f).mkString(",")}]},""" +
         s""""validated":$validated}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       json + "\n")
