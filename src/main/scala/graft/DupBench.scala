@@ -12,16 +12,25 @@ import graft.pipeline.{Dedup, Similarity}
   * Results are committed as the BENCH_NOTES.md round-7 section that
   * Dedup.scala's Scaladoc cites.
   *
-  * `runMain graft.DupBench [sfDir] [factor] [mode]` — defaults sf0.1,
-  * 40×, mode `both`. Mode `on` skips the contract=Off column: past the
-  * regime where Off is a measured DNF (cosine at 40× ran out of disk,
-  * BENCH_NOTES round 7), re-running it proves nothing and burns an hour.
+  * `runMain graft.DupBench [sfDir] [factor] [mode] [families]` —
+  * defaults sf0.1, 40×, mode `both`, all families. Mode `on` skips the
+  * contract=Off column: past the regime where Off is a measured DNF
+  * (cosine at 40× ran out of disk, BENCH_NOTES round 7), re-running it
+  * proves nothing and burns an hour. `families` (comma list of
+  * minhash/simhash/cosine/jaccard) measures a subset — e.g. adding a
+  * NEW family's 40×/100× rows without re-paying the whole sweep.
   */
 object DupBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 40
     val runOff = args.length <= 2 || args(2) != "on"
+    val families: String => Boolean = args.lift(3) match {
+      case Some(list) =>
+        val wanted = list.split(",").map(_.trim).toSet
+        name => wanted.exists(name.startsWith)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,7 +90,7 @@ object DupBench {
         bits = 4, tables = 8, contract = c)),
       ("jaccard_exact", (c: Dedup.Contract) => Dedup.jaccardPairs(docsSlice,
         "doc_id", "text", shingle = 5, threshold = 0.7, contract = c))
-    ).map { case (name, fn) =>
+    ).filter(r => families(r._1)).map { case (name, fn) =>
       val on = time(s"$name contract=On")(fn(Dedup.Contract.On))
       val off =
         if (runOff) time(s"$name contract=Off")(fn(Dedup.Contract.Off))
@@ -105,7 +114,7 @@ object DupBench {
         contract = Dedup.Contract.On)),
       ("jaccard_star", () => Dedup.jaccardEdges(docsSlice, "doc_id", "text",
         shingle = 5, threshold = 0.7, contract = Dedup.Contract.On))
-    ).map { case (name, fn) =>
+    ).filter(r => families(r._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val edges = fn().persist()
       val n = edges.count()
