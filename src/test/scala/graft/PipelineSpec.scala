@@ -261,6 +261,15 @@ class PipelineSpec extends SparkFunSuite {
       labels(Dedup.winnowPairs(df, "doc_id", "text",
         contract = Dedup.Contract.On)))
 
+    // exact jaccard: star edges (contraction ON) vs the expanded pair
+    // list on the RAW path (contraction OFF) — the two legs share no
+    // code past the threshold, and the family is deterministic, so the
+    // label maps must be equal exactly
+    assert(labels(Dedup.jaccardEdges(df, "doc_id", "text", shingle = 5,
+      threshold = 0.6, contract = Dedup.Contract.On)) ===
+      labels(Dedup.jaccardPairs(df, "doc_id", "text", shingle = 5,
+        threshold = 0.6, contract = Dedup.Contract.Off)))
+
     // embedding family: identical-vector clique + perturbed near-dup
     val r = new scala.util.Random(7)
     val v0 = Array.fill(64)(r.nextFloat() - 0.5f)
