@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Tables}
-import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Similarity}
 import graft.pipeline.TextFunctions._
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -252,6 +252,79 @@ object PipelineQueries {
       star.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
         .crossJoin(viol)
         .orderBy(col("comp"))
+    }),
+
+    // Train/eval decontamination (Decontaminate.overlap): every 97th doc
+    // id stands in for a benchmark corpus, the rest is the training side;
+    // flag train docs sharing any word 5-gram with the eval side (n is a
+    // knob — published pipelines run 8-13; 5 keeps the gate non-vacuous
+    // on this synthetic word-soup corpus, where exact longer-gram
+    // collisions only exist between planted clones). Exact strings, no
+    // seeds -> full hash oracle. The eval gram set is BROADCAST
+    // (benchmark corpora stay small at any train scale).
+    "doc_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 97L === 0L)
+      val train = docs.filter(col("doc_id") % 97L =!= 0L)
+      Decontaminate.overlap(train, evalSet, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Duplicated-substring-span fraction (Dedup.substringDup): strided
+    // 40-char windows attributed to their lowest-doc-id owner; a doc's
+    // dup_frac is the share of its windows owned by an earlier doc.
+    // Exact strings, no seeds -> full hash oracle.
+    "doc_substring_dup" -> ((s, d) =>
+      Dedup.substringDup(Tables.documents(s, d), "doc_id", "text",
+        window = 40, stride = 20)
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition quality rules (Rae et al. 2021 §A1.1, as
+    // published thresholds' shape over this corpus's word-level signals):
+    // per-doc duplicate-word fraction, top word-2-gram occupancy, and
+    // duplicate word-5-gram fraction; docs breaching any threshold are
+    // 'reject'. The gate aggregates per (lang, verdict) with
+    // EXACT-INTEGER micro-sums of the per-doc fractions (floor(x*1e6+.5)
+    // as BIGINT): integer sums hash identically across engines in any
+    // aggregation order, where a float mean would be at the mercy of
+    // summation order (doc_stats precedent, VERDICT r1).
+    "doc_repetition" -> ((s, d) => {
+      def micros(c: Column): Column =
+        floor(c * 1000000.0 + lit(0.5)).cast("long")
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          Decontaminate.normCol(col("text")).as("__norm"))
+        .withColumn("__words", split(col("__norm"), " "))
+        .withColumn("n_words", size(col("__words")).cast("long"))
+        .filter(col("n_words") >= 5L)
+        .withColumn("__dup_word_frac",
+          (col("n_words") - size(array_distinct(col("__words"))))
+            .cast("double") / col("n_words"))
+      val g2 = base.select(col("doc_id"),
+        explode(Decontaminate.wordGrams(col("__norm"), 2)).as("__gram"))
+        .groupBy(col("doc_id"), col("__gram"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("__c")).as("__top2"), sum(col("__c")).as("__n2"))
+      val g5 = base.select(col("doc_id"),
+        explode(Decontaminate.wordGrams(col("__norm"), 5)).as("__gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n5"),
+          countDistinct(col("__gram")).as("__d5"))
+      val per = base.join(g2, Seq("doc_id")).join(g5, Seq("doc_id"))
+        .withColumn("__top2_frac",
+          col("__top2").cast("double") / col("__n2"))
+        .withColumn("__dup5_frac",
+          (col("__n5") - col("__d5")).cast("double") / col("__n5"))
+        .withColumn("verdict",
+          when(col("__dup_word_frac") > 0.6 || col("__top2_frac") > 0.2 ||
+            col("__dup5_frac") > 0.15, "reject").otherwise("keep"))
+      per.groupBy(col("lang"), col("verdict"))
+        .agg(count(lit(1)).as("n"),
+          sum(micros(col("__dup_word_frac"))).as("sum_dup_word_micros"),
+          sum(micros(col("__top2_frac"))).as("sum_top2_micros"),
+          sum(micros(col("__dup5_frac"))).as("sum_dup5_micros"))
+        .orderBy(col("lang"), col("verdict"))
     }),
 
     // Approximate-nearest-neighbor join (rows-only gate): seeded
@@ -854,6 +927,110 @@ object PipelineQueries {
          SELECT comp, count(*) AS n_members,
            CAST(0 AS BIGINT) AS n_violations
          FROM labels GROUP BY comp ORDER BY comp""",
+    // Decontamination: distinct word 5-grams per doc over the normalized
+    // text; eval = doc_id % 97 == 0, train = the rest; per-train-doc
+    // distinct-gram count + how many collide with the eval gram set.
+    "doc_contamination" ->
+      """WITH d AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+             AS norm
+           FROM documents WHERE text IS NOT NULL
+         ),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM d),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               AS gram
+           FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+         ),
+         e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+         FROM tr LEFT JOIN e ON tr.gram = e.gram
+         GROUP BY tr.doc_id
+         HAVING sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+         ORDER BY tr.doc_id""",
+    // Duplicated-substring spans: strided 40-char windows, min-doc-id
+    // owner per window string, per-doc share of windows owned earlier.
+    "doc_substring_dup" ->
+      """WITH d AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+             AS norm
+           FROM documents WHERE text IS NOT NULL
+         ),
+         wpos AS (
+           SELECT doc_id, substring(norm, CAST(p AS INT), 40) AS win
+           FROM d,
+             unnest(range(1, greatest(length(norm) - 39, 0) + 1, 20)) AS t(p)
+         ),
+         own AS (SELECT win, min(doc_id) AS owner FROM wpos GROUP BY win),
+         per AS (
+           SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN o.owner < w.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup
+           FROM wpos w JOIN own o ON w.win = o.win
+           GROUP BY w.doc_id
+         )
+         SELECT doc_id, n_windows, n_dup,
+           floor(n_dup / CAST(n_windows AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_frac
+         FROM per WHERE n_dup > 0 ORDER BY doc_id""",
+    // Gopher-style repetition rules: per-doc duplicate-word fraction,
+    // top-2-gram occupancy, duplicate-5-gram fraction; exact-integer
+    // micro-sums per (lang, verdict) — see the Spark twin's comment.
+    "doc_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents WHERE text IS NOT NULL
+         ),
+         base AS (
+           SELECT doc_id, lang, string_split(norm, ' ') AS ws,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words
+           FROM d WHERE len(string_split(norm, ' ')) >= 5
+         ),
+         g2 AS (
+           SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS gram
+           FROM base, unnest(range(1, CAST(len(ws) AS BIGINT))) AS t(i)
+         ),
+         g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+         g2s AS (SELECT doc_id, max(c) AS top2,
+                   CAST(sum(c) AS BIGINT) AS n2
+                 FROM g2c GROUP BY doc_id),
+         g5 AS (
+           SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               AS gram
+           FROM base, unnest(range(1, CAST(len(ws) AS BIGINT) - 3)) AS t(i)
+         ),
+         g5s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n5,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS d5
+                 FROM g5 GROUP BY doc_id),
+         per AS (
+           SELECT b.lang,
+             (b.n_words - CAST(len(list_distinct(b.ws)) AS BIGINT))
+               / CAST(b.n_words AS DOUBLE) AS dwf,
+             g2s.top2 / CAST(g2s.n2 AS DOUBLE) AS t2f,
+             (g5s.n5 - g5s.d5) / CAST(g5s.n5 AS DOUBLE) AS d5f
+           FROM base b
+           JOIN g2s ON b.doc_id = g2s.doc_id
+           JOIN g5s ON b.doc_id = g5s.doc_id
+         )
+         SELECT lang,
+           CASE WHEN dwf > 0.6 OR t2f > 0.2 OR d5f > 0.15
+                THEN 'reject' ELSE 'keep' END AS verdict,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(dwf * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_dup_word_micros,
+           CAST(sum(CAST(floor(t2f * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_top2_micros,
+           CAST(sum(CAST(floor(d5f * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_dup5_micros
+         FROM per GROUP BY 1, 2 ORDER BY 1, 2""",
     "emb_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -895,4 +895,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Duplicated-substring-span fraction per document: strided character
+    * windows (`window` chars every `stride`), globally attributed to the
+    * lowest document id containing each window string; a window occurrence
+    * in doc d is a duplicated span iff some doc with a smaller id contains
+    * the same window. Returns `(id, n_windows, n_dup, dup_frac)` for docs
+    * with at least one duplicated span.
+    *
+    * This is the document-granular form of exact substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022 — there via a corpus-wide suffix array; suffix
+    * arrays don't distribute, strided window attribution does): a doc
+    * whose dup_frac is high is a near-copy or a boilerplate carrier even
+    * when doc-level hashes differ. Exactness trade: a duplicated run
+    * shorter than `window + stride` chars can straddle window boundaries
+    * undetected, so this detects runs >= window + stride - 1 chars
+    * (every such run contains a full aligned window); the published
+    * pipelines run at 50-token granularity, same order as the defaults.
+    *
+    * Shape for 100 TB: windows explode map-side with a bounded byte
+    * amplification of window/stride (2x at the defaults — each char lands
+    * in that many windows); the owner aggregate is a groupBy on the
+    * window string (min id —
+    * partial aggs collapse clone-heavy corpora before the shuffle), and
+    * the attribution join is equi on the same key, so both hang off one
+    * exchange of distinct window content. At petabyte scale shuffle a
+    * 128-bit hash of the window instead of its bytes (collision-safe,
+    * 40 bytes -> 16); the gate keeps the string so DuckDB can reproduce
+    * it exactly.
+    *
+    * Determinism: exact strings of the normalized text, no seeds — full
+    * hash oracle (the only dedup-family member besides jaccardPairs with
+    * one). */
+  def substringDup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 40, stride: Int = 20): DataFrame = {
+    require(window >= 1 && stride >= 1)
+    val wins = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        Decontaminate.normCol(col(textCol)).as("__norm"))
+      .select(col("__id"), explode(
+        when(length(col("__norm")) >= window,
+          transform(
+            sequence(lit(1), length(col("__norm")) - (window - 1),
+              lit(stride)),
+            p => col("__norm").substr(p, lit(window))))
+          .otherwise(array().cast("array<string>"))).as("__win"))
+    val owners = wins.groupBy(col("__win"))
+      .agg(min(col("__id")).as("__owner"))
+    wins.join(owners, Seq("__win"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__owner") < col("__id"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .filter(col("n_dup") > 0L)
+      .select(col("__id").as(idCol), col("n_windows"), col("n_dup"),
+        graft.Det.r(col("n_dup").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"))
+  }
 }

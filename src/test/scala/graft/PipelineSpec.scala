@@ -773,4 +773,83 @@ class PipelineSpec extends SparkFunSuite {
     assert(persisted.isEmpty,
       s"leaked caches after release: ${persisted.values.map(_.name)}")
   }
+
+  test("decontamination: exact gram collisions against a broadcast eval set") {
+    import graft.pipeline.Decontaminate
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares one 5-gram
+      (2L, "one two three four five six seven"),   // disjoint vocabulary
+      (3L, "alpha beta gamma delta epsilon"))      // exactly the gram
+      .toDF("doc_id", "text")
+    // caps + doubled whitespace: collisions must survive normalization
+    val evalSet = Seq((100L, "ALPHA  beta GAMMA delta epsilon tail"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(train, evalSet, "doc_id", "text", n = 5)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: grams {alpha..epsilon, beta..zeta} -> 2 distinct, 1 hit;
+    // doc 3: single gram, hit; doc 2: three grams, zero hits -> absent
+    assert(got === Map(1L -> ((2L, 1L)), 3L -> ((1L, 1L))))
+    // the 100 TB shape: the eval gram set must arrive by broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"eval gram set not broadcast:\n$plan")
+  }
+
+  test("substring dedup: strided-window attribution matches a scala oracle") {
+    import graft.pipeline.Decontaminate
+    // non-periodic base text (stride/window shifts never realign it)
+    val a = (0 until 100).map(i => ('a' + (i * i + 3 * i) % 26).toChar)
+      .mkString
+    val corpus = Seq(
+      (1L, a),                           // owner
+      (2L, a),                           // full clone -> dup_frac 1.0
+      (3L, a + "0123456789" * 4),        // clone + unique 40-char tail
+      (4L, a.substring(10, 45)),         // 35 shared chars < window: clean
+      (5L, "Z" * 39))                    // below one window: no rows at all
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDup(corpus, "doc_id", "text", 40, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // scala oracle: same window grid, min-id owner per window string
+    val texts = Map(1L -> a, 2L -> a, 3L -> (a + "0123456789" * 4),
+      4L -> a.substring(10, 45).toLowerCase, 5L -> "z" * 39)
+    val wins = texts.toSeq.flatMap { case (id, t) =>
+      (1 to (t.length - 39) by 20).map(p => (id, t.substring(p - 1, p + 39)))
+    }
+    val owner = wins.groupBy(_._2).map { case (w, occ) =>
+      w -> occ.map(_._1).min }
+    val want = wins.groupBy(_._1).flatMap { case (id, occ) =>
+      val dup = occ.count { case (_, w) => owner(w) < id }
+      if (dup > 0) Some((id, occ.size.toLong, dup.toLong)) else None
+    }.toSet
+    assert(got.toSet === want)
+    assert(want.map(_._1) === Set(2L, 3L),
+      "construction: clone + tail-carrier flagged, owner/short/sub-window clean")
+  }
+
+  test("repetition gate: grams guard short docs; micro-sums bounded") {
+    import graft.pipeline.Decontaminate
+    // the descending-sequence trap: < n words must give [], not [1, 0]
+    val grams = Seq(("a b c d", 0)).toDF("t", "i")
+      .select(Decontaminate.wordGrams(col("t"), 2).as("g2"),
+        Decontaminate.wordGrams(col("t"), 5).as("g5"))
+      .collect()(0)
+    assert(grams.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(grams.getSeq[String](1) === Seq.empty)
+    val out = operators.PipelineQueries.queries("doc_repetition")(
+      spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val eligible = docs.filter(col("text").isNotNull)
+      .filter(size(split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")) >= 5).count()
+    assert(out.map(_.getLong(2)).sum === eligible,
+      "every eligible doc lands in exactly one (lang, verdict) cell")
+    out.foreach { r =>
+      val n = r.getLong(2)
+      Seq(3, 4, 5).foreach { i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= n * 1000000L,
+          s"micro-sum out of [0, n*1e6]: $r")
+      }
+    }
+  }
 }
