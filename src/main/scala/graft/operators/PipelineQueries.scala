@@ -291,31 +291,32 @@ object PipelineQueries {
     "doc_repetition" -> ((s, d) => {
       def micros(c: Column): Column =
         floor(c * 1000000.0 + lit(0.5)).cast("long")
+      // every metric is doc-LOCAL, so all three are computed with
+      // higher-order array functions inside one scan — no gram explode,
+      // no per-gram shuffle, no self-joins; the only exchange in the
+      // whole plan is the final (lang, verdict) aggregate. (The HOF
+      // top-2-gram count is quadratic in the per-doc distinct-gram
+      // count — bounded by document length, the right trade vs
+      // shuffling every gram occurrence corpus-wide.)
       val base = Tables.documents(s, d).filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          Decontaminate.normCol(col("text")).as("__norm"))
+        .select(col("lang"), Decontaminate.normCol(col("text")).as("__norm"))
         .withColumn("__words", split(col("__norm"), " "))
         .withColumn("n_words", size(col("__words")).cast("long"))
         .filter(col("n_words") >= 5L)
+        .withColumn("__g2", Decontaminate.wordGrams(col("__norm"), 2))
+        .withColumn("__g5", Decontaminate.wordGrams(col("__norm"), 5))
+      val per = base
         .withColumn("__dup_word_frac",
           (col("n_words") - size(array_distinct(col("__words"))))
             .cast("double") / col("n_words"))
-      val g2 = base.select(col("doc_id"),
-        explode(Decontaminate.wordGrams(col("__norm"), 2)).as("__gram"))
-        .groupBy(col("doc_id"), col("__gram"))
-        .agg(count(lit(1)).as("__c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("__c")).as("__top2"), sum(col("__c")).as("__n2"))
-      val g5 = base.select(col("doc_id"),
-        explode(Decontaminate.wordGrams(col("__norm"), 5)).as("__gram"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("__n5"),
-          countDistinct(col("__gram")).as("__d5"))
-      val per = base.join(g2, Seq("doc_id")).join(g5, Seq("doc_id"))
+        .withColumn("__top2",
+          array_max(transform(array_distinct(col("__g2")),
+            g => size(filter(col("__g2"), x => x === g)))))
         .withColumn("__top2_frac",
-          col("__top2").cast("double") / col("__n2"))
+          col("__top2").cast("double") / size(col("__g2")))
         .withColumn("__dup5_frac",
-          (col("__n5") - col("__d5")).cast("double") / col("__n5"))
+          (size(col("__g5")) - size(array_distinct(col("__g5"))))
+            .cast("double") / size(col("__g5")))
         .withColumn("verdict",
           when(col("__dup_word_frac") > 0.6 || col("__top2_frac") > 0.2 ||
             col("__dup5_frac") > 0.15, "reject").otherwise("keep"))

@@ -53,15 +53,22 @@ object Decontaminate {
     * eval corpus. Downstream drops rows above a hit-ratio threshold. */
   def overlap(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
+    // per-doc DISTINCT grams doc-locally (array_distinct before the
+    // explode): (id, gram) is then unique by construction, so no
+    // corpus-wide distinct() — that would shuffle every train gram once
+    // more for a dedup the array already did
     def grams(df: DataFrame): DataFrame =
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("__id"),
-          explode(wordGrams(normCol(col(textCol)), n)).as("__gram"))
+          explode(array_distinct(wordGrams(normCol(col(textCol)), n)))
+            .as("__gram"))
     // distinct eval grams, broadcast: the benchmark side is small by
     // construction at any corpus scale
     val evalGrams = grams(eval).select(col("__gram")).distinct()
       .withColumn("__hit", lit(1L))
-    grams(train).distinct()
+    // one scan of train -> map-side explode -> broadcast probe -> the
+    // single shuffle is the per-doc aggregate (partials collapse it)
+    grams(train)
       .join(broadcast(evalGrams), Seq("__gram"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_grams"),
