@@ -298,7 +298,8 @@ object PipelineQueries {
       // top-2-gram count is quadratic in the per-doc distinct-gram
       // count — bounded by document length, the right trade vs
       // shuffling every gram occurrence corpus-wide.)
-      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val base = Decontaminate.spreadSmall(
+        Tables.documents(s, d).filter(col("text").isNotNull), col("doc_id"))
         .select(col("lang"), Decontaminate.normCol(col("text")).as("__norm"))
         .withColumn("__words", split(col("__norm"), " "))
         .withColumn("n_words", size(col("__words")).cast("long"))

@@ -34,6 +34,22 @@ object Decontaminate {
   def normCol(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unlock cores on unsplittable inputs. A small parquet file with one
+    * row group scans as ONE task no matter what maxPartitionBytes says
+    * (Spark assigns whole row groups), so an operator that does its CPU
+    * work scan-side — per-doc gram builds, window hashing — serializes on
+    * a single core at gate/bench scale (sf1 measured doc_repetition at
+    * 57 s that way). When the scan's planned parallelism is below the
+    * cluster's, spend one small shuffle of the input rows to spread
+    * them; on any real multi-split table (the 100 TB case) the condition
+    * never fires and NO shuffle is added. */
+  def spreadSmall(df: DataFrame, key: Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, key)
+    else df
+  }
+
   /** All word `n`-grams of a normalized text column, space-joined, in
     * document order (possibly with duplicates — callers distinct() as
     * needed). Texts with fewer than `n` words yield the empty array
@@ -67,8 +83,9 @@ object Decontaminate {
     val evalGrams = grams(eval).select(col("__gram")).distinct()
       .withColumn("__hit", lit(1L))
     // one scan of train -> map-side explode -> broadcast probe -> the
-    // single shuffle is the per-doc aggregate (partials collapse it)
-    grams(train)
+    // single shuffle is the per-doc aggregate (partials collapse it);
+    // spreadSmall only fires on unsplittable single-file inputs
+    grams(spreadSmall(train, col(idCol)))
       .join(broadcast(evalGrams), Seq("__gram"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -931,7 +931,8 @@ object Dedup {
   def substringDup(df: DataFrame, idCol: String, textCol: String,
       window: Int = 40, stride: Int = 20): DataFrame = {
     require(window >= 1 && stride >= 1)
-    val wins = df.filter(col(textCol).isNotNull)
+    val wins = Decontaminate.spreadSmall(
+      df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol).as("__id"),
         Decontaminate.normCol(col(textCol)).as("__norm"))
       .select(col("__id"), explode(
