@@ -202,7 +202,11 @@ object PipelineQueries {
         Dedup.minhashEdges(cert, "doc_id", "text", numHashes = 64,
           bands = 8, shingle = 5, threshold = 0.7,
           contract = Dedup.Contract.On))
-      val expanded = Dedup.connectedComponents(
+      // expanded leg: driver union-find over the slice-bounded pair list
+      // — an INDEPENDENT algorithm (zero shared code past the pairs), so
+      // the equality below cross-checks the distributed CC machinery
+      // against it instead of running large/small-star twice
+      val expanded = Dedup.localComponents(
         Dedup.minhashPairs(cert, "doc_id", "text", numHashes = 64,
           bands = 8, shingle = 5, threshold = 0.7,
           contract = Dedup.Contract.Off)
@@ -237,7 +241,9 @@ object PipelineQueries {
       val star = Dedup.connectedComponents(
         Dedup.jaccardEdges(slice, "doc_id", "text", shingle = 5,
           threshold = 0.7, contract = Dedup.Contract.On))
-      val expanded = Dedup.connectedComponents(
+      // expanded leg via driver union-find (slice-bounded; independent
+      // algorithm — see doc_neardup_clusters_star)
+      val expanded = Dedup.localComponents(
         Dedup.jaccardPairs(slice, "doc_id", "text", shingle = 5,
           threshold = 0.7, contract = Dedup.Contract.Off)
           .select(col("id_a"), col("id_b")))

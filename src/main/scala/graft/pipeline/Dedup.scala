@@ -854,6 +854,53 @@ object Dedup {
     r.labels
   }
 
+  /** Driver-side union-find components over an admission-BOUNDED pair
+    * list (id_a, id_b): collect the edges (hard cap — refuses, never
+    * truncates), union by min root with path compression, label every
+    * endpoint with its component's min id. Output schema matches
+    * `connectedComponents`' labels (id, comp).
+    *
+    * This exists for CERTIFICATE legs whose inputs are bounded by
+    * construction (gate slices): pitting the distributed
+    * large-star/small-star CC against an independent single-machine
+    * algorithm makes the component-equality gate STRONGER — the two
+    * legs share zero code past the pair list — while dropping the
+    * expanded leg's per-round fixed job cost (an iterative CC pays
+    * ~2 shuffles + a checkpoint materialization per round even on a
+    * 25-edge graph). Never a corpus path: unbounded inputs belong to
+    * `connectedComponents`. */
+  def localComponents(pairs: DataFrame, maxEdges: Int = 2000000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .filter(col("id_a") =!= col("id_b"))
+      .limit(maxEdges + 1).collect()
+    require(es.length <= maxEdges,
+      s"localComponents: over $maxEdges edges — the input is not the " +
+        "bounded certificate slice this exists for; use connectedComponents")
+    val parent = new java.util.HashMap[Long, Long]()
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      // union by min: the surviving root is the smaller id, so after
+      // convergence find(x) IS the component's min id (CC's labeling)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.sorted
+      .map(id => (id, find(id))).toDF("id", "comp")
+  }
+
   /** Deterministic bounded id-slice — the form a quadratic CERTIFICATE leg
     * is allowed to take at soak scale (the [[Similarity.bruteNearDupPairsSliced]]
     * pattern, round-7 verdict #2: a gate suite whose wall is half

@@ -774,6 +774,25 @@ class PipelineSpec extends SparkFunSuite {
       s"leaked caches after release: ${persisted.values.map(_.name)}")
   }
 
+  test("localComponents: union-find equals distributed CC; admission guard throws") {
+    // chains, a clique, isolated pairs, and out-of-order ids
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 11L), (20L, 21L), (30L, 31L),
+      (31L, 32L), (32L, 30L), (100L, 7L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.localComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local === dist)
+    // min-id labeling: the 5-3-9-11-7-100 chain labels as 3
+    assert(local.filter(_._2 == 3L).map(_._1) === Set(3L, 5L, 7L, 9L, 11L, 100L))
+    val big = spark.range(10).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.localComponents(big, maxEdges = 5)
+    }
+    assert(e.getMessage.contains("bounded certificate slice"))
+  }
+
   test("decontamination: exact gram collisions against a broadcast eval set") {
     import graft.pipeline.Decontaminate
     val train = Seq(
