@@ -774,6 +774,21 @@ class PipelineSpec extends SparkFunSuite {
       s"leaked caches after release: ${persisted.values.map(_.name)}")
   }
 
+  test("spreadSmall: repartitions unsplittable scans, no-op at full parallelism") {
+    import graft.pipeline.Decontaminate
+    val oneTask = docs // single parquet file, one row group -> one task
+    assert(oneTask.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism)
+    val spread = Decontaminate.spreadSmall(oneTask, col("doc_id"))
+    assert(spread.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    assert(spread.count() === oneTask.count())
+    // already-parallel input must come back untouched (same plan object,
+    // no shuffle added — the 100 TB contract)
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert(Decontaminate.spreadSmall(wide, col("doc_id")) eq wide)
+  }
+
   test("localComponents: union-find equals distributed CC; admission guard throws") {
     // chains, a clique, isolated pairs, and out-of-order ids
     val pairs = Seq((5L, 3L), (3L, 9L), (9L, 11L), (20L, 21L), (30L, 31L),
