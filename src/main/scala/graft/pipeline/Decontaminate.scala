@@ -67,17 +67,27 @@ object Decontaminate {
     * with at least one colliding gram, where `n_grams` counts the doc's
     * DISTINCT grams and `n_hit` how many of those appear anywhere in the
     * eval corpus. Downstream drops rows above a hit-ratio threshold. */
+  /** As `overlap`, with `hashed = true` probing on `xxhash64(gram)`
+    * instead of the gram string: the broadcast set and every probe key
+    * shrink to 8 bytes (~6x on word 5-grams), which is the shape to run
+    * at corpus scale — a hash collision can only OVERcount a doc's
+    * n_hit (never miss one), at ~2^-64 per (gram, eval-gram) pair, the
+    * safe direction for a leak control. The gate uses the exact-string
+    * form so DuckDB can reproduce it byte-for-byte. */
   def overlap(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 8): DataFrame = {
+      textCol: String, n: Int = 8, hashed: Boolean = false): DataFrame = {
     // per-doc DISTINCT grams doc-locally (array_distinct before the
     // explode): (id, gram) is then unique by construction, so no
     // corpus-wide distinct() — that would shuffle every train gram once
     // more for a dedup the array already did
-    def grams(df: DataFrame): DataFrame =
-      df.filter(col(textCol).isNotNull)
+    def grams(df: DataFrame): DataFrame = {
+      val g = df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("__id"),
           explode(array_distinct(wordGrams(normCol(col(textCol)), n)))
             .as("__gram"))
+      if (hashed) g.select(col("__id"), xxhash64(col("__gram")).as("__gram"))
+      else g
+    }
     // distinct eval grams, broadcast: the benchmark side is small by
     // construction at any corpus scale
     val evalGrams = grams(eval).select(col("__gram")).distinct()

@@ -828,6 +828,17 @@ class PipelineSpec extends SparkFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"),
       s"eval gram set not broadcast:\n$plan")
+    // the hashed probe (8-byte keys, the at-scale variant) must agree
+    // with the exact-string form — here and on the real corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Decontaminate.overlap(train, evalSet, "doc_id", "text",
+      n = 5, hashed = true)) === rows(out))
+    val de = docs.filter(col("doc_id") % 97L === 0L)
+    val dt = docs.filter(col("doc_id") % 97L =!= 0L)
+    assert(rows(Decontaminate.overlap(dt, de, "doc_id", "text",
+        n = 5, hashed = true)) ===
+      rows(Decontaminate.overlap(dt, de, "doc_id", "text", n = 5)))
   }
 
   test("substring dedup: strided-window attribution matches a scala oracle") {
