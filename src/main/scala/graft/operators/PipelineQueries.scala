@@ -300,10 +300,11 @@ object PipelineQueries {
       // every metric is doc-LOCAL, so all three are computed with
       // higher-order array functions inside one scan — no gram explode,
       // no per-gram shuffle, no self-joins; the only exchange in the
-      // whole plan is the final (lang, verdict) aggregate. (The HOF
-      // top-2-gram count is quadratic in the per-doc distinct-gram
-      // count — bounded by document length, the right trade vs
-      // shuffling every gram occurrence corpus-wide.)
+      // whole plan is the final (lang, verdict) aggregate. The top-gram
+      // count sorts the doc's 2-grams and takes the longest equal run
+      // (O(n log n) per doc; the transform-filter form was O(distinct x
+      // total) string compares — a one-doc straggler on pathological
+      // long documents).
       val base = Decontaminate.spreadSmall(
         Tables.documents(s, d).filter(col("text").isNotNull), col("doc_id"))
         .select(col("lang"), Decontaminate.normCol(col("text")).as("__norm"))
@@ -316,9 +317,16 @@ object PipelineQueries {
         .withColumn("__dup_word_frac",
           (col("n_words") - size(array_distinct(col("__words"))))
             .cast("double") / col("n_words"))
-        .withColumn("__top2",
-          array_max(transform(array_distinct(col("__g2")),
-            g => size(filter(col("__g2"), x => x === g)))))
+        .withColumn("__top2", expr(
+          """aggregate(array_sort(__g2),
+               named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                            'best', 0L),
+               (acc, x) -> named_struct(
+                 'prev', x,
+                 'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+                 'best', GREATEST(acc.best,
+                   IF(x <=> acc.prev, acc.run + 1L, 1L))),
+               acc -> acc.best)"""))
         .withColumn("__top2_frac",
           col("__top2").cast("double") / size(col("__g2")))
         .withColumn("__dup5_frac",

@@ -34,20 +34,56 @@ object Decontaminate {
   def normCol(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Unlock cores on unsplittable inputs. A small parquet file with one
-    * row group scans as ONE task no matter what maxPartitionBytes says
-    * (Spark assigns whole row groups), so an operator that does its CPU
-    * work scan-side — per-doc gram builds, window hashing — serializes on
-    * a single core at gate/bench scale (sf1 measured doc_repetition at
-    * 57 s that way). When the scan's planned parallelism is below the
-    * cluster's, spend one small shuffle of the input rows to spread
-    * them; on any real multi-split table (the 100 TB case) the condition
-    * never fires and NO shuffle is added. */
+  /** Unlock cores on effectively-unsplittable inputs. A parquet file
+    * scans with at most one task PER ROW GROUP no matter what
+    * maxPartitionBytes says (byte-range splits of a single row group are
+    * phantom parallelism: only the split holding the row-group midpoint
+    * reads any data), so an operator that does its CPU work scan-side —
+    * per-doc gram builds, window hashing — serializes on a handful of
+    * cores whenever few-file/few-row-group inputs meet a wide cluster
+    * (sf1 measured doc_repetition at 57 s on a one-row-group file).
+    *
+    * The guard reads the EFFECTIVE scan parallelism, not the planned
+    * split count: when the input is a file scan with fewer files than
+    * cores, it opens those few footers and totals their row groups; if
+    * that total is below the cluster's parallelism, one small shuffle of
+    * the input rows spreads them. Everything else is a no-op by
+    * construction — more files than cores (any real 100 TB table) never
+    * reaches the footer probe, and a derived (non-scan) input returns
+    * untouched, deliberately: probing its partitioning would have to
+    * materialize the plan (`df.rdd` under AQE executes every upstream
+    * shuffle just to report a partition count — double execution for a
+    * caller whose train side contains a join). */
   def spreadSmall(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // only a plain scan (filters/projections over a relation) qualifies:
+    // anything with its own exchange upstream — repartition, join,
+    // aggregate — already spread or is the caller's to lay out, and
+    // inputFiles alone can't tell the difference
+    def scanShaped(pl: logical.LogicalPlan): Boolean = pl match {
+      case _: logical.Filter | _: logical.Project |
+           _: logical.SubqueryAlias => pl.children.forall(scanShaped)
+      case leaf if leaf.children.isEmpty => true
+      case _ => false
+    }
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
-      df.repartition(sc.defaultParallelism, key)
-    else df
+    val p = sc.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= p ||
+      !files.forall(_.endsWith(".parquet")) ||
+      !scanShaped(df.queryExecution.analyzed)) df
+    else {
+      val conf = sc.hadoopConfiguration
+      val rowGroups: Option[Long] =
+        try Some(files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size.toLong finally r.close()
+        }.sum)
+        catch { case _: Exception => None } // unreadable: leave as-is
+      if (rowGroups.exists(_ < p)) df.repartition(p, key) else df
+    }
   }
 
   /** All word `n`-grams of a normalized text column, space-joined, in
@@ -66,14 +102,15 @@ object Decontaminate {
     * word `n`-gram set: `(id, n_grams, n_hit)` for every train document
     * with at least one colliding gram, where `n_grams` counts the doc's
     * DISTINCT grams and `n_hit` how many of those appear anywhere in the
-    * eval corpus. Downstream drops rows above a hit-ratio threshold. */
-  /** As `overlap`, with `hashed = true` probing on `xxhash64(gram)`
-    * instead of the gram string: the broadcast set and every probe key
-    * shrink to 8 bytes (~6x on word 5-grams), which is the shape to run
-    * at corpus scale — a hash collision can only OVERcount a doc's
-    * n_hit (never miss one), at ~2^-64 per (gram, eval-gram) pair, the
-    * safe direction for a leak control. The gate uses the exact-string
-    * form so DuckDB can reproduce it byte-for-byte. */
+    * eval corpus. Downstream drops rows above a hit-ratio threshold.
+    *
+    * `hashed = true` probes on `xxhash64(gram)` instead of the gram
+    * string: the broadcast set and every probe key shrink to 8 bytes
+    * (~6x on word 5-grams), which is the shape to run at corpus scale —
+    * a hash collision can only OVERcount a doc's n_hit (never miss
+    * one), at ~2^-64 per (gram, eval-gram) pair, the safe direction for
+    * a leak control. The gate uses the exact-string form so DuckDB can
+    * reproduce it byte-for-byte. */
   def overlap(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 8, hashed: Boolean = false): DataFrame = {
     // per-doc DISTINCT grams doc-locally (array_distinct before the

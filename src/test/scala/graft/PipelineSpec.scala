@@ -783,10 +783,15 @@ class PipelineSpec extends SparkFunSuite {
     assert(spread.rdd.getNumPartitions ===
       spark.sparkContext.defaultParallelism)
     assert(spread.count() === oneTask.count())
-    // already-parallel input must come back untouched (same plan object,
-    // no shuffle added — the 100 TB contract)
+    // inputs that already carry their own exchange — an explicit
+    // repartition, an aggregate — must come back untouched (same plan
+    // object, no shuffle added: the 100 TB contract, and the guard must
+    // not probe partitioning via df.rdd, which under AQE would execute
+    // the upstream stages)
     val wide = docs.repartition(spark.sparkContext.defaultParallelism)
     assert(Decontaminate.spreadSmall(wide, col("doc_id")) eq wide)
+    val derived = docs.groupBy(col("lang")).count()
+    assert(Decontaminate.spreadSmall(derived, col("lang")) eq derived)
   }
 
   test("localComponents: union-find equals distributed CC; admission guard throws") {
