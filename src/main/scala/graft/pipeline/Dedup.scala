@@ -664,12 +664,15 @@ object Dedup {
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val c = contractExact(df, idCol, md5(col(textCol)))
     val repPairs = jaccardPairsRaw(c.reps, idCol, textCol, shingle, threshold)
-    val selfVals = c.reps
-      .join(cliques(c.members), col(idCol) === col("__rep"))
-      .withColumn("jaccard",
-        jaccard_shingle(col(textCol), col(textCol), shingle))
-      .filter(col("jaccard") >= threshold)
-      .select(col("__rep"), col("jaccard"))
+    // A document's Jaccard with itself is IDENTICALLY 1.0 — including the
+    // degenerate empty-shingle-set case (the 1.0 empty-set convention) —
+    // so every clique passes the self filter and the value is a literal.
+    // Earlier rounds joined `reps` back just to run
+    // jaccard_shingle(text, text) per clique head: a whole join plus a
+    // per-rep normalize+hash to compute a constant (threshold ≤ 1 makes
+    // the filter vacuous). Null-text rows key by row id in contractExact,
+    // so no clique of size > 1 carries a null text.
+    val selfVals = cliques(c.members).withColumn("jaccard", lit(1.0))
     (repPairs, selfVals, c.members)
   }
 
@@ -775,12 +778,20 @@ object Dedup {
     // ONE Spark job (eager checkpointing ran a second, redundant
     // materialization job per round — half the per-round fixed cost at
     // small scale).
-    var edges = pairs
+    //
+    // `base0` keeps self-loop pairs (filtered out of the iteration right
+    // below) so the node universe can be read back from THIS checkpoint:
+    // deriving `nodes` from `pairs` — as earlier rounds did — re-evaluated
+    // the caller's whole pair-generation plan a second time at
+    // labels-materialization, which at corpus scale is a full second pass
+    // over the candidate join (round-12 verdict #2 measured it at ~1.5 s
+    // even on a 1000-doc gate slice). One evaluation of `pairs`, total.
+    val base0 = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(false)
+    var edges = base0.filter(col("src") =!= col("dst"))
     // Convergence probe: (edge count, order-independent XOR of per-edge
     // hashes — XOR, not sum, which overflows Long under ANSI) — a fixed
     // point of large∘small leaves the edge set unchanged, so an unchanged
@@ -819,7 +830,10 @@ object Dedup {
       // the probe materialized `next`'s checkpoint, so the previous
       // round's blocks are dead weight — free them now instead of
       // waiting for RDD garbage collection (a busy serving session
-      // would otherwise hold O(rounds) stale edge sets in storage)
+      // would otherwise hold O(rounds) stale edge sets in storage).
+      // Round 0's `edges` is a Filter over `base0`, not a LogicalRDD —
+      // unpersistCheckpoint is a deliberate no-op there (base0 backs the
+      // node universe until the caller's boundary release).
       Caches.unpersistCheckpoint(edges)
       converged = nfp == fp
       edges = next
@@ -829,11 +843,14 @@ object Dedup {
     // At the fixed point every edge is (node, component-min) and roots
     // carry no outgoing edge; groupBy-min also tolerates an unconverged
     // (maxIter-capped) edge set by picking the best label seen so far.
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    // the fixed-point checkpoint backs the returned labels plan; hand it
-    // to Caches so the caller's boundary release frees it (checkpoint
+    // Node universe from base0's checkpoint (self-loop-only nodes
+    // included — base0 keeps them), NOT from `pairs`: see base0's comment.
+    val nodes = base0.select(col("src").as("id"))
+      .union(base0.select(col("dst").as("id"))).distinct()
+    // both live checkpoints back the returned labels plan; hand them to
+    // Caches so the caller's boundary release frees them (checkpoint
     // blocks never free through Dataset.unpersist, only via their RDD)
+    Caches.trackCheckpointed(base0)
     Caches.trackCheckpointed(edges)
     val comp = edges.groupBy(col("src")).agg(min(col("dst")).as("__comp"))
     val labels = nodes.join(comp, col("id") === col("src"), "left")
@@ -872,10 +889,16 @@ object Dedup {
   def localComponents(pairs: DataFrame, maxEdges: Int = 2000000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // collect as SPECIALIZED (Long, Long) tuples, not Rows: a GenericRow
+    // carries an Object[] plus two boxed longs (~80 bytes/edge — at the
+    // 2M cap that is driver heap the admission `require` below could not
+    // protect, the OOM landing before the refusal); Tuple2 is
+    // @specialized on Long, so the collected array is ~32 bytes/edge and
+    // the cap's worst case fits any default driver heap
     val es = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .filter(col("id_a") =!= col("id_b"))
-      .limit(maxEdges + 1).collect()
+      .limit(maxEdges + 1).as[(Long, Long)].collect()
     require(es.length <= maxEdges,
       s"localComponents: over $maxEdges edges — the input is not the " +
         "bounded certificate slice this exists for; use connectedComponents")
@@ -888,8 +911,7 @@ object Dedup {
       while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    es.foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
+    es.foreach { case (a, b) =>
       add(a); add(b)
       val ra = find(a); val rb = find(b)
       // union by min: the surviving root is the smaller id, so after
