@@ -312,6 +312,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The 8-byte hashed-gram probe (`hashed = true`) — the declared
+    // 100 TB shape of decontamination — under the SAME full hash oracle
+    // as the exact gate (round-12 directive #4): an xxhash64 collision
+    // can only OVERcount n_hit (never undercount), at ~2^-64 per
+    // (train-gram, eval-gram) pair, so at any driver gate scale the
+    // hashed result is value-identical to the exact one and the exact
+    // DuckDB SQL doubles as its oracle. A collision would surface as a
+    // loud hash-mismatch here, not a silent pass.
+    "doc_contamination_hashed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 97L === 0L)
+      val train = docs.filter(col("doc_id") % 97L =!= 0L)
+      Decontaminate.overlap(train, evalSet, "doc_id", "text", n = 5,
+        hashed = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Duplicated-substring-span fraction (Dedup.substringDup): strided
     // 40-char windows attributed to their lowest-doc-id owner; a doc's
     // dup_frac is the share of its windows owned by an earlier doc.
@@ -984,7 +1001,31 @@ object PipelineQueries {
     // distinct-gram count + how many collide with the eval gram set.
     "doc_contamination" ->
       """WITH d AS (
-           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+             AS norm
+           FROM documents WHERE text IS NOT NULL
+         ),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM d),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               AS gram
+           FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+         ),
+         e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+         FROM tr LEFT JOIN e ON tr.gram = e.gram
+         GROUP BY tr.doc_id
+         HAVING sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+         ORDER BY tr.doc_id""",
+    // Hashed probe: same result as the exact form at gate scale (see the
+    // Spark twin's comment), so the exact SQL is its oracle verbatim.
+    "doc_contamination_hashed" ->
+      """WITH d AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              AS norm
            FROM documents WHERE text IS NOT NULL
          ),
@@ -1008,7 +1049,7 @@ object PipelineQueries {
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->
       """WITH d AS (
-           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              AS norm
            FROM documents WHERE text IS NOT NULL
          ),
@@ -1035,7 +1076,7 @@ object PipelineQueries {
     "doc_repetition" ->
       """WITH d AS (
            SELECT doc_id, lang,
-             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+             trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
            FROM documents WHERE text IS NOT NULL
          ),
          base AS (

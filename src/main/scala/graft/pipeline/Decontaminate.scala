@@ -28,11 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Whitespace-collapse + lowercase, the corpus-wide normalization
-    * convention (TextHash.normalize as a codegen'd column expression;
-    * DuckDB twin: `trim(regexp_replace(lower(text), '\s+', ' ', 'g'))`). */
+  /** Whitespace-collapse + lowercase as a codegen'd column expression.
+    *
+    * The whitespace class is EXPLICIT — `[ \t\n\x0B\f\r]` — because the
+    * two engines' `\s` shorthands disagree at the edges (Java `\s` has
+    * `\x0B`, RE2's does not) and a gate would diverge on exactly the
+    * text neither side controls; the DuckDB twin uses the same literal
+    * class: `trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ',
+    * 'g'))`. Deliberately ASCII-only: [[TextHash.normalize]] — the hash
+    * families' normalization — additionally folds
+    * `Character.isWhitespace` extras (`\x1C`-`\x1F`, Unicode space
+    * separators), a superset that agrees with this class on ASCII text;
+    * the SQL-oracled gates use THIS column form on both sides, so the
+    * difference never reaches a gate. */
   def normCol(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Unlock cores on effectively-unsplittable inputs. A parquet file
     * scans with at most one task PER ROW GROUP no matter what

@@ -986,21 +986,32 @@ object Dedup {
     * Shape for 100 TB: windows explode map-side with a bounded byte
     * amplification of window/stride (2x at the defaults — each char lands
     * in that many windows); the owner aggregate is a groupBy on the
-    * window string (min id —
-    * partial aggs collapse clone-heavy corpora before the shuffle), and
-    * the attribution join is equi on the same key, so both hang off one
-    * exchange of distinct window content. At petabyte scale shuffle a
-    * 128-bit hash of the window instead of its bytes (collision-safe,
-    * 40 bytes -> 16); the gate keeps the string so DuckDB can reproduce
-    * it exactly.
+    * window key (min id — partial aggs collapse clone-heavy corpora
+    * before the shuffle), and the attribution join is equi on the same
+    * key. The window set is persisted (Caches-registered) so the owner
+    * aggregate and the attribution join read ONE explode pass over the
+    * corpus — without it the two consumers need different partitionings
+    * (window key vs doc id), exchange reuse cannot collapse them, and
+    * the corpus is explode-scanned twice (round-12 verdict #3).
+    *
+    * `hashed = true` replaces the window string with `xxhash64(window)`
+    * before the shuffle/persist — the [[Decontaminate.overlap]] pattern:
+    * keys shrink 40 bytes -> 8 (and the persisted set to ~16 bytes/row),
+    * which is the shape to run at corpus scale. A collision can only
+    * OVERcount a doc's n_dup (a window inheriting a foreign, lower-id
+    * owner), never undercount — the safe direction for a dedup signal —
+    * at ~2^-64 per distinct-window pair. The gate uses the exact-string
+    * form so DuckDB reproduces it byte-for-byte; PipelineSpec asserts
+    * hashed ≡ exact on the fixture corpus.
     *
     * Determinism: exact strings of the normalized text, no seeds — full
     * hash oracle (the only dedup-family member besides jaccardPairs with
     * one). */
   def substringDup(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 40, stride: Int = 20): DataFrame = {
+      window: Int = 40, stride: Int = 20,
+      hashed: Boolean = false): DataFrame = {
     require(window >= 1 && stride >= 1)
-    val wins = Decontaminate.spreadSmall(
+    val winsRaw = Decontaminate.spreadSmall(
       df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol).as("__id"),
         Decontaminate.normCol(col(textCol)).as("__norm"))
@@ -1011,6 +1022,9 @@ object Dedup {
               lit(stride)),
             p => col("__norm").substr(p, lit(window))))
           .otherwise(array().cast("array<string>"))).as("__win"))
+    val wins = Caches.persistTracked(
+      if (hashed) winsRaw.select(col("__id"), xxhash64(col("__win")).as("__win"))
+      else winsRaw)
     val owners = wins.groupBy(col("__win"))
       .agg(min(col("__id")).as("__owner"))
     wins.join(owners, Seq("__win"))

@@ -168,6 +168,44 @@ object EventStream {
       }
   }
 
+  // ---- streaming decontamination ------------------------------------------
+
+  /** Streaming train/eval decontamination — the streaming twin of
+    * [[graft.pipeline.Decontaminate.overlap]]: the EVAL side is static by
+    * nature (benchmark corpora do not stream), so its distinct word
+    * n-gram set is resolved once up front and the streaming train side
+    * probes it document-locally. STATELESS by construction: per-document
+    * distinct grams and hit counts are computed with the SAME
+    * `normCol`/`wordGrams` column expressions as the batch operator plus
+    * an `array_intersect` against the resolved gram set — no explode, no
+    * shuffle, no watermark, no state store — so the query runs in Append
+    * mode on any source and each doc's row is final the micro-batch it
+    * arrives in. StreamingSpec asserts stream ≡ batch `overlap` rows on
+    * the fixture corpus.
+    *
+    * The gram set lands in the plan as a literal here (exact strings —
+    * same determinism contract as the batch gate). At corpus scale,
+    * published eval suites stay ≤ ~10⁶ grams; past the point where a
+    * plan literal is comfortable, swap in the batch operator's
+    * `hashed = true` 8-byte form or a Bloom filter built from the same
+    * set — the probe stays doc-local and stateless either way. */
+  def contamination(train: DataFrame, evalStatic: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    import graft.pipeline.Decontaminate.{normCol, wordGrams}
+    val evalGrams: Array[String] = evalStatic.filter(col(textCol).isNotNull)
+      .select(explode(array_distinct(wordGrams(normCol(col(textCol)), n)))
+        .as("__gram"))
+      .distinct().collect().map(_.getString(0))
+    val evalLit = lit(evalGrams)
+    train.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        array_distinct(wordGrams(normCol(col(textCol)), n)).as("__grams"))
+      .select(col(idCol), size(col("__grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("__grams"), evalLit)).cast("long")
+          .as("n_hit"))
+      .filter(col("n_hit") > 0L)
+  }
+
   /** Stream-stream interval join: each `leftType` event matched to the
     * same user's `rightType` events arriving within `within` AFTER it.
     * Both sides carry watermarks and the join condition bounds event time

@@ -875,6 +875,15 @@ class PipelineSpec extends SparkFunSuite {
     assert(got.toSet === want)
     assert(want.map(_._1) === Set(2L, 3L),
       "construction: clone + tail-carrier flagged, owner/short/sub-window clean")
+    // the hashed probe (8-byte window keys, the at-scale variant) must
+    // agree with the exact-string form — on the fixture and the corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Dedup.substringDup(corpus, "doc_id", "text", 40, 20,
+      hashed = true)) === got.toSet)
+    assert(rows(Dedup.substringDup(docs, "doc_id", "text", 40, 20,
+        hashed = true)) ===
+      rows(Dedup.substringDup(docs, "doc_id", "text", 40, 20)))
   }
 
   test("repetition gate: grams guard short docs; micro-sums bounded") {

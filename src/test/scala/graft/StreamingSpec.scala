@@ -131,6 +131,33 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming decontamination == batch overlap on the same corpus") {
+    val dir = Files.createTempDirectory("decontam").toString
+    // the gate's split: eval = doc_id % 97 == 0, train = the rest
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(col("doc_id") % 97L === 0L)
+    docs.filter(col("doc_id") % 97L =!= 0L).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = EventStream.contamination(src, evalSet, "doc_id", "text", n = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decontam").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("decontam")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.pipeline.Decontaminate.overlap(
+      docs.filter(col("doc_id") % 97L =!= 0L), evalSet,
+      "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no contaminated docs")
+    assert(streamed === batch)
+    // stateless contract: no state store behind the query — any doc's
+    // row is final the micro-batch it arrives in
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "decontamination stream should carry no stateful operators")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = Files.createTempDirectory("dup").toString
     def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
