@@ -77,6 +77,66 @@ class BenchSpec extends AnyFunSuite {
       Some("/nonexistent/nowhere")) === Map.empty)
   }
 
+  test("prior ledger wins over text-scanned tails; append trims to 3") {
+    val dir = Files.createTempDirectory("benchledger")
+    val sf = "/root/testdata/sf0.1"
+    // a tampered/mid-round bench_out claims q1_agg was 0.01 — the ledger
+    // row (validated history) must take precedence, NOT min with it
+    Files.writeString(dir.resolve("bench_out.json"),
+      s"""{"metric":"total","value":2.0,"unit":"sec",""" +
+        s""""queries":{"q1_agg":0.01,"doc_jaccard_pairs":2.2},"sf":"$sf"}""")
+    Bench.updatePriors(sf, Map("q1_agg" -> 0.5), Some(dir.toString))
+    val priors = Bench.priorMins(sf, Some(dir.toString))
+    assert(priors.get("q1_agg") === Some(0.5),
+      "ledger prior must override the same-round bench_out value")
+    // no ledger row -> the text scan is still the (only) fallback
+    assert(priors.get("doc_jaccard_pairs") === Some(2.2))
+    // history appends newest-last and trims to 3
+    Seq(0.4, 0.6, 0.7).foreach(v =>
+      Bench.updatePriors(sf, Map("q1_agg" -> v), Some(dir.toString)))
+    val ledger = Bench.readPriorsLedger(dir)
+    assert(ledger((sf, "q1_agg")) === Seq(0.4, 0.6, 0.7))
+    // prior = min of the retained history (0.5 aged out)
+    assert(Bench.priorMins(sf, Some(dir.toString))
+      .get("q1_agg") === Some(0.4))
+    // other-sf ledger rows contribute nothing
+    assert(!Bench.priorMins("tmp/sf10", Some(dir.toString))
+      .contains("q1_agg"))
+  }
+
+  test("seeded regression: an artificially slowed query reads hot") {
+    // the round-12 hole in vivo: geo_knn shipped at 1.16 s against a
+    // 0.52 s true prior without flagging, because the refreshed
+    // bench_out was its only prior. With the ledger carrying the real
+    // prior, the same slowdown trips the predicate.
+    assert(Bench.isHot(0.52, 1.16))
+    assert(Bench.isHot(0.5, 2.0))
+    assert(!Bench.isHot(0.52, 0.9)) // < 2x: fine
+    assert(!Bench.isHot(0.05, 0.2)) // 4x but under the 0.25 s floor
+    val dir = Files.createTempDirectory("benchseed")
+    val sf = "/root/testdata/sf0.1"
+    Bench.updatePriors(sf, Map("geo_knn" -> 0.52), Some(dir.toString))
+    val p = Bench.priorMins(sf, Some(dir.toString))("geo_knn")
+    assert(Bench.isHot(p, 1.16), "ledger-sourced prior must flag the 2.2x run")
+  }
+
+  test("committed ledger covers every query for the bench sf") {
+    // round-13 contract: every shared query's prior provably comes from
+    // round-<=12 validated data — i.e. the committed ledger has a row
+    // for each query at the driver's bench scale (new gates excepted:
+    // they get their first row when their first validated run lands)
+    val f = new java.io.File("BENCH_PRIORS.json")
+    assume(f.isFile, "no committed ledger in cwd")
+    val ledger = Bench.readPriorsLedger(java.nio.file.Paths.get("."))
+    val sfQ = ledger.keySet.collect {
+      case (sf, q) if sf == "/root/testdata/sf0.1" => q }
+    val newGates = Set("doc_contamination_hashed") // first ships round 13
+    val missing = SparkEntry.queries.keySet -- sfQ -- newGates
+    assert(missing.isEmpty, s"queries with no ledger prior: $missing")
+    ledger.values.foreach(vals =>
+      assert(vals.nonEmpty && vals.forall(v => v > 0 && v < 600)))
+  }
+
   test("priors recover from the REAL committed driver benches") {
     // the repo root always carries the driver's BENCH_r*.json wrappers;
     // the validation path is only real if it can read them (the first
