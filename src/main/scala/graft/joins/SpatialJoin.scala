@@ -106,20 +106,40 @@ object SpatialJoin {
       contract: graft.pipeline.Dedup.Contract =
         graft.pipeline.Dedup.Contract.Auto(AutoMaxRatio)): DataFrame = {
     import graft.pipeline.Dedup
-    val doContract = contract match {
-      case Dedup.Contract.Off => false
-      case Dedup.Contract.On => true
+    val (doContract, why) = contract match {
+      case Dedup.Contract.Off => (false, "forced")
+      case Dedup.Contract.On => (true, "forced")
       case Dedup.Contract.Auto(maxRatio) =>
-        Dedup.distinctRatio(left.select(leftGeom.as("__pg")),
-          col("__pg")) <= maxRatio ||
-          Dedup.distinctRatio(right.select(rightGeom.as("__pg")),
-            col("__pg")) <= maxRatio
+        val lr = Dedup.distinctRatio(left.select(leftGeom.as("__pg")),
+          col("__pg"))
+        val rr = Dedup.distinctRatio(right.select(rightGeom.as("__pg")),
+          col("__pg"))
+        (lr <= maxRatio || rr <= maxRatio, probeNote(lr, rr, maxRatio))
     }
-    if (doContract)
-      gridContracted(left, leftGeom, right, rightGeom, predicate, cellSize,
+    val out =
+      if (doContract)
+        gridContracted(left, leftGeom, right, rightGeom, predicate, cellSize,
+          expand)
+      else gridDirect(left, leftGeom, right, rightGeom, predicate, cellSize,
         expand)
-    else gridDirect(left, leftGeom, right, rightGeom, predicate, cellSize,
-      expand)
+    // Probe observability (round-12 directive #7): the chosen shape and
+    // the measured ratios land in the plan as a subquery alias, so
+    // `explain(true)`'s analyzed plan shows WHY this shape was picked
+    // (EliminateSubqueryAliases strips it before physical planning —
+    // zero runtime cost). The optimizer-rule twin carries the same note
+    // as a constant filter conjunct instead, because its rewrite runs
+    // after alias elimination (SpatialJoinRule.markerNote).
+    out.as(s"graft_grid_${if (doContract) "contracted" else "direct"}_$why")
+  }
+
+  /** Compact probe note for plan markers: measured distinct ratios and
+    * the threshold, dots spelled `p` so the string stays
+    * identifier-safe (`auto_l0p93_r1p00_max0p80`). */
+  private[graft] def probeNote(lr: Double, rr: Double,
+      maxRatio: Double): String = {
+    def f(v: Double) = String.format(java.util.Locale.US, "%.2f",
+      java.lang.Double.valueOf(v)).replace(".", "p")
+    s"auto_l${f(lr)}_r${f(rr)}_max${f(maxRatio)}"
   }
 
   /** Shared candidate filters: reference-point dedup (the candidate

@@ -128,10 +128,10 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     * clone-heavy data the direct shape is the catastrophic direction
     * (clone-product candidates), the contracted one merely re-scans. */
   private def shouldContract(left: LogicalPlan, right: LogicalPlan,
-      lGeom: Expression, rGeom: Expression): Boolean =
+      lGeom: Expression, rGeom: Expression): (Boolean, String) =
     conf.getConfString(ContractKey, "auto") match {
-      case "on" => true
-      case "off" => false
+      case "on" => (true, "forced")
+      case "off" => (false, "forced")
       case _ =>
         try {
           val spark = SparkSession.active
@@ -141,21 +141,41 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
             graft.pipeline.Dedup.distinctRatio(df,
               org.apache.spark.sql.functions.col("__pg"))
           }
-          ratio(left, lGeom) <= graft.joins.SpatialJoin.AutoMaxRatio ||
-            ratio(right, rGeom) <= graft.joins.SpatialJoin.AutoMaxRatio
+          val max = graft.joins.SpatialJoin.AutoMaxRatio
+          val lr = ratio(left, lGeom)
+          val rr = ratio(right, rGeom)
+          (lr <= max || rr <= max,
+            graft.joins.SpatialJoin.probeNote(lr, rr, max))
         } catch { case scala.util.control.NonFatal(e) =>
           logWarning(s"spatial-join contraction probe failed, " +
             s"keeping contracted shape: $e")
-          true
+          (true, "probe_failed")
         }
     }
+
+  /** Probe-observability marker (round-12 directive #7): the chosen shape
+    * + measured ratios as a CONSTANT filter conjunct —
+    * `isnotnull("graft_grid_contracted_auto_...")` — so plain `explain()`
+    * of the rewritten plan shows why a shape was chosen. This rule runs
+    * in the last optimizer batch, AFTER ConstantFolding/NullPropagation,
+    * so the tautology survives to the physical Filter verbatim; its
+    * per-row cost is a null check on a literal, which whole-stage
+    * codegen reduces to a loop-invariant constant. (The function API's
+    * twin marker is a SubqueryAlias instead — it builds plans BEFORE
+    * optimization, where a constant conjunct would fold away and an
+    * alias survives to the analyzed plan.) */
+  private def marker(shape: String, why: String): Expression =
+    IsNotNull(Literal(org.apache.spark.unsafe.types.UTF8String
+      .fromString(s"graft_grid_${shape}_$why"),
+      org.apache.spark.sql.types.StringType))
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
       spatialCond: Expression, lGeom: Expression, rGeom: Expression,
       expand: Double, cell: Double, hint: JoinHint): LogicalPlan = {
-    if (!shouldContract(left, right, lGeom, rGeom))
+    val (doContract, why) = shouldContract(left, right, lGeom, rGeom)
+    if (!doContract)
       return rewriteDirect(left, right, spatialCond, lGeom, rGeom, expand,
-        cell, hint)
+        cell, hint, why)
     // contraction (parity with SpatialJoin.grid): candidates run over
     // DISTINCT geometries per side — clone-heavy corpora would otherwise
     // multiply every candidate test by the clone product — and hits
@@ -198,7 +218,8 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     }
     val joined = Join(lp, rp, Inner, Some(cellEq), JoinHint.NONE)
     val hits = Project(Seq(lgAttr, rgAttr),
-      Filter(And(refOk, And(envOk, refine)), joined))
+      Filter(And(marker("contracted", why),
+        And(refOk, And(envOk, refine))), joined))
     // expansion: re-attach every original row carrying a hit geometry.
     // `left`/`right` each appear twice in the produced tree (inside the
     // Distinct branch and as an expansion side); outputs never collide —
@@ -215,7 +236,8 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     * logic as the contracted form — result-identical by construction. */
   private def rewriteDirect(left: LogicalPlan, right: LogicalPlan,
       spatialCond: Expression, lGeom: Expression, rGeom: Expression,
-      expand: Double, cell: Double, hint: JoinHint): LogicalPlan = {
+      expand: Double, cell: Double, hint: JoinHint,
+      why: String): LogicalPlan = {
     val (lp, lix, liy, lb) = cellSide(left, lGeom, cell, "__l_", 0.0)
     val (rp, rix, riy, rb) = cellSide(right, rGeom, cell, "__r_", expand)
     val Seq(lxmin, lymin, lxmax, lymax) = lb
@@ -229,7 +251,8 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       And(LessThanOrEqual(lxmin, rxmax), GreaterThanOrEqual(lxmax, rxmin)),
       And(LessThanOrEqual(lymin, rymax), GreaterThanOrEqual(lymax, rymin)))
     val joined = Join(lp, rp, Inner, Some(cellEq), hint)
-    val filtered = Filter(And(refOk, And(envOk, spatialCond)), joined)
+    val filtered = Filter(And(marker("direct", why),
+      And(refOk, And(envOk, spatialCond))), joined)
     Project((left.output ++ right.output).map(a => a: NamedExpression),
       filtered)
   }

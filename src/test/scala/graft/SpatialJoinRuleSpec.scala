@@ -146,6 +146,36 @@ class SpatialJoinRuleSpec extends SparkFunSuite {
       assert(forcedOff.select("pid", "bid").as[(Long, Long)]
         .collect().toSet === on)
     } finally spark.conf.set(SpatialJoinRule.ContractKey, "auto")
+
+    // probe observability (round-12 directive #7): Explain output shows
+    // WHY a shape was chosen, on both paths of both APIs. The rule's
+    // marker is a constant filter conjunct in the OPTIMIZED plan (the
+    // rewrite runs in the last optimizer batch, past constant folding);
+    // the function API's is a SubqueryAlias in the ANALYZED plan
+    // (aliases are eliminated before optimization).
+    val ruleDirectPlan = ruleDirect.queryExecution.optimizedPlan.toString
+    assert(ruleDirectPlan.contains("graft_grid_direct_auto_l"),
+      s"direct marker missing from rule plan:\n$ruleDirectPlan")
+    val ruleContractedPlan =
+      ruleContracted.queryExecution.optimizedPlan.toString
+    assert(ruleContractedPlan.contains("graft_grid_contracted_auto_l"),
+      s"contracted marker missing from rule plan:\n$ruleContractedPlan")
+    // the marker also survives to the physical plan users explain()
+    assert(ruleContracted.queryExecution.executedPlan.toString
+      .contains("graft_grid_contracted_auto_l"))
+    // measured ratios are embedded: threshold always prints as max0p80
+    assert(ruleContractedPlan.contains("_max0p80"))
+    val fnDirect = direct.queryExecution.analyzed.toString
+    assert(fnDirect.contains("graft_grid_direct_auto_l"),
+      s"direct marker missing from function analyzed plan:\n$fnDirect")
+    val fnContracted = contracted.queryExecution.analyzed.toString
+    assert(fnContracted.contains("graft_grid_contracted_auto_l"),
+      s"contracted marker missing from function analyzed plan:\n$fnContracted")
+    val fnForced = graft.joins.SpatialJoin.grid(clonePts, col("geom"),
+      boxes, col("bgeom"), (l, r) => G.st_within(l, r), cellSize = 0.5,
+      contract = graft.pipeline.Dedup.Contract.On)
+      .queryExecution.analyzed.toString
+    assert(fnForced.contains("graft_grid_contracted_forced"))
   }
 
   test("knn tie groups larger than the fetch pad resolve deterministically") {
