@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Similarity}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Redact, Sample, Similarity}
 import graft.pipeline.TextFunctions._
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -395,6 +395,49 @@ object PipelineQueries {
           sum(micros(col("__dup5_frac"))).as("sum_dup5_micros"))
         .orderBy(col("lang"), col("verdict"))
     }),
+
+    // PII redaction (Redact): the corpus carries no digits or @-signs,
+    // so the gate derives a deterministic PII-bearing text from corpus
+    // columns (same construction in the oracle SQL — both engines redact
+    // the same input) and hash-compares per-category counts AND the md5
+    // of the redacted BYTES: the gate certifies that Java and RE2 agree
+    // on the whole pattern set over every doc, not just that some regex
+    // matched. Patterns are restricted to the engine-identical regex
+    // subset (see Redact's scaladoc); the adversarial edge cases (octet
+    // bounds, separators) are PipelineSpec-gated with expected outputs.
+    "doc_pii" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact "), col("source"), lit("@example.com ip 10."),
+        (col("doc_id") % 250).cast("string"), lit(".0."),
+        (col("doc_id") % 200).cast("string"),
+        lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" call 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0, lit(" cc bob@test.org"))
+          .otherwise(lit("")))
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), aug.as("__t"))
+        .select(col("doc_id"),
+          Redact.countOf(col("__t"), "email").cast("long").as("n_email"),
+          Redact.countOf(col("__t"), "ip").cast("long").as("n_ip"),
+          Redact.countOf(col("__t"), "ssn").cast("long").as("n_ssn"),
+          Redact.countOf(col("__t"), "phone").cast("long").as("n_phone"),
+          md5(Redact.redact(col("__t"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic hash-threshold sampling (Sample.byHash): keep a doc
+    // iff the first 8 hex chars of md5(doc_id) sort below the 10%
+    // threshold — the stateless, shuffle-free, engine-portable mixture
+    // sampler (md5 because Spark and DuckDB agree on it byte-for-byte;
+    // the emitted hash key makes the parity explicit). Quota-exact
+    // stratified sampling (window form) is PipelineSpec-gated.
+    "doc_sample" -> ((s, d) =>
+      Sample.byHash(Tables.documents(s, d), col("doc_id"), 0.1)
+        .select(col("doc_id"), col("lang"),
+          Sample.hashKey(col("doc_id")).as("hk"))
+        .orderBy(col("doc_id"))),
 
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
@@ -1045,6 +1088,56 @@ object PipelineQueries {
          GROUP BY tr.doc_id
          HAVING sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
          ORDER BY tr.doc_id""",
+    // PII redaction over the derived PII-bearing text — same patterns
+    // verbatim (the engine-identical regex subset), counts on the
+    // original, md5 over the redacted bytes, email->ip->ssn->phone
+    // application order.
+    "doc_pii" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact ' || source || '@example.com ip 10.' ||
+               CAST(doc_id % 250 AS VARCHAR) || '.0.' ||
+               CAST(doc_id % 200 AS VARCHAR) || ' ssn 123-45-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' call 555-867-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               CASE WHEN doc_id % 3 = 0 THEN ' cc bob@test.org'
+                    ELSE '' END AS t
+           FROM documents WHERE text IS NOT NULL
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))
+             AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t,
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT)
+             AS n_phone,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b',
+                   '<IP>', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'))
+             AS redacted_md5
+         FROM aug ORDER BY doc_id""",
+    // Hash-threshold sample: md5-prefix order below the 10% threshold;
+    // the emitted hk column asserts hash parity directly.
+    "doc_sample" ->
+      """SELECT doc_id, lang,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+         FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+         ORDER BY doc_id""",
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->

@@ -886,6 +886,72 @@ class PipelineSpec extends SparkFunSuite {
       rows(Dedup.substringDup(docs, "doc_id", "text", 40, 20)))
   }
 
+  test("pii redaction: categories, order, and the octet-bound edge") {
+    import graft.pipeline.Redact
+    val rows = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk and x@y.io now"),
+      (2L, "host 10.0.0.7 bad 10.0.0.300 also 256.1.1.1"),
+      (3L, "ssn 123-45-6789 phone 555-867-5309 dotted 555.867.5309"),
+      (4L, "clean text no pii at all"),
+      (5L, "digits 1234-56-7890 not ssn; 12-345-6789 neither"))
+      .toDF("id", "t")
+      .select(col("id"), Redact.redact(col("t")).as("r"),
+        Redact.countOf(col("t"), "email").as("ne"),
+        Redact.countOf(col("t"), "ip").as("ni"),
+        Redact.countOf(col("t"), "ssn").as("ns"),
+        Redact.countOf(col("t"), "phone").as("np"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5)))).toMap
+    assert(rows(1L) === (("mail <EMAIL> and <EMAIL> now", 2, 0, 0, 0)))
+    // 10.0.0.300: no \b between the matched octet prefix and the
+    // trailing digit, so NOT an IP (and not partially redacted);
+    // 256.1.1.1: first octet out of range, the tail 56.1.1.1 has no
+    // left word boundary -> no match
+    assert(rows(2L) === (("host <IP> bad 10.0.0.300 also 256.1.1.1",
+      0, 1, 0, 0)))
+    assert(rows(3L) ===
+      (("ssn <SSN> phone <PHONE> dotted <PHONE>", 0, 0, 1, 2)))
+    assert(rows(4L) === (("clean text no pii at all", 0, 0, 0, 0)))
+    // \b guards: over-long groups match nothing
+    assert(rows(5L) ===
+      (("digits 1234-56-7890 not ssn; 12-345-6789 neither", 0, 0, 0, 0)))
+  }
+
+  test("sampling: hash-threshold determinism, nesting, exact quotas") {
+    import graft.pipeline.Sample
+    val df = docs.select(col("doc_id"), col("lang"))
+    val s10 = Sample.byHash(df, col("doc_id"), 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    // deterministic: same rows on re-evaluation
+    assert(Sample.byHash(df, col("doc_id"), 0.1)
+      .select("doc_id").as[Long].collect().toSet === s10)
+    // monotone nesting: a smaller fraction is a subset
+    val s05 = Sample.byHash(df, col("doc_id"), 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s05.subsetOf(s10))
+    // binomial band: 10% ± wide slack on the fixture corpus
+    val n = df.count().toDouble
+    assert(s10.size > n * 0.03 && s10.size < n * 0.25,
+      s"kept ${s10.size} of $n at frac 0.1")
+    // quota-exact stratified: per-stratum counts hit ceil(frac * n)
+    val kept = Sample.stratifiedExact(df, col("lang"), col("doc_id"), 0.2)
+      .groupBy(col("lang")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = df.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, tot) =>
+      assert(kept(lang) === math.ceil(tot * 0.2).toLong,
+        s"stratum $lang: ${kept(lang)} of $tot")
+    }
+    // deterministic under re-evaluation (hash order + key tiebreak)
+    val a = Sample.stratifiedExact(df, col("lang"), col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sample.stratifiedExact(df, col("lang"), col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("repetition gate: grams guard short docs; micro-sums bounded") {
     import graft.pipeline.Decontaminate
     // the descending-sequence trap: < n words must give [], not [1, 0]
