@@ -416,7 +416,14 @@ object PipelineQueries {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         when(col("doc_id") % 3 === 0, lit(" cc bob@test.org"))
           .otherwise(lit("")))
+      // gate slice doc_id < 10000 (slice-constant on the key-shifted
+      // corpora, the doc_jaccard_pairs pattern): 8 regex passes over the
+      // FULL corpus is pure gate-harness cost — 10.7 s at sf1, ~100 s
+      // projected at sf10 — while the slice certifies the same
+      // cross-engine regex agreement at every SF for a flat price. The
+      // operator itself is a stateless scan (Redact's scaladoc).
       Tables.documents(s, d).filter(col("text").isNotNull)
+        .filter(col("doc_id") < 10000)
         .select(col("doc_id"), aug.as("__t"))
         .select(col("doc_id"),
           Redact.countOf(col("__t"), "email").cast("long").as("n_email"),
@@ -1103,7 +1110,7 @@ object PipelineQueries {
                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
                CASE WHEN doc_id % 3 = 0 THEN ' cc bob@test.org'
                     ELSE '' END AS t
-           FROM documents WHERE text IS NOT NULL
+           FROM documents WHERE text IS NOT NULL AND doc_id < 10000
          )
          SELECT doc_id,
            CAST(len(regexp_extract_all(t,
