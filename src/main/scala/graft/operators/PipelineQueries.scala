@@ -446,6 +446,34 @@ object PipelineQueries {
           Sample.hashKey(col("doc_id")).as("hk"))
         .orderBy(col("doc_id"))),
 
+    // Budget-balanced mixture (Sample.mixtureBalanced): every source
+    // down-sampled to the smallest source's char budget — tiny agg ->
+    // broadcast rates -> stateless Weyl-hash threshold scan; no window,
+    // no per-stratum shuffle. Gate slice doc_id < 1e8 is a no-op on the
+    // base corpus and holds output size flat on the key-shifted scale
+    // corpora (rates are scale-invariant there anyway: every source
+    // replicates uniformly).
+    "doc_mixture" -> ((s, d) =>
+      Sample.mixtureBalanced(
+          Tables.documents(s, d).filter(col("doc_id") < 100000000L),
+          col("source"), col("doc_id"), col("n_chars"))
+        .select(col("doc_id"), col("source"), col("__rate").as("rate"))
+        .orderBy(col("doc_id"))),
+
+    // Per-source document cap (Sample.capPerStratum): at most 5 docs per
+    // source by deterministic Weyl-hash rank. The rank-filter window is
+    // exactly what Catalyst rewrites to a WindowGroupLimit — each input
+    // partition pre-prunes to its local top-5 per source BEFORE the
+    // exchange, so the shuffle moves O(cap x sources x partitions) rows
+    // however large or skewed the sources are (plan pinned in
+    // PipelineSpec). Same slice convention as doc_mixture.
+    "doc_source_cap" -> ((s, d) =>
+      Sample.capPerStratum(
+          Tables.documents(s, d).filter(col("doc_id") < 100000000L),
+          col("source"), col("doc_id"), 5)
+        .select(col("doc_id"), col("source"), col("__cap_rk").as("cap_rk"))
+        .orderBy(col("source"), col("cap_rk"))),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -1145,6 +1173,31 @@ object PipelineQueries {
          FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
          ORDER BY doc_id""",
+    // Budget-balanced mixture: per-source char totals -> rate =
+    // min(total)/total -> Weyl-hash threshold. Integer hash and IEEE
+    // double rate are bit-identical across engines (no regex, no string
+    // hash), so the rate column itself is hash-compared.
+    "doc_mixture" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 100000000),
+         tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+                 FROM d GROUP BY source),
+         r AS (SELECT source,
+                 CAST((SELECT min(w) FROM tot) AS DOUBLE) / w AS rate
+               FROM tot)
+         SELECT d.doc_id, d.source, r.rate
+         FROM d JOIN r USING (source)
+         WHERE (d.doc_id * 2654435761) % 4294967296 < rate * 4294967296.0
+         ORDER BY d.doc_id""",
+    // Per-source cap: row_number over the Weyl-hash order, keep rank<=5.
+    "doc_source_cap" ->
+      """SELECT doc_id, source, cap_rk FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+               AS cap_rk
+           FROM documents WHERE doc_id < 100000000) t
+         WHERE cap_rk <= 5
+         ORDER BY source, cap_rk""",
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->

@@ -238,6 +238,28 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("sess_id"))
     }),
 
+    // Point-in-time (as-of) join: each purchase matched to the same
+    // user's most recent preceding click ([[graft.joins.AsOfJoin]] —
+    // union + ordered window, ONE shuffle, no range explosion). Gate
+    // slice `user_id < 1e8` is a no-op on the base corpus and holds the
+    // oracle's per-probe LATERAL cost flat on the key-shifted scale
+    // corpora (the doc_pii pattern); the operator itself is the plan
+    // users run unsliced.
+    "q20_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 100000000L)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.joins.AsOfJoin.backward(purchases, clicks,
+          key = "user_id", probeTime = "ts", refTime = "ts",
+          refPayload = Seq(col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+          refTiebreak = col("event_id"))
+        .withColumn("gap_s",
+          col("ts").cast("long") - col("click_ts").cast("long"))
+        .orderBy(col("event_id"))
+    }),
+
     // Event-time tumbling aggregation expressed in batch (streaming parity
     // uses the same plan via readStream; see streaming package).
     "q16_event_windows" -> ((s, d) => {
@@ -381,6 +403,19 @@ object RelationalQueries {
          SELECT user_id, sess_id, count(*) AS n_events,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s
          FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
+    "q20_asof_join" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 100000000),
+         p AS (SELECT event_id, user_id, ts FROM ev
+               WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.click_ts)) AS BIGINT) AS gap_s
+         FROM p LEFT JOIN LATERAL (
+           SELECT event_id AS click_id, ts AS click_ts FROM ev c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND c.ts <= p.ts
+           ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+         ORDER BY p.event_id""",
     "q16_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
          count(*) AS n,

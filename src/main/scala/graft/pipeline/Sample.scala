@@ -57,4 +57,55 @@ object Sample {
       .filter(col("__srk") <= ceil(col("__sn") * frac))
       .drop("__srk", "__sn")
   }
+
+  /** Knuth/Weyl multiplicative hash of an integer key into [0, 2^32):
+    * `(key * 2654435761) mod 2^32` (2654435761 = floor(2^32 / φ), Knuth
+    * TAOCP §6.4). Pure 64-bit integer arithmetic — bit-identical in any
+    * engine, no string/hex round-trip — and a low-discrepancy (golden-
+    * ratio Weyl) sequence on sequential keys, so a threshold test keeps
+    * an evenly spread `frac` of any key range. Precondition: key ≥ 0 and
+    * key < 2^31 (the product must not overflow int64); corpus ids
+    * re-keyed past that should pre-fold (e.g. `key % 2^31`). */
+  def weylHash(key: Column): Column =
+    pmod(key.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Budget-balanced mixture sampling — the corpus-assembly step that
+    * down-samples every stratum (source/domain/language) to the SMALLEST
+    * stratum's total weight (chars/tokens/bytes), producing a balanced
+    * mixture deterministically. Plan shape at any scale: one map-side-
+    * partial aggregate over tiny stratum cardinality -> driver-free
+    * broadcast of the per-stratum rate -> stateless scan-side threshold
+    * filter. No window, no per-stratum shuffle, no RNG state; rerunning
+    * on any partitioning keeps the same rows. Quotas are threshold-
+    * approximate (±O(1/√n) relative), the production trade at corpus
+    * scale; [[stratifiedExact]] is the quota-exact (window) form. */
+  def mixtureBalanced(df: DataFrame, stratum: Column, key: Column,
+      weight: Column): DataFrame = {
+    val totals = df.groupBy(stratum.as("__stratum"))
+      .agg(sum(weight).as("__w"))
+    val rates = totals
+      .crossJoin(broadcast(totals.agg(min(col("__w")).as("__wmin"))))
+      .select(col("__stratum"),
+        (col("__wmin").cast("double") / col("__w")).as("__rate"))
+    df.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(weylHash(key).cast("double") < col("__rate") * lit(4294967296.0))
+      .drop("__stratum")
+  }
+
+  /** Per-stratum cap: keep at most `n` rows per stratum, chosen by the
+    * deterministic [[weylHash]] order (key tiebreak) — the per-domain
+    * document cap of web-corpus assembly. Declared as a rank window so
+    * Catalyst plans a WindowGroupLimit: each input partition is pruned
+    * to its local top-n PER STRATUM before the exchange, so the shuffle
+    * moves O(n · strata · partitions) rows no matter how large or
+    * skewed the strata are — the declarative form IS the scalable
+    * two-phase top-n. */
+  def capPerStratum(df: DataFrame, stratum: Column, key: Column,
+      n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum).orderBy(weylHash(key), key)
+    df.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= n)
+  }
 }

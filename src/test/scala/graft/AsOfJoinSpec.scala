@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.joins.AsOfJoin
+
+/** Semantics pins for the union+window as-of join — the cases a range-join
+  * rewrite or an exclusive-tie implementation would get wrong. */
+class AsOfJoinSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("backward as-of: past-match, inclusive ties, tiebreak, outer nulls") {
+    val probe = Seq(
+      (1L, 10L, ts(100)), // after refs 1 and 2 -> latest (t=90)
+      (2L, 10L, ts(50)),  // tie AT ref t=50 -> inclusive match
+      (3L, 10L, ts(10)),  // before every ref -> null payload
+      (4L, 20L, ts(100)), // other key: only key-20 refs visible
+      (5L, 30L, ts(100))  // key with no refs at all -> null payload
+    ).toDF("event_id", "user_id", "ts")
+    val ref = Seq(
+      (101L, 10L, ts(50)),
+      (102L, 10L, ts(90)),
+      (103L, 10L, ts(90)), // same key+time as 102 -> max tiebreak wins
+      (201L, 20L, ts(40))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backward(probe, ref, "user_id", "ts", "ts",
+        Seq(col("event_id").as("m_id"), col("ts").as("m_ts")),
+        refTiebreak = col("event_id"))
+      .select(col("event_id"), col("m_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(
+      1L -> Some(103L), // latest past, tiebreak 103 > 102
+      2L -> Some(101L), // equal-time ref matches (inclusive)
+      3L -> None,
+      4L -> Some(201L),
+      5L -> None))
+  }
+
+  test("backward as-of: one hash exchange, output rows = probe rows") {
+    val probe = spark.range(0, 500)
+      .select(col("id").as("pid"), (col("id") % 50L).as("k"),
+        (col("id") * 7L % 1000L).as("t"))
+    val ref = spark.range(0, 2000)
+      .select(col("id").as("rid"), (col("id") % 50L).as("k"),
+        (col("id") * 13L % 1000L).as("t"))
+    val out = AsOfJoin.backward(probe, ref, "k", "t", "t",
+      Seq(col("rid").as("m_rid")), refTiebreak = col("rid"))
+    assert(out.count() === 500L) // left-outer: every probe row, exactly once
+    val exchanges = out.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges === 1, "as-of must cost exactly one shuffle")
+  }
+
+  test("backward as-of: payload name collision refused") {
+    val p = Seq((1L, 1L, ts(1))).toDF("event_id", "user_id", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(p, p, "user_id", "ts", "ts",
+        Seq(col("event_id")), refTiebreak = col("event_id"))
+    }
+  }
+}

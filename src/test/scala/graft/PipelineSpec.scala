@@ -952,6 +952,50 @@ class PipelineSpec extends SparkFunSuite {
     assert(a === b)
   }
 
+  test("mixture + cap: balanced budgets, Weyl determinism, group-limit plan") {
+    import graft.pipeline.Sample
+    // weylHash: in range, deterministic, bijective on a small id block
+    val ids = spark.range(0, 1000).select(col("id").as("k"))
+    val hs = ids.select(Sample.weylHash(col("k")).as("h"))
+    assert(hs.filter(col("h") < 0 || col("h") >= 4294967296L).count() === 0)
+    assert(hs.distinct().count() === 1000) // multiplicative bijection
+    // mixtureBalanced: smallest stratum keeps ~everything; every
+    // stratum's kept weight lands within a binomial band of the
+    // smallest stratum's total (balance is the contract)
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val kept = Sample.mixtureBalanced(d, col("source"), col("doc_id"),
+      col("n_chars"))
+    val keptW = kept.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minW = d.groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
+      .agg(min(col("w"))).collect()(0).getLong(0)
+    keptW.values.foreach { w =>
+      assert(w <= minW * 1.6 && w >= minW * 0.4,
+        s"stratum weight $w vs balanced target $minW")
+    }
+    // deterministic under re-evaluation
+    val k1 = kept.select("doc_id").as[Long].collect().toSet
+    val k2 = Sample.mixtureBalanced(d, col("source"), col("doc_id"),
+      col("n_chars")).select("doc_id").as[Long].collect().toSet
+    assert(k1 === k2)
+    // capPerStratum: exact per-stratum counts, deterministic members,
+    // and the scale contract — the physical plan pre-prunes each input
+    // partition with a WindowGroupLimit BEFORE the exchange
+    val capped = Sample.capPerStratum(d, col("source"), col("doc_id"), 3)
+    val perSrc = capped.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_ <= 3))
+    val plan = capped.queryExecution.executedPlan.toString
+    val gl = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("WindowGroupLimit")).map(_._2).toSeq
+    val ex = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("Exchange")).map(_._2).toSeq
+    assert(gl.size === 2, s"expected partial+final WindowGroupLimit:\n$plan")
+    assert(ex.exists(e => gl.exists(_ < e) && gl.exists(_ > e)),
+      s"expected a WindowGroupLimit on BOTH sides of the exchange:\n$plan")
+  }
+
   test("repetition gate: grams guard short docs; micro-sums bounded") {
     import graft.pipeline.Decontaminate
     // the descending-sequence trap: < n words must give [], not [1, 0]
