@@ -81,10 +81,17 @@ object Sample {
     * scale; [[stratifiedExact]] is the quota-exact (window) form. */
   def mixtureBalanced(df: DataFrame, stratum: Column, key: Column,
       weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val totals = df.groupBy(stratum.as("__stratum"))
       .agg(sum(weight).as("__w"))
+    // scalar min via an unpartitioned window over the POST-AGGREGATE rows
+    // (stratum-cardinality many, trivially single-partition) — NOT
+    // `totals.agg(min)` + cross join, which would re-evaluate the whole
+    // totals plan and scan the corpus twice for one tiny number
     val rates = totals
-      .crossJoin(broadcast(totals.agg(min(col("__w")).as("__wmin"))))
+      .withColumn("__wmin", min(col("__w")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
       .select(col("__stratum"),
         (col("__wmin").cast("double") / col("__w")).as("__rate"))
     df.join(broadcast(rates), stratum === col("__stratum"))
