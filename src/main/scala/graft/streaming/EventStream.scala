@@ -206,6 +206,47 @@ object EventStream {
       .filter(col("n_hit") > 0L)
   }
 
+  /** Stream-static temporal (as-of) lookup — the streaming twin of
+    * [[graft.joins.AsOfJoin.backward]] for the case every stream engine
+    * special-cases: the reference side is a STATIC, compact dimension
+    * timeline (model-version history, exchange rates, config epochs),
+    * and each streaming probe row needs the latest reference entry at or
+    * before its event time.
+    *
+    * STATELESS by construction: the static side collapses to one sorted
+    * `(t, id)` struct array per key (array_sort on structs compares
+    * field-by-field, so the order is exactly the batch operator's
+    * (time, tiebreak) order), broadcast-joined to the stream; the match
+    * is a doc-local HOF — `filter(timeline, e -> e.t <= probe.t)` then
+    * its last element — so the query runs in Append mode with no
+    * watermark, no state store, and each row final the micro-batch it
+    * arrives in. Ties at equal time are inclusive and break to the max
+    * id, matching AsOfJoinSpec's pinned semantics (StreamingSpec asserts
+    * stream ≡ batch on the fixture events).
+    *
+    * Scale contract: per-key timelines must be broadcast-sized
+    * (dimension timelines are, by nature — thousands of entries per
+    * key at most). A timeline too large to broadcast is the batch
+    * operator's job, or a `transformWithState` lookup against a
+    * versioned store. */
+  def asofLookup(probe: DataFrame, refStatic: DataFrame, key: String,
+      probeTime: String, refTime: String, refId: String): DataFrame = {
+    val timeline = refStatic.select(col(key),
+        struct(col(refTime).as("t"), col(refId).as("id")).as("__e"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(col("__e"))).as("__tl"))
+    val probeCols = probe.columns.toSeq
+    // try_element_at(-1): last element, NULL (not an ANSI error) on an
+    // empty filter result — one evaluation of the filtered array
+    val hits = filter(col("__tl"),
+      e => e.getField("t") <= col(probeTime))
+    probe.join(broadcast(timeline), Seq(key), "left")
+      .withColumn("__m", try_element_at(hits, lit(-1)))
+      .select(probeCols.map(col) :+
+        col("__m").getField("id").as("match_id") :+
+        col("__m").getField("t").as("match_ts"): _*)
+  }
+
   /** Stream-stream interval join: each `leftType` event matched to the
     * same user's `rightType` events arriving within `within` AFTER it.
     * Both sides carry watermarks and the join condition bounds event time

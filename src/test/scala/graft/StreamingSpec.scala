@@ -48,6 +48,35 @@ class StreamingSpec extends SparkFunSuite {
       s"too few closed windows: ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("streaming as-of lookup == batch AsOfJoin on the same events") {
+    val dir = Files.createTempDirectory("asof").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    purchases.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(purchases.schema).parquet(dir)
+    val q = EventStream.asofLookup(src, clicks, "user_id", "ts", "ts",
+        "event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asoflk").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("asoflk")
+      .select("event_id", "match_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val batch = graft.joins.AsOfJoin.backward(purchases, clicks,
+        "user_id", "ts", "ts",
+        Seq(col("event_id").as("match_id"), col("ts").as("match_ts")),
+        refTiebreak = col("event_id"))
+      .select("event_id", "match_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(batch.nonEmpty && batch.values.exists(_.isDefined),
+      "fixture produced no as-of matches")
+    assert(streamed === batch)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "as-of lookup stream should carry no stateful operators")
+  }
+
   test("sessionization via flatMapGroupsWithState emits gap-split sessions") {
     val dir = Files.createTempDirectory("sess").toString
     def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
