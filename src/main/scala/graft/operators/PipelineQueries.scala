@@ -85,6 +85,17 @@ object PipelineQueries {
         countDistinct(col("text")).as("n_distinct_text"))
     }),
 
+    // Representative selection (Dedup.keepBest): per exact-dup group,
+    // keep the longest member (ties to smallest id) — one max_by
+    // aggregate, partials-only shuffle; the oracle recomputes it as a
+    // rank window, so two different algorithms must agree on every
+    // group. Output is the distinct-text count at ANY clone multiplicity
+    // (scale-flat on the key-shifted corpora by construction).
+    "doc_dup_canonical" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d).filter(col("text").isNotNull),
+          md5(col("text")), col("n_chars"), col("doc_id"))
+        .orderBy(col("group_key"))),
+
     // Normalized dedup: fingerprint64 distinct count == distinct count of
     // whitespace/case-normalized text (differential check of normalization).
     "doc_fingerprint" -> ((s, d) => {
@@ -983,6 +994,16 @@ object PipelineQueries {
          count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
            AS n_distinct_fp
          FROM documents""",
+    // Representative selection as a rank window (the Spark side is a
+    // max_by aggregate — independent algorithms, same answer).
+    "doc_dup_canonical" ->
+      """SELECT group_key, keep_id, n_members FROM (
+           SELECT md5(text) AS group_key, doc_id AS keep_id,
+             row_number() OVER (PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY md5(text)) AS n_members
+           FROM documents WHERE text IS NOT NULL) t
+         WHERE rn = 1 ORDER BY group_key""",
     // Exact Jaccard twin: inverted-index intersection counts over DISTINCT
     // character 5-shingles of the normalized text (same normalization as
     // doc_fingerprint), jaccard = |I| / (|A| + |B| - |I|); documents whose

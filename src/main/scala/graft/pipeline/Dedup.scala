@@ -261,6 +261,22 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .filter(col("n") > 1)
 
+  /** Representative selection — the "keep best" step that turns a
+    * dedup grouping into a shippable corpus: per duplicate group, the
+    * row maximizing `quality` (ties to the SMALLEST `id`), plus the
+    * member count. ONE map-side-partial aggregate — `max_by` over a
+    * (quality, -id) struct ordering — so only (group, best, count)
+    * partials shuffle, never member rows: at 100 TB a clone-heavy
+    * group of any multiplicity costs its partition-local partials and
+    * one combined row. (A rank-window form would sort whole member
+    * rows; the aggregate form is why this is its own operator and not
+    * a [[graft.pipeline.Sample.capPerStratum]] call with n = 1.) */
+  def keepBest(df: DataFrame, groupKey: Column, quality: Column,
+      id: Column): DataFrame =
+    df.groupBy(groupKey.as("group_key"))
+      .agg(max_by(id, struct(quality, -id)).as("keep_id"),
+        count(lit(1)).as("n_members"))
+
   /** Normalized-exact duplicates (whitespace/case-insensitive) via the
     * fingerprint64 expression. */
   def fingerprintDups(df: DataFrame, textCol: String): DataFrame =

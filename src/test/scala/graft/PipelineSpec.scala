@@ -952,6 +952,23 @@ class PipelineSpec extends SparkFunSuite {
     assert(a === b)
   }
 
+  test("keepBest: quality argmax, min-id ties, member counts") {
+    import graft.pipeline.Dedup
+    val df = Seq(
+      ("g1", 1L, 10L), // g1: 3 members, best quality 30 -> id 3
+      ("g1", 2L, 20L),
+      ("g1", 3L, 30L),
+      ("g2", 5L, 7L),  // g2: quality tie -> SMALLEST id 4 wins
+      ("g2", 4L, 7L),
+      ("g3", 9L, 1L)   // singleton keeps itself
+    ).toDF("g", "id", "q")
+    val out = Dedup.keepBest(df, col("g"), col("q"), col("id"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("g1" -> ((3L, 3L)), "g2" -> ((4L, 2L)),
+      "g3" -> ((9L, 1L))))
+  }
+
   test("mixture + cap: balanced budgets, Weyl determinism, group-limit plan") {
     import graft.pipeline.Sample
     // weylHash: in range, deterministic, bijective on a small id block
