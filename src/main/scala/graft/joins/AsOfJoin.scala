@@ -61,9 +61,17 @@ object AsOfJoin {
     require(payloadNames.intersect(probeCols).isEmpty,
       s"refPayload names collide with probe columns: " +
         payloadNames.intersect(probeCols).mkString(", "))
+    // SQL-equi/lateral semantics: a NULL-key or NULL-time reference row
+    // can never match anything (NULL = k is never true; NULL <= t is
+    // never true) — but a window PARTITION BY groups NULL keys together
+    // and ASC NULLS FIRST would sort a NULL-time ref before every probe,
+    // silently matching both. Drop them up front so the two formulations
+    // agree. (NULL-key/time PROBE rows need no guard: they land in a
+    // partition/position with no earlier ref and keep NULL payloads.)
+    val refClean = ref.filter(col(key).isNotNull && col(refTime).isNotNull)
     // union schema: key, __t, __side, __tb, probe cols (null on ref rows),
     // payload struct (null on probe rows)
-    val refTagged = ref.select(
+    val refTagged = refClean.select(
       (col(key).as("__k") +: col(refTime).as("__t") +: lit(0).as("__side") +:
         refTiebreak.as("__tb") +:
         probeCols.filter(_ != key).map(c => lit(null).as(c))) :+

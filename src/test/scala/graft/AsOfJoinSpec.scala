@@ -53,6 +53,22 @@ class AsOfJoinSpec extends SparkFunSuite {
     assert(exchanges === 1, "as-of must cost exactly one shuffle")
   }
 
+  test("backward as-of: NULL key/time refs never match (SQL semantics)") {
+    val probe = Seq((1L, Some(10L), Some(ts(100))), // normal probe
+      (2L, None, Some(ts(100))),                    // NULL key probe
+      (3L, Some(10L), None)                         // NULL time probe
+    ).toDF("event_id", "user_id", "ts")
+    val ref = Seq((101L, Some(10L), Some(ts(50))),
+      (900L, None, Some(ts(40))),   // NULL key ref: must never match
+      (901L, Some(10L), None)       // NULL time ref: must never match
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backward(probe, ref, "user_id", "ts", "ts",
+        Seq(col("event_id").as("m_id")), refTiebreak = col("event_id"))
+      .select(col("event_id"), col("m_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(1L -> Some(101L), 2L -> None, 3L -> None))
+  }
+
   test("backward as-of: payload name collision refused") {
     val p = Seq((1L, 1L, ts(1))).toDF("event_id", "user_id", "ts")
     intercept[IllegalArgumentException] {
