@@ -125,6 +125,22 @@ object DupBench {
       (name, t, n)
     }
 
+    // Aggregate-mode representative selection (round-13): keepBest's
+    // claim is partials-only shuffle — wall time tracks corpus rows,
+    // output rows stay the distinct-content count FLAT in clone factor.
+    val keepResults =
+      if (!families("keepbest")) Nil
+      else {
+        val t0 = System.nanoTime()
+        val reps = Dedup.keepBest(docs, md5(col("text")),
+          length(col("text")), col("doc_id")).persist()
+        val n = reps.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        reps.unpersist(blocking = false)
+        println(f"${"keepbest"}%-24s $t%8.2f s  groups=$n")
+        List(("keepbest", t, n))
+      }
+
     println("GRAFT_DUPBENCH")
     results.foreach { case (n, on, off) =>
       if (off.isNaN) println(f"$n%-16s on=$on%.2f s off=skipped (mode=on)")
@@ -132,6 +148,9 @@ object DupBench {
     }
     starResults.foreach { case (n, t, e) =>
       println(f"$n%-16s star=$t%.2f s edges=$e")
+    }
+    keepResults.foreach { case (n, t, g) =>
+      println(f"$n%-16s agg=$t%.2f s groups=$g")
     }
     spark.stop()
   }
