@@ -445,6 +445,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC canonicalization (UnicodeNormalize): the corpus is
+    // ASCII, so the gate appends a deterministic decomposed sequence
+    // (combining acute/grave + a precomposed char) built identically in
+    // the oracle via chr() — both engines implement UAX #15, so char
+    // counts before/after and the md5 of the normalized BYTES must
+    // hash-match on every doc. Same doc_pii slice convention.
+    "doc_unicode" -> ((s, d) => {
+      // " nfc e<U+0301 combining acute> A<U+0300 combining grave><U+00E9 precomposed>"
+      // explicit escapes, NOT glyphs: decomposed-vs-precomposed is
+      // exactly what the gate certifies, and raw combining marks in
+      // source are one editor-normalization away from silent change
+      val aug = concat(col("text"),
+        lit(" nfc e\u0301 A\u0300\u00e9"))
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .filter(col("doc_id") < 10000)
+        .select(col("doc_id"), aug.as("__t"))
+        .select(col("doc_id"),
+          length(col("__t")).cast("long").as("n_chars_raw"),
+          length(unicode_normalize(col("__t"))).cast("long")
+            .as("n_chars_nfc"),
+          md5(unicode_normalize(col("__t"))).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic hash-threshold sampling (Sample.byHash): keep a doc
     // iff the first 8 hex chars of md5(doc_id) sort below the 10%
     // threshold — the stateless, shuffle-free, engine-portable mixture
@@ -1185,6 +1209,19 @@ object PipelineQueries {
                  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
                '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'))
              AS redacted_md5
+         FROM aug ORDER BY doc_id""",
+    // Unicode NFC: identical decomposed sequence built via chr(); both
+    // engines implement UAX #15, so lengths and normalized-bytes md5
+    // must agree exactly.
+    "doc_unicode" ->
+      """WITH aug AS (
+           SELECT doc_id, text || ' nfc ' || chr(101) || chr(769) || ' ' ||
+             chr(65) || chr(768) || chr(233) AS t
+           FROM documents WHERE text IS NOT NULL AND doc_id < 10000)
+         SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+           md5(nfc_normalize(t)) AS nfc_md5
          FROM aug ORDER BY doc_id""",
     // Hash-threshold sample: md5-prefix order below the 10% threshold;
     // the emitted hk column asserts hash parity directly.

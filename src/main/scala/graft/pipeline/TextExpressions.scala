@@ -322,6 +322,25 @@ case class JaccardShingle(left: Expression, right: Expression, shingle: Int = 5)
     copy(left = l, right = r)
 }
 
+/** Unicode normalization (UAX #15) as a scan-side expression — the
+  * canonicalization step corpus prep runs before any hashing/dedup so
+  * that visually-identical text (precomposed vs combining sequences,
+  * compatibility ligatures under NFKC) hashes identically. Backed by
+  * `java.text.Normalizer` (the JDK's ICU-derived tables); DuckDB's
+  * `nfc_normalize` implements the same algorithm, so the NFC form
+  * carries a full cross-engine hash oracle (gate doc_unicode).
+  * `form` ∈ NFC | NFD | NFKC | NFKD, validated at construction. */
+case class UnicodeNormalize(child: Expression, form: String = "NFC")
+    extends TextUnaryExpr {
+  private val normForm = java.text.Normalizer.Form.valueOf(form)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(v.toString, normForm))
+  override def prettyName: String = "unicode_normalize"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column API for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.Column
@@ -345,4 +364,6 @@ object TextFunctions {
   def jaccard_shingle(a: Column, b: Column, shingle: Int = 5): Column =
     graftbridge.column(JaccardShingle(
       graftbridge.expression(a), graftbridge.expression(b), shingle))
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    graftbridge.column(UnicodeNormalize(graftbridge.expression(c), form))
 }

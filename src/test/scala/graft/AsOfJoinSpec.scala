@@ -69,6 +69,30 @@ class AsOfJoinSpec extends SparkFunSuite {
     assert(out === Map(1L -> Some(101L), 2L -> None, 3L -> None))
   }
 
+  test("backward as-of: randomized agreement with a brute-force oracle") {
+    // 200 probes x 400 refs over 20 keys with DENSE times (0..30) so
+    // equal-time ties and multi-ref timestamps occur constantly — the
+    // regime where an ordering bug would survive a hand fixture
+    val rnd = new scala.util.Random(42)
+    val probes = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, ts(rnd.nextInt(30).toLong)))
+    val refs = (1001 to 1400).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, ts(rnd.nextInt(30).toLong)))
+    val out = AsOfJoin.backward(
+        probes.toDF("event_id", "user_id", "ts"),
+        refs.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "ts",
+        Seq(col("event_id").as("m_id")), refTiebreak = col("event_id"))
+      .select(col("event_id"), col("m_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    val brute = probes.map { case (pid, k, pt) =>
+      val cands = refs.filter(r => r._2 == k && !r._3.after(pt))
+      pid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._3.getTime, r._1))._1))
+    }.toMap
+    assert(out === brute)
+  }
+
   test("backward as-of: payload name collision refused") {
     val p = Seq((1L, 1L, ts(1))).toDF("event_id", "user_id", "ts")
     intercept[IllegalArgumentException] {

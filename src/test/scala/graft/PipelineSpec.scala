@@ -952,6 +952,27 @@ class PipelineSpec extends SparkFunSuite {
     assert(a === b)
   }
 
+  test("unicode normalize: NFC composition, NFKC folding, null, bad form") {
+    import graft.pipeline.TextFunctions.unicode_normalize
+    // "e<combining acute> <fi ligature>": NFC composes the pair and keeps
+    // the ligature; NFKC also folds the ligature to "fi" (escapes, not
+    // glyphs — editor normalization must not be able to change the test)
+    val df = Seq("e\u0301 \ufb01", null.asInstanceOf[String]).toDF("t")
+    val out = df.select(
+      unicode_normalize(col("t")).as("nfc"),
+      unicode_normalize(col("t"), "NFKC").as("nfkc"),
+      length(unicode_normalize(col("t"))).as("n"))
+      .collect()
+    assert(out(0).getString(0) === "\u00e9 \ufb01")
+    assert(out(0).getString(1) === "\u00e9 fi")
+    assert(out(0).getInt(2) === 3)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1)) // null-intolerant
+    intercept[IllegalArgumentException] {
+      graft.pipeline.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.expression(col("t")), "NFX")
+    }
+  }
+
   test("keepBest: quality argmax, min-id ties, member counts") {
     import graft.pipeline.Dedup
     val df = Seq(
