@@ -469,6 +469,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Compression-ratio quality signal (DeflateLen): repetitive text
+    // compresses far below prose (Gopher §A1 / RedPajama-v2 ship this
+    // as a filter). No SQL engine computes deflate, so the gate is a
+    // SELF-CERTIFICATE (the _sound pattern): per-lang exact-integer
+    // micro-sums of the ratio plus n_violations over two invariants
+    // every correct deflate must satisfy — 0 < len <= raw+64, and
+    // doubled text is sub-additive (deflate(t||t) < 2·deflate(t)+64,
+    // the back-reference property that makes the ratio a repetition
+    // signal at all). PipelineSpec asserts n_violations == 0 and pins
+    // ratio ordering on planted repetitive vs prose fixtures. Same
+    // doc_pii slice convention; the operator is a stateless scan.
+    "doc_compress" -> ((s, d) => {
+      def micros(c: Column): Column =
+        floor(c * 1000000.0 + lit(0.5)).cast("long")
+      val per = Tables.documents(s, d).filter(col("text").isNotNull)
+        .filter(col("doc_id") < 10000)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("__raw"),
+          deflate_len(col("text")).as("__z"),
+          deflate_len(concat(col("text"), col("text"))).as("__z2"))
+        .withColumn("__ratio",
+          col("__z").cast("double") / greatest(col("__raw"), lit(1L)))
+        .withColumn("__bad",
+          (col("__z") <= 0L || col("__z") > col("__raw") + 64L ||
+            col("__z2") >= col("__z") * 2L + 64L).cast("long"))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(micros(col("__ratio"))).as("sum_ratio_micros"),
+          sum(col("__bad")).as("n_violations"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic hash-threshold sampling (Sample.byHash): keep a doc
     // iff the first 8 hex chars of md5(doc_id) sort below the 10%
     // threshold — the stateless, shuffle-free, engine-portable mixture

@@ -341,6 +341,33 @@ case class UnicodeNormalize(child: Expression, form: String = "NFC")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Deflate-compressed byte length of the UTF-8 text — the
+  * compression-ratio quality signal (repetitive/templated text
+  * compresses far below prose; Rae et al. 2021 §A1 and RedPajama-v2
+  * both ship it as a corpus filter). Scan-side and allocation-bounded:
+  * one Deflater per eval with a fixed dictionary-free stream,
+  * level 6 (the zlib default every production pipeline quotes).
+  * Deterministic for a given JDK's zlib; there is no SQL-engine twin,
+  * so the gate certifies internal invariants (ratio bounds and
+  * doubled-text sub-additivity) rather than a cross-engine hash. */
+case class DeflateLen(child: Expression) extends TextUnaryExpr {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+  override def prettyName: String = "deflate_len"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column API for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.Column
@@ -366,4 +393,6 @@ object TextFunctions {
       graftbridge.expression(a), graftbridge.expression(b), shingle))
   def unicode_normalize(c: Column, form: String = "NFC"): Column =
     graftbridge.column(UnicodeNormalize(graftbridge.expression(c), form))
+  def deflate_len(c: Column): Column =
+    graftbridge.column(DeflateLen(graftbridge.expression(c)))
 }

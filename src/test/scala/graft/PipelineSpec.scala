@@ -973,6 +973,29 @@ class PipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("compression ratio: invariants hold, repetition compresses below prose") {
+    import graft.pipeline.TextFunctions.deflate_len
+    // planted fixtures: highly repetitive vs word-diverse text of equal length
+    val rep = ("ab" * 500)
+    val prose = (1 to 100).map(i => s"w${i * 7919}").mkString(" ").take(1000)
+    val df = Seq(("rep", rep), ("prose", prose)).toDF("k", "t")
+      .select(col("k"), length(col("t")).as("raw"), deflate_len(col("t")).as("z"),
+        deflate_len(concat(col("t"), col("t"))).as("z2"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.values.foreach { case (raw, z, z2) =>
+      assert(z > 0 && z <= raw + 64, s"deflate bound violated: $raw $z")
+      assert(z2 < 2 * z + 64, s"sub-additivity violated: $z $z2")
+    }
+    assert(rows("rep")._2.toDouble / rows("rep")._1 <
+      0.5 * rows("prose")._2.toDouble / rows("prose")._1,
+      s"repetitive text must compress far below prose: $rows")
+    // gate invariant: zero violations over the real corpus
+    val gate = graft.operators.PipelineQueries.queries("doc_compress")(
+      spark, sf("sf0.001"))
+    assert(gate.agg(sum(col("n_violations"))).collect()(0).getLong(0) === 0L)
+  }
+
   test("keepBest: quality argmax, min-id ties, member counts") {
     import graft.pipeline.Dedup
     val df = Seq(
