@@ -272,16 +272,22 @@ object Bench {
   private val EntryRe =
     """\{"sf":"([^"]+)","q":"([^"]+)","vals":\[([^\]]*)\]\}""".r
 
-  /** All ledger entries: (sf, query) -> value history (newest last). */
+  /** All ledger entries: (sf, query) -> value history (newest last).
+    * PER-ENTRY tolerant (review finding): one malformed vals list (a
+    * truncated write, a merge marker) must not zero the WHOLE ledger —
+    * updatePriors rewrites the file from this map, so a whole-file
+    * parse failure would silently erase every other query's and scale
+    * factor's validated history on the next update. */
   private[graft] def readPriorsLedger(dir: java.nio.file.Path)
       : Map[(String, String), Seq[Double]] = {
     val f = dir.resolve(PriorsFile)
     if (!java.nio.file.Files.isRegularFile(f)) return Map.empty
     try {
       val text = java.nio.file.Files.readString(f)
-      EntryRe.findAllMatchIn(text).map { m =>
-        (m.group(1), m.group(2)) ->
-          m.group(3).split(",").toSeq.filter(_.nonEmpty).map(_.trim.toDouble)
+      EntryRe.findAllMatchIn(text).flatMap { m =>
+        try Some((m.group(1), m.group(2)) ->
+          m.group(3).split(",").toSeq.filter(_.nonEmpty).map(_.trim.toDouble))
+        catch { case scala.util.control.NonFatal(_) => None }
       }.toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
@@ -309,6 +315,18 @@ object Bench {
       val dir = java.nio.file.Paths.get(dirOverride.getOrElse(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR_DIR", ".")))
       val ledger = readPriorsLedger(dir)
+      // REFUSE to rewrite when the file clearly holds history this read
+      // could not recover (review finding): a ledger that exists with
+      // meaningful content but parsed to nothing means corruption — an
+      // update here would replace all prior rounds' validated history
+      // with just this run's rows, unflagged.
+      val f = dir.resolve(PriorsFile)
+      if (ledger.isEmpty && java.nio.file.Files.isRegularFile(f) &&
+          java.nio.file.Files.size(f) > 256) {
+        System.err.println("[bench] prior ledger unreadable but non-" +
+          "trivial - refusing to overwrite (repair BENCH_PRIORS.json)")
+        return
+      }
       val updated = values.foldLeft(ledger) { case (acc, (q, v)) =>
         val key = (sfDir, q)
         acc.updated(key, (acc.getOrElse(key, Nil) :+ v).takeRight(3))

@@ -61,6 +61,13 @@ object AsOfJoin {
     require(payloadNames.intersect(probeCols).isEmpty,
       s"refPayload names collide with probe columns: " +
         payloadNames.intersect(probeCols).mkString(", "))
+    // internal schema names: a probe column with one of these would hit
+    // an opaque ambiguous-reference failure deep in the window plan —
+    // refuse with the same clarity as the payload check above
+    val reserved = Set("__k", "__t", "__side", "__tb", "__payload", "__match")
+    val clash = probeCols.filter(reserved)
+    require(clash.isEmpty,
+      s"probe columns collide with as-of internals: ${clash.mkString(", ")}")
     // SQL-equi/lateral semantics: a NULL-key or NULL-time reference row
     // can never match anything (NULL = k is never true; NULL <= t is
     // never true) — but a window PARTITION BY groups NULL keys together

@@ -110,11 +110,17 @@ object SpatialJoin {
       case Dedup.Contract.Off => (false, "forced")
       case Dedup.Contract.On => (true, "forced")
       case Dedup.Contract.Auto(maxRatio) =>
+        // short-circuit (review finding): when the left probe already
+        // decides contraction, the right side's distinct-count job is
+        // pure marker decoration — skip it and note `rskip`
         val lr = Dedup.distinctRatio(left.select(leftGeom.as("__pg")),
           col("__pg"))
-        val rr = Dedup.distinctRatio(right.select(rightGeom.as("__pg")),
-          col("__pg"))
-        (lr <= maxRatio || rr <= maxRatio, probeNote(lr, rr, maxRatio))
+        if (lr <= maxRatio) (true, probeNote(lr, None, maxRatio))
+        else {
+          val rr = Dedup.distinctRatio(right.select(rightGeom.as("__pg")),
+            col("__pg"))
+          (rr <= maxRatio, probeNote(lr, Some(rr), maxRatio))
+        }
     }
     val out =
       if (doContract)
@@ -134,12 +140,14 @@ object SpatialJoin {
 
   /** Compact probe note for plan markers: measured distinct ratios and
     * the threshold, dots spelled `p` so the string stays
-    * identifier-safe (`auto_l0p93_r1p00_max0p80`). */
-  private[graft] def probeNote(lr: Double, rr: Double,
+    * identifier-safe (`auto_l0p93_r1p00_max0p80`). `rr = None` prints
+    * `rskip`: the left probe alone decided, the right job never ran. */
+  private[graft] def probeNote(lr: Double, rr: Option[Double],
       maxRatio: Double): String = {
     def f(v: Double) = String.format(java.util.Locale.US, "%.2f",
       java.lang.Double.valueOf(v)).replace(".", "p")
-    s"auto_l${f(lr)}_r${f(rr)}_max${f(maxRatio)}"
+    val r = rr.fold("skip")(f)
+    s"auto_l${f(lr)}_r${r}_max${f(maxRatio)}"
   }
 
   /** Shared candidate filters: reference-point dedup (the candidate

@@ -28,8 +28,14 @@ object PipelineQueries {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(a)
-    val fb = Future(b)
+    // propagate the caller thread's cache generation onto the leg
+    // threads (review finding): Caches.currentGen is a ThreadLocal, so
+    // without this every leg-internal persist registers as generation 0
+    // and loses in-flight eviction protection under a concurrent
+    // serving session
+    val gen = graft.pipeline.Caches.capturedGen
+    val fa = Future(graft.pipeline.Caches.runWithGen(gen)(a))
+    val fb = Future(graft.pipeline.Caches.runWithGen(gen)(b))
     (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
   }
 
@@ -483,10 +489,13 @@ object PipelineQueries {
     "doc_compress" -> ((s, d) => {
       def micros(c: Column): Column =
         floor(c * 1000000.0 + lit(0.5)).cast("long")
+      // octet_length, not length: deflate_len counts UTF-8 BYTES, and
+      // comparing bytes against CHARACTERS would flag correct deflates
+      // on any multi-byte text (review finding; dormant on ASCII)
       val per = Tables.documents(s, d).filter(col("text").isNotNull)
         .filter(col("doc_id") < 10000)
         .select(col("doc_id"), col("lang"),
-          length(col("text")).cast("long").as("__raw"),
+          octet_length(col("text")).cast("long").as("__raw"),
           deflate_len(col("text")).as("__z"),
           deflate_len(concat(col("text"), col("text"))).as("__z2"))
         .withColumn("__ratio",

@@ -97,6 +97,26 @@ object Caches {
     }
   }
 
+  /** Capture this thread's generation as an opaque token for
+    * propagation onto worker threads (the dual-leg certificate gates
+    * run their legs on ExecutionContext futures, where the ThreadLocal
+    * is unset — without propagation every leg-internal persist would
+    * register as generation 0 and lose in-flight eviction protection,
+    * re-creating the recompute storm the mechanism exists to stop). */
+  private[graft] def capturedGen: AnyRef = currentGen.get()
+
+  /** Run `body` with a [[capturedGen]] token installed on THIS thread,
+    * restoring the previous value after. */
+  private[graft] def runWithGen[T](g: AnyRef)(body: => T): T = {
+    val prev = currentGen.get()
+    if (g == null) currentGen.remove()
+    else currentGen.set(g.asInstanceOf[java.lang.Long])
+    try body
+    finally {
+      if (prev == null) currentGen.remove() else currentGen.set(prev)
+    }
+  }
+
   /** Persist `df` and register it for the next [[release]] — evicting
     * past [[maxTracked]], completed generations first (see object doc). */
   private[graft] def persistTracked(df: DataFrame): DataFrame = {

@@ -273,7 +273,13 @@ object Dedup {
     * a [[graft.pipeline.Sample.capPerStratum]] call with n = 1.) */
   def keepBest(df: DataFrame, groupKey: Column, quality: Column,
       id: Column): DataFrame =
-    df.groupBy(groupKey.as("group_key"))
+    // NULL group keys fall back to a per-row unique key (the
+    // exactDupEdges convention): groupBy would otherwise collapse ALL
+    // null-keyed rows (e.g. md5(NULL) for null texts) into one bogus
+    // "duplicate group" and silently drop every member but one. The
+    // NUL ("\\u0000") prefix cannot collide with a real stringified key.
+    df.groupBy(coalesce(groupKey.cast("string"),
+        concat(lit("\u0000id:"), id)).as("group_key"))
       .agg(max_by(id, struct(quality, -id)).as("keep_id"),
         count(lit(1)).as("n_members"))
 

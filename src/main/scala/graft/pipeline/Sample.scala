@@ -38,9 +38,14 @@ object Sample {
     f"${math.min((frac * 4294967296d).toLong, 4294967295L)}%08x"
   }
 
-  /** Deterministic fraction-`frac` sample by hash threshold on `key`. */
+  /** Deterministic fraction-`frac` sample by hash threshold on `key`.
+    * frac >= 1.0 short-circuits to the identity: the clamped threshold
+    * 0xffffffff under a strict `<` would otherwise drop keys whose
+    * md5 prefix is exactly ffffffff — ~1 per 4.3B rows, real at the
+    * corpus scale this targets. */
   def byHash(df: DataFrame, key: Column, frac: Double): DataFrame =
-    df.filter(hashKey(key) < lit(thresholdHex(frac)))
+    if (frac >= 1.0) df
+    else df.filter(hashKey(key) < lit(thresholdHex(frac)))
 
   /** Quota-exact stratified sample: within each stratum, keep the
     * `ceil(frac * n)` rows that sort FIRST by (hashKey, key) — the key
@@ -82,7 +87,13 @@ object Sample {
   def mixtureBalanced(df: DataFrame, stratum: Column, key: Column,
       weight: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val totals = df.groupBy(stratum.as("__stratum"))
+    // NULL strata are excluded OUTRIGHT (review finding): the equi-join
+    // below would silently drop their rows anyway, but without this
+    // filter their group still entered the totals, and a handful of
+    // null-stratum rows (tiny summed weight) would become the balanced
+    // budget and collapse every real source's rate toward zero.
+    val clean = df.filter(stratum.isNotNull)
+    val totals = clean.groupBy(stratum.as("__stratum"))
       .agg(sum(weight).as("__w"))
     // scalar min via an unpartitioned window over the POST-AGGREGATE rows
     // (stratum-cardinality many, trivially single-partition) — NOT
@@ -94,7 +105,7 @@ object Sample {
           Window.unboundedFollowing)))
       .select(col("__stratum"),
         (col("__wmin").cast("double") / col("__w")).as("__rate"))
-    df.join(broadcast(rates), stratum === col("__stratum"))
+    clean.join(broadcast(rates), stratum === col("__stratum"))
       .filter(weylHash(key).cast("double") < col("__rate") * lit(4294967296.0))
       .drop("__stratum")
   }

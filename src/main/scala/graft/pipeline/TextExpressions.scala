@@ -351,21 +351,35 @@ case class UnicodeNormalize(child: Expression, form: String = "NFC")
   * so the gate certifies internal invariants (ratio bounds and
   * doubled-text sub-additivity) rather than a cross-engine hash. */
 case class DeflateLen(child: Expression) extends TextUnaryExpr {
+  import DeflateLen.{localBuf, localDeflater}
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .getBytes
-    val d = new java.util.zip.Deflater(6, false)
-    try {
-      d.setInput(bytes); d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    // reuse one native Deflater + buffer per task thread (review
+    // finding): per-row new/end pays native zlib stream setup and
+    // teardown on every document — pure constant overhead at the
+    // corpus-scale scan this expression exists for. reset() restores
+    // the configured level; end() is left to thread death (bounded by
+    // executor pool size).
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes); d.finish()
+    val buf = localBuf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
   override def prettyName: String = "deflate_len"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object DeflateLen {
+  private val localDeflater =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, false))
+  private val localBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 }
 
 /** Column API for the text expressions. */

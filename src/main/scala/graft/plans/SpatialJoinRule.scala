@@ -142,10 +142,17 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
               org.apache.spark.sql.functions.col("__pg"))
           }
           val max = graft.joins.SpatialJoin.AutoMaxRatio
+          // same short-circuit as SpatialJoin.grid: no right-side probe
+          // job when the left already decided (this runs at OPTIMIZER
+          // time — an extra eager count here is doubly unwelcome)
           val lr = ratio(left, lGeom)
-          val rr = ratio(right, rGeom)
-          (lr <= max || rr <= max,
-            graft.joins.SpatialJoin.probeNote(lr, rr, max))
+          if (lr <= max)
+            (true, graft.joins.SpatialJoin.probeNote(lr, None, max))
+          else {
+            val rr = ratio(right, rGeom)
+            (rr <= max,
+              graft.joins.SpatialJoin.probeNote(lr, Some(rr), max))
+          }
         } catch { case scala.util.control.NonFatal(e) =>
           logWarning(s"spatial-join contraction probe failed, " +
             s"keeping contracted shape: $e")

@@ -231,6 +231,11 @@ object EventStream {
     * versioned store. */
   def asofLookup(probe: DataFrame, refStatic: DataFrame, key: String,
       probeTime: String, refTime: String, refId: String): DataFrame = {
+    val reserved = Set("__tl", "__m", "match_id", "match_ts")
+    val clash = probe.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"probe columns collide with as-of lookup internals/outputs: " +
+        clash.mkString(", "))
     val timeline = refStatic.select(col(key),
         struct(col(refTime).as("t"), col(refId).as("id")).as("__e"))
       .groupBy(col(key))

@@ -99,5 +99,13 @@ class AsOfJoinSpec extends SparkFunSuite {
       AsOfJoin.backward(p, p, "user_id", "ts", "ts",
         Seq(col("event_id")), refTiebreak = col("event_id"))
     }
+    // probe columns named like the internals must refuse loudly, not
+    // fail with an opaque ambiguous-reference deep in the window plan
+    val bad = Seq((1L, 1L, ts(1), 0)).toDF("event_id", "user_id", "ts",
+      "__side")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(bad, p, "user_id", "ts", "ts",
+        Seq(col("event_id").as("m_id")), refTiebreak = col("event_id"))
+    }
   }
 }

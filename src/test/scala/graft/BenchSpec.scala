@@ -120,6 +120,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isHot(p, 1.16), "ledger-sourced prior must flag the 2.2x run")
   }
 
+  test("ledger survives a malformed entry; refuses rewrite when unreadable") {
+    val dir = Files.createTempDirectory("benchcorrupt")
+    val sf = "/root/testdata/sf0.1"
+    Bench.updatePriors(sf, Map("q1_agg" -> 0.5, "q4_topk" -> 0.2),
+      Some(dir.toString))
+    // corrupt ONE entry's vals in place — the other must survive a read
+    val f = dir.resolve("BENCH_PRIORS.json")
+    Files.writeString(f, Files.readString(f)
+      .replace("\"q\":\"q1_agg\",\"vals\":[0.5]",
+        "\"q\":\"q1_agg\",\"vals\":[0.5,<<<<]"))
+    val ledger = Bench.readPriorsLedger(dir)
+    assert(ledger((sf, "q4_topk")) === Seq(0.2), "good entry must survive")
+    assert(!ledger.contains((sf, "q1_agg")), "bad entry dropped, not fatal")
+    // a ledger that exists with content but parses to NOTHING must not
+    // be rewritten from scratch by the next update
+    Files.writeString(f, "<" * 400)
+    Bench.updatePriors(sf, Map("q1_agg" -> 0.9), Some(dir.toString))
+    assert(Files.readString(f) === "<" * 400,
+      "corrupt non-trivial ledger must be left untouched")
+  }
+
   test("committed ledger covers every query for the bench sf") {
     // round-13 contract: every shared query's prior provably comes from
     // round-<=12 validated data — i.e. the committed ledger has a row

@@ -753,6 +753,24 @@ class PipelineSpec extends SparkFunSuite {
         "different path reused the first table's memoized ratio")
   }
 
+  test("cache generation propagates to worker threads via runWithGen") {
+    import graft.pipeline.Caches
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Caches.withGeneration {
+      val g = Caches.capturedGen
+      assert(g != null, "generation must be set inside withGeneration")
+      // a bare Future thread sees NO generation; runWithGen installs it
+      val (bare, propagated) = Await.result(
+        Future((Caches.capturedGen, Caches.runWithGen(g)(Caches.capturedGen))),
+        Duration.Inf)
+      assert(bare == null, "ThreadLocal must not leak to the pool by itself")
+      assert(propagated === g, "runWithGen must install the captured gen")
+    }
+    assert(Caches.capturedGen == null, "generation must clear on exit")
+  }
+
   test("Caches.release evicts every internal persist (serving stability)") {
     // the round-6 #8 contract: a serving session running near-dup queries
     // and releasing at request boundaries must not accumulate cache
@@ -1011,6 +1029,31 @@ class PipelineSpec extends SparkFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out === Map("g1" -> ((3L, 3L)), "g2" -> ((4L, 2L)),
       "g3" -> ((9L, 1L))))
+    // review finding: NULL group keys must stay SINGLETONS (md5(NULL)
+    // would otherwise merge all null-text docs into one bogus group)
+    val withNulls = Seq((Some("g1"), 1L, 5L), (None, 2L, 5L),
+      (None, 3L, 5L)).toDF("g", "id", "q")
+    val nout = Dedup.keepBest(withNulls, col("g"), col("q"), col("id"))
+      .as[(String, Long, Long)].collect()
+    assert(nout.length === 3, s"null keys must not merge: ${nout.toSeq}")
+    assert(nout.count(_._3 == 1L) === 3)
+  }
+
+  test("sampling boundaries: frac=1 identity; null strata excluded from budget") {
+    import graft.pipeline.Sample
+    val df = docs.select(col("doc_id"), col("lang"))
+    assert(Sample.byHash(df, col("doc_id"), 1.0).count() === df.count())
+    // a tiny null stratum must not become the balanced budget
+    val mixed = docs.select(col("doc_id"),
+      when(col("doc_id") === 3L, lit(null).cast("string"))
+        .otherwise(col("source")).as("source"), col("n_chars"))
+    val kept = Sample.mixtureBalanced(mixed, col("source"), col("doc_id"),
+      col("n_chars"))
+    // with the null group excluded, rates stay ~balanced: kept count is
+    // a large fraction of the corpus, not collapsed toward zero
+    assert(kept.count() > docs.count() / 2,
+      s"null stratum collapsed the budget: kept ${kept.count()}")
+    assert(kept.filter(col("source").isNull).count() === 0)
   }
 
   test("mixture + cap: balanced budgets, Weyl determinism, group-limit plan") {
