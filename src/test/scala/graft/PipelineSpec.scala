@@ -970,6 +970,35 @@ class PipelineSpec extends SparkFunSuite {
     assert(a === b)
   }
 
+  test("pq: reconstruction beats the grand-mean baseline; ADC deterministic") {
+    import graft.pipeline.Pq
+    val dim = 64
+    val model = Pq.train(emb, "vec_id", "embedding", dim, m = 8, k = 16)
+    assert(model.books.length === 8 && model.books.forall(_.length === 16))
+    // quantization error must beat the trivial 1-centroid quantizer
+    // (the grand mean) — the minimum bar for a trained codebook
+    def mse(approx: org.apache.spark.sql.Column): Double =
+      emb.select(avg(aggregate(zip_with(col("embedding"), approx,
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x)))
+        .collect()(0).getDouble(0)
+    val pqMse = mse(Pq.decode(Pq.encode(col("embedding"), model), model))
+    val meanVec = emb
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("p").agg(avg(col("x").cast("double")).as("m"))
+      .orderBy("p").collect().map(_.getDouble(1).toFloat)
+    val baseMse = mse(array(meanVec.map(lit(_)): _*))
+    assert(pqMse < baseMse * 0.8,
+      s"codebook must beat the grand mean: pq=$pqMse base=$baseMse")
+    // deterministic end to end: same training, same codes, same top-k
+    val a = Pq.adcTopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+      "embedding", dim).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(3))).toSet
+    val b = Pq.adcTopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+      "embedding", dim).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(3))).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("unicode normalize: NFC composition, NFKC folding, null, bad form") {
     import graft.pipeline.TextFunctions.unicode_normalize
     // "e<combining acute> <fi ligature>": NFC composes the pair and keeps
