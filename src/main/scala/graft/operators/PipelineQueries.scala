@@ -891,6 +891,26 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ composition (Pq.ivfPqTopK): inverted-file probing over PQ
+    // codes — the production billion-vector layout; same certificate
+    // family as emb_pq_sound below.
+    "emb_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ soundness: the emb_pq_sound rank-percentile bound over the
+    // cell-probed path (additionally catches centroid/cell misrouting —
+    // a wrong inverted file feeds ADC chance-level candidates).
+    "emb_ivfpq_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pqRankCertificate(emb,
+        Pq.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", dim = 64))
+    }),
+
     // PQ soundness — a rank-percentile bound, robust to the corpus's
     // distribution: for every query, the MEAN exact-dot rank (computed
     // in-gate by a brute window over FULL vectors — an independent
@@ -905,32 +925,9 @@ object PipelineQueries {
     // self-match) ride along.
     "emb_pq_sound" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val qs = emb.filter(col("vec_id") < 10)
-      val pq = Pq.adcTopK(qs, emb, "vec_id", "embedding",
-        dim = 64, m = 8, k = 16, topK = 10)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("__dot").desc, col("neighbor_id").asc)
-      val ranked = qs.select(col("vec_id").as("query_id"),
-          col("embedding").as("__vq"))
-        .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("__vn")))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("__dot", Det.r(Pq.dotCol(col("__vq"), col("__vn")), 6))
-        .withColumn("__rk", row_number().over(w))
-        .select(col("query_id"), col("neighbor_id"), col("__rk"))
-      val structural = pq.agg(coalesce(sum(
-        when(col("rank") < 1 || col("rank") > 10 ||
-          col("query_id") === col("neighbor_id"), 1L).otherwise(0L)),
-        lit(0L)).as("__s"))
-      val rankQuality = pq.join(ranked, Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id")).agg(avg(col("__rk")).as("__meanrk"))
-        .crossJoin(emb.agg(count(lit(1)).as("__n")))
-        .agg(coalesce(sum(when(col("__meanrk") > col("__n") / 5.0, 1L)
-          .otherwise(0L)), lit(0L)).as("__r"))
-      qs.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(structural).crossJoin(rankQuality)
-        .select(col("n_queries"),
-          (col("__s") + col("__r")).cast("long").as("n_violations"))
+      pqRankCertificate(emb,
+        Pq.adcTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", dim = 64, m = 8, k = 16, topK = 10))
     }),
 
     // Hyperplane-LSH ANN soundness: every emitted neighbour's similarity
@@ -1025,6 +1022,38 @@ object PipelineQueries {
   /** Normalized text the way TextHash.normalize does it (lowercase,
     * whitespace runs collapsed, trimmed) — built-ins only, for the
     * soundness certificates' independent recompute path. */
+  /** Shared PQ-family certificate: per query, the MEAN exact-dot rank
+    * of the selected neighbours (brute full-vector window — an
+    * independent scoring path) must sit in the top fifth of the corpus
+    * (chance = 50%), plus structural checks. The emitted row is
+    * (n_queries, n_violations) with a hash-pinned zero oracle. */
+  private def pqRankCertificate(emb: DataFrame, pq: DataFrame): DataFrame = {
+    val qs = emb.filter(col("vec_id") < 10)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dot").desc, col("neighbor_id").asc)
+    val ranked = qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("__vq"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__vn")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dot", Det.r(Pq.dotCol(col("__vq"), col("__vn")), 6))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("__rk"))
+    val structural = pq.agg(coalesce(sum(
+      when(col("rank") < 1 || col("rank") > 10 ||
+        col("query_id") === col("neighbor_id"), 1L).otherwise(0L)),
+      lit(0L)).as("__s"))
+    val rankQuality = pq.join(ranked, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(avg(col("__rk")).as("__meanrk"))
+      .crossJoin(emb.agg(count(lit(1)).as("__n")))
+      .agg(coalesce(sum(when(col("__meanrk") > col("__n") / 5.0, 1L)
+        .otherwise(0L)), lit(0L)).as("__r"))
+    qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(structural).crossJoin(rankQuality)
+      .select(col("n_queries"),
+        (col("__s") + col("__r")).cast("long").as("n_violations"))
+  }
+
   private[graft] def builtinNorm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
@@ -1592,6 +1621,9 @@ object PipelineQueries {
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
     "emb_pq_sound" ->
+      """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 10""",
+    "emb_ivfpq_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
     "emb_ivf_sound" ->

@@ -192,6 +192,46 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("score"),
         col("rank"))
   }
+
+  /** IVF-PQ: the production composition — corpus rows carry an IVF
+    * cell id (the [[Similarity.ivfJoin]] inverted file) AND their PQ
+    * codes; each query probes its `nprobe` max-dot cells and
+    * ADC-scores ONLY the codes in those cells. Candidate count drops
+    * to ~nprobe/nlist of the corpus and the scored payload is 8-int
+    * codes, not vectors — the layout that serves billion-vector
+    * corpora from executor memory. Same output contract and
+    * determinism pins as [[adcTopK]]. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, k: Int = 16, topK: Int = 10, iters: Int = 2): DataFrame = {
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val model = train(corpus, idCol, vecCol, dim, m, k, iters)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+        encode(col(vecCol), model).as("__codes"),
+        Similarity.nearestCentroid(col(vecCol), cents).as("__cluster"))
+    val centSims = cents.map(cen => dot(col("__qvec"),
+      array(cen.map(lit(_)): _*)))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__tab", tableCol(col("__qvec"), model.books))
+      .withColumn("__probe", slice(reverse(array_sort(zip_with(
+        array(centSims: _*), sequence(lit(0), lit(nlist - 1)),
+        (s2, i) => struct(s2.as("s"), i.as("i"))))), 1, nprobe))
+      .select(col("query_id"), col("__tab"),
+        explode(col("__probe").getField("i")).as("__cluster"))
+    val score = (0 until m).map(s =>
+      element_at(col("__tab").getItem(s), col("__codes").getItem(s) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    broadcast(probed).join(coded, Seq("__cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", graft.Det.r(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank"))
+  }
 }
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}

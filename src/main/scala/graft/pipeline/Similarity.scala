@@ -113,8 +113,9 @@ object Similarity {
   }
 
   /** Index of the max-dot-product centroid (broadcast literal planes,
-    * codegen'd dot products — runs scan-side). */
-  private def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    * codegen'd dot products — runs scan-side). Shared with [[Pq]]'s
+    * IVF-PQ composition. */
+  private[pipeline] def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
     val sims = centroids.map { cen =>
       org.apache.spark.sql.graftbridge.column(DotProduct(
         org.apache.spark.sql.graftbridge.expression(vec),

@@ -997,6 +997,12 @@ class PipelineSpec extends SparkFunSuite {
       "embedding", dim).collect().map(r => (r.getLong(0), r.getLong(1),
       r.getInt(3))).toSet
     assert(a === b && a.nonEmpty)
+    // IVF-PQ with every cell probed degenerates to PQ-flat EXACTLY —
+    // the composition adds routing, never changes scoring
+    val full = Pq.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+      "embedding", dim, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full === a, "nprobe = nlist must equal the flat ADC result")
   }
 
   test("unicode normalize: NFC composition, NFKC folding, null, bad form") {
