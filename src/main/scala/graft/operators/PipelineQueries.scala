@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pq, Redact, Sample, Similarity}
+import graft.pipeline.{Caches, Decontaminate, Dedup, Multimodal, Pq, Redact, Sample, Similarity}
 import graft.pipeline.TextFunctions._
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -902,8 +902,11 @@ object PipelineQueries {
     }),
 
     // IVF-PQ soundness: the emb_pq_sound rank-percentile bound over the
-    // cell-probed path (additionally catches centroid/cell misrouting —
-    // a wrong inverted file feeds ADC chance-level candidates).
+    // cell-probed path. Deliberately NOT claimed to catch cell
+    // MISROUTING: the best-of-a-random-quarter still ranks top ~5%
+    // (review finding), so no rank statistic separates it here —
+    // routing correctness is pinned directly in PipelineSpec (probed
+    // cells == top-nprobe by centroid dot, plus nprobe = nlist ≡ flat).
     "emb_ivfpq_sound" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       pqRankCertificate(emb,
@@ -1019,15 +1022,17 @@ object PipelineQueries {
       lit(math.max(1L, n / max))) === 0L)
   }
 
-  /** Normalized text the way TextHash.normalize does it (lowercase,
-    * whitespace runs collapsed, trimmed) — built-ins only, for the
-    * soundness certificates' independent recompute path. */
   /** Shared PQ-family certificate: per query, the MEAN exact-dot rank
     * of the selected neighbours (brute full-vector window — an
     * independent scoring path) must sit in the top fifth of the corpus
-    * (chance = 50%), plus structural checks. The emitted row is
-    * (n_queries, n_violations) with a hash-pinned zero oracle. */
-  private def pqRankCertificate(emb: DataFrame, pq: DataFrame): DataFrame = {
+    * (chance = 50%), plus structural checks AND a completeness check —
+    * the operator must emit EXACTLY topK rows per query (review
+    * finding: without it, an operator regression that emits nothing
+    * would zero both violation legs and pass the pinned (n, 0) oracle
+    * vacuously). The emitted row is (n_queries, n_violations). */
+  private def pqRankCertificate(emb: DataFrame, pqRaw: DataFrame,
+      topK: Int = 10): DataFrame = {
+    val pq = Caches.persistTracked(pqRaw) // three legs read it once
     val qs = emb.filter(col("vec_id") < 10)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__dot").desc, col("neighbor_id").asc)
@@ -1040,20 +1045,29 @@ object PipelineQueries {
       .withColumn("__rk", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("__rk"))
     val structural = pq.agg(coalesce(sum(
-      when(col("rank") < 1 || col("rank") > 10 ||
+      when(col("rank") < 1 || col("rank") > topK ||
         col("query_id") === col("neighbor_id"), 1L).otherwise(0L)),
       lit(0L)).as("__s"))
+    val completeness = qs.select(col("vec_id").as("query_id"))
+      .join(pq.groupBy(col("query_id")).agg(count(lit(1)).as("__k")),
+        Seq("query_id"), "left")
+      .agg(coalesce(sum(when(coalesce(col("__k"), lit(0L)) =!= topK, 1L)
+        .otherwise(0L)), lit(0L)).as("__c"))
     val rankQuality = pq.join(ranked, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(avg(col("__rk")).as("__meanrk"))
       .crossJoin(emb.agg(count(lit(1)).as("__n")))
       .agg(coalesce(sum(when(col("__meanrk") > col("__n") / 5.0, 1L)
         .otherwise(0L)), lit(0L)).as("__r"))
     qs.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(structural).crossJoin(rankQuality)
+      .crossJoin(structural).crossJoin(completeness).crossJoin(rankQuality)
       .select(col("n_queries"),
-        (col("__s") + col("__r")).cast("long").as("n_violations"))
+        (col("__s") + col("__c") + col("__r")).cast("long")
+          .as("n_violations"))
   }
 
+  /** Normalized text the way TextHash.normalize does it (lowercase,
+    * whitespace runs collapsed, trimmed) — built-ins only, for the
+    * soundness certificates' independent recompute path. */
   private[graft] def builtinNorm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 

@@ -48,6 +48,9 @@ object Pq {
       books: Array[Array[Array[Float]]]): Array[Int] = {
     val m = books.length
     val subDim = books(0)(0).length
+    require(v.numElements() == m * subDim,
+      s"pq_encode: vector has ${v.numElements()} elements, model expects " +
+        s"${m * subDim} — a silent misread here would produce garbage codes")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -76,6 +79,9 @@ object Pq {
       books: Array[Array[Array[Float]]]): Array[Array[Double]] = {
     val m = books.length
     val subDim = books(0)(0).length
+    require(v.numElements() == m * subDim,
+      s"pq_table: vector has ${v.numElements()} elements, model expects " +
+        s"${m * subDim}")
     Array.tabulate(m) { s =>
       val book = books(s)
       Array.tabulate(book.length) { c =>
@@ -179,12 +185,21 @@ object Pq {
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qvec"))
       .withColumn("__tab", tableCol(col("__qvec"), model.books))
+    scoreAndRank(broadcast(q).crossJoin(coded), m, topK)
+  }
+
+  /** Shared ADC scoring tail: sum the m table lookups, Det-round, rank
+    * per query with the id tie-break, keep topK. ONE definition so the
+    * flat and IVF paths cannot diverge on the determinism pins (the
+    * PipelineSpec nprobe = nlist equivalence depends on it). */
+  private def scoreAndRank(candidates: DataFrame, m: Int,
+      topK: Int): DataFrame = {
     val score = (0 until m).map(s =>
       element_at(col("__tab").getItem(s), col("__codes").getItem(s) + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    broadcast(q).crossJoin(coded)
+    candidates
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", graft.Det.r(score, 6))
       .withColumn("rank", row_number().over(w))
@@ -209,28 +224,14 @@ object Pq {
     val coded = corpus.select(col(idCol).as("neighbor_id"),
         encode(col(vecCol), model).as("__codes"),
         Similarity.nearestCentroid(col(vecCol), cents).as("__cluster"))
-    val centSims = cents.map(cen => dot(col("__qvec"),
-      array(cen.map(lit(_)): _*)))
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
       .withColumn("__tab", tableCol(col("__qvec"), model.books))
-      .withColumn("__probe", slice(reverse(array_sort(zip_with(
-        array(centSims: _*), sequence(lit(0), lit(nlist - 1)),
-        (s2, i) => struct(s2.as("s"), i.as("i"))))), 1, nprobe))
+      .withColumn("__probe",
+        Similarity.probeCells(col("__qvec"), cents, nprobe))
       .select(col("query_id"), col("__tab"),
-        explode(col("__probe").getField("i")).as("__cluster"))
-    val score = (0 until m).map(s =>
-      element_at(col("__tab").getItem(s), col("__codes").getItem(s) + 1))
-      .reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    broadcast(probed).join(coded, Seq("__cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", graft.Det.r(score, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("score"),
-        col("rank"))
+        explode(col("__probe")).as("__cluster"))
+    scoreAndRank(broadcast(probed).join(coded, Seq("__cluster")), m, topK)
   }
 }
 
@@ -245,6 +246,17 @@ case class PqEncodeExpr(child: Expression,
     books: Array[Array[Array[Float]]])
     extends UnaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
+  // float arrays ONLY (the kernels read via getFloat): an array<double>
+  // child would silently misread UnsafeArrayData bytes as garbage codes
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+    }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(Pq.encodeRow(v.asInstanceOf[ArrayData], books))
@@ -257,6 +269,15 @@ case class PqTableExpr(child: Expression,
     books: Array[Array[Array[Float]]])
     extends UnaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+    }
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def nullSafeEval(v: Any): Any =

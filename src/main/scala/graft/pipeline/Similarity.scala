@@ -126,6 +126,25 @@ object Similarity {
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
+  /** The `nprobe` max-dot probe cells for a query vector, as an int
+    * array column — shared by [[ivfJoin]] and [[Pq.ivfPqTopK]] so the
+    * two IVF paths cannot diverge. DETERMINISTIC ties: sorted by
+    * (−dot, cell index) ascending, so equal-score cells break to the
+    * LOWEST index (the convention every Pq/Similarity tie follows). */
+  private[graft] def probeCells(vec: Column,
+      centroids: Array[Array[Float]], nprobe: Int): Column = {
+    val sims = centroids.map { cen =>
+      org.apache.spark.sql.graftbridge.column(DotProduct(
+        org.apache.spark.sql.graftbridge.expression(vec),
+        org.apache.spark.sql.graftbridge.expression(
+          array(cen.map(lit(_)): _*))))
+    }
+    val ranked = array_sort(zip_with(
+      array(sims: _*), sequence(lit(0), lit(centroids.length - 1)),
+      (s2, i) => struct((-s2).as("s"), i.as("i"))))
+    slice(ranked, 1, nprobe).getField("i")
+  }
+
   /** IVF-flat ANN join: corpus rows are bucketed by nearest centroid
     * (the inverted file); each query probes its `nprobe` nearest
     * centroids and exact-refines only within those buckets — the
@@ -138,19 +157,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
       .withColumn("__cluster", nearestCentroid(col("__cvec"), centroids))
     // query side: explode the nprobe nearest centroid ids
-    val sims = centroids.map { cen =>
-      org.apache.spark.sql.graftbridge.column(DotProduct(
-        org.apache.spark.sql.graftbridge.expression(col("__qvec")),
-        org.apache.spark.sql.graftbridge.expression(array(cen.map(lit(_)): _*))))
-    }
-    val simArr = array(sims: _*)
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
-      .withColumn("__probe", slice(reverse(array_sort(zip_with(
-        simArr, sequence(lit(0), lit(nlist - 1)),
-        (s2, i) => struct(s2.as("s"), i.as("i"))))), 1, nprobe))
+      .withColumn("__probe",
+        Similarity.probeCells(col("__qvec"), centroids, nprobe))
       .select(col("query_id"), col("__qvec"),
-        explode(col("__probe").getField("i")).as("__cluster"))
+        explode(col("__probe")).as("__cluster"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     probed.join(c, Seq("__cluster"))

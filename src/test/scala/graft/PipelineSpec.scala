@@ -1003,6 +1003,25 @@ class PipelineSpec extends SparkFunSuite {
       "embedding", dim, nlist = 8, nprobe = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(full === a, "nprobe = nlist must equal the flat ADC result")
+    // ROUTING pinned directly (the rank-percentile certificate cannot:
+    // best-of-a-random-quarter still ranks top ~5%): probeCells must
+    // return exactly the top-nprobe cells by centroid dot, recomputed
+    // here in plain Scala with the lowest-index tie convention
+    val cents = graft.pipeline.Similarity.ivfCentroids(emb, "vec_id",
+      "embedding", nlist = 8)
+    val vecs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probed = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), graft.pipeline.Similarity.probeCells(
+        col("embedding"), cents, nprobe = 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    vecs.foreach { case (id, v) =>
+      val want = cents.zipWithIndex.map { case (c, i) =>
+        (-c.zip(v).map { case (y, x) => y.toDouble * x }.sum, i)
+      }.sorted.take(3).map(_._2).toList
+      assert(probed(id) === want, s"probe cells diverge for query $id")
+    }
   }
 
   test("unicode normalize: NFC composition, NFKC folding, null, bad form") {
