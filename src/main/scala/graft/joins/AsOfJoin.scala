@@ -51,10 +51,16 @@ object AsOfJoin {
     *                    names must not collide with probe columns)
     * @param refTiebreak ref-side column breaking equal-time ties (max
     *                    wins); must be non-null
+    * @param toleranceSec optional max probe−ref gap in seconds
+    *                    (INCLUSIVE, the merge_asof contract): a match
+    *                    older than the tolerance keeps NULL payloads —
+    *                    the row still appears (left-outer), it just has
+    *                    no usable reference. Applied as a scan-side
+    *                    conditional after the window; no extra shuffle.
     */
   def backward(probe: DataFrame, ref: DataFrame, key: String,
       probeTime: String, refTime: String, refPayload: Seq[Column],
-      refTiebreak: Column): DataFrame = {
+      refTiebreak: Column, toleranceSec: Option[Long] = None): DataFrame = {
     val probeCols = probe.columns.toSeq
     val payload = ref.select(refPayload: _*)
     val payloadNames = payload.columns.toSeq
@@ -93,9 +99,21 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = refTagged.unionByName(probeTagged)
+    // __mt carries the matched row's TIME through the same window:
+    // last(non-null payload) and last(ref-side time) pick the same row
+    // (both are "the last ref row in the frame"), so the tolerance test
+    // compares the probe against exactly the row it matched
+    val matchedRaw = refTagged.unionByName(probeTagged)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__mt", last(when(col("__side") === 0, col("__t")),
+        ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val matched = toleranceSec match {
+      case None => matchedRaw
+      case Some(tol) => matchedRaw.withColumn("__match",
+        when(col("__t").cast("long") - col("__mt").cast("long") <= tol,
+          col("__match"))) // else NULL: too stale to use, row survives
+    }
     val out = col("__k").as(key) +:
       probeCols.filter(_ != key).map(col) ++:
       payloadNames.map(n => col("__match").getField(n).as(n))

@@ -53,6 +53,21 @@ class AsOfJoinSpec extends SparkFunSuite {
     assert(exchanges === 1, "as-of must cost exactly one shuffle")
   }
 
+  test("backward as-of: tolerance nulls stale matches, inclusive boundary") {
+    val probe = Seq(
+      (1L, 10L, ts(100)), // gap to nearest ref = 10 -> inside tol
+      (2L, 10L, ts(150)), // gap 60 -> exactly AT tol: inclusive, matches
+      (3L, 10L, ts(200))  // gap 110 -> stale: row survives, payload NULL
+    ).toDF("event_id", "user_id", "ts")
+    val ref = Seq((101L, 10L, ts(90))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backward(probe, ref, "user_id", "ts", "ts",
+        Seq(col("event_id").as("m_id")), refTiebreak = col("event_id"),
+        toleranceSec = Some(60L))
+      .select(col("event_id"), col("m_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(1L -> Some(101L), 2L -> Some(101L), 3L -> None))
+  }
+
   test("backward as-of: NULL key/time refs never match (SQL semantics)") {
     val probe = Seq((1L, Some(10L), Some(ts(100))), // normal probe
       (2L, None, Some(ts(100))),                    // NULL key probe
