@@ -110,6 +110,41 @@ object Sample {
       .drop("__stratum")
   }
 
+  /** Mixture to EXPLICIT per-stratum target weights — the general
+    * data-mixing form ([[mixtureBalanced]] is the targets-all-equal
+    * special case): `targets` maps stratum value -> desired share of
+    * the output weight. Each stratum's keep-rate solves to
+    * `c · target_s / total_s` with c the largest feasible scale (no
+    * rate above 1), i.e. the output hits the requested proportions at
+    * the maximum size the corpus supports. Same plan shape as
+    * mixtureBalanced: tiny aggregate -> broadcast rates -> stateless
+    * Weyl-hash threshold scan. Strata absent from `targets` (and NULL
+    * strata) are dropped. */
+  def mixtureToWeights(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, targets: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty and positive")
+    val clean = df.filter(stratum.isNotNull &&
+      stratum.cast("string").isin(targets.keys.toSeq: _*))
+    val targetLit = map(targets.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    val totals = clean.groupBy(stratum.cast("string").as("__stratum"))
+      .agg(sum(weight).as("__w"))
+      .withColumn("__tgt", element_at(targetLit, col("__stratum")))
+    // c = min_s(total_s / target_s): the binding stratum keeps rate 1
+    val scaled = totals
+      .withColumn("__c", min(col("__w").cast("double") / col("__tgt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("__stratum"),
+        (col("__c") * col("__tgt") / col("__w").cast("double"))
+          .as("__rate"))
+    clean.join(broadcast(scaled), stratum.cast("string") === col("__stratum"))
+      .filter(weylHash(key).cast("double") < col("__rate") * lit(4294967296.0))
+      .drop("__stratum")
+  }
+
   /** Per-stratum cap: keep at most `n` rows per stratum, chosen by the
     * deterministic [[weylHash]] order (key tiebreak) — the per-domain
     * document cap of web-corpus assembly. Declared as a rank window so

@@ -1093,6 +1093,29 @@ class PipelineSpec extends SparkFunSuite {
     assert(nout.count(_._3 == 1L) === 3)
   }
 
+  test("mixtureToWeights: hits requested proportions at max feasible size") {
+    import graft.pipeline.Sample
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    // ask for a 2:1:1 en/de/fr char mixture; en is the largest stratum
+    // so de or fr binds (keeps rate 1) and en downsamples toward 2x
+    val targets = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0)
+    val kept = Sample.mixtureToWeights(d, col("lang"), col("doc_id"),
+      col("n_chars"), targets)
+    val w = kept.groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w.keySet === targets.keySet, s"strata filtered to targets: $w")
+    // proportions within a binomial band of 2:1:1 (threshold sampling)
+    val perUnit = targets.map { case (k, t) => w(k) / t }
+    assert(perUnit.max < perUnit.min * 1.8,
+      s"proportions off target: $w (per-unit $perUnit)")
+    // the binding stratum keeps everything (rate exactly 1)
+    val full = d.filter(col("lang").isin("en", "de", "fr"))
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(targets.keys.exists(k => w(k) === full(k)),
+      s"some stratum must bind at rate 1: kept $w of $full")
+  }
+
   test("sampling boundaries: frac=1 identity; null strata excluded from budget") {
     import graft.pipeline.Sample
     val df = docs.select(col("doc_id"), col("lang"))
