@@ -70,7 +70,8 @@ object AsOfJoin {
     // internal schema names: a probe column with one of these would hit
     // an opaque ambiguous-reference failure deep in the window plan —
     // refuse with the same clarity as the payload check above
-    val reserved = Set("__k", "__t", "__side", "__tb", "__payload", "__match")
+    val reserved =
+      Set("__k", "__t", "__side", "__tb", "__payload", "__match", "__mt")
     val clash = probeCols.filter(reserved)
     require(clash.isEmpty,
       s"probe columns collide with as-of internals: ${clash.mkString(", ")}")

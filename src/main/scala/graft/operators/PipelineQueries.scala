@@ -26,7 +26,7 @@ object PipelineQueries {
     * its own thread; Spark's scheduler interleaves them. Gate-harness
     * cost only — corpus operators stay single-plan. */
   private def legs[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, Promise}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     // propagate the caller thread's cache generation onto the leg
@@ -35,9 +35,29 @@ object PipelineQueries {
     // and loses in-flight eviction protection under a concurrent
     // serving session
     val gen = graft.pipeline.Caches.capturedGen
-    val fa = Future(graft.pipeline.Caches.runWithGen(gen)(a))
-    val fb = Future(graft.pipeline.Caches.runWithGen(gen)(b))
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    // Each leg runs under its own job group so a failure in one can
+    // cancel the sibling's in-flight Spark jobs (review finding: the
+    // old sequential Await surfaced a fast leg-b failure only after
+    // leg a completed — or never, if a hung — and left the sibling's
+    // jobs running detached after a failure).
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val tag = "graft-legs-" + java.util.UUID.randomUUID()
+    def run[T](side: String)(body: => T): Future[T] = Future {
+      sc.setJobGroup(s"$tag-$side", "dual-leg certificate gate",
+        interruptOnCancel = true)
+      try graft.pipeline.Caches.runWithGen(gen)(body)
+      finally sc.clearJobGroup()
+    }
+    val fa = run("a")(a)
+    val fb = run("b")(b)
+    // fail-fast: EITHER leg's failure completes the promise immediately
+    // (fa.zip(fb) alone would sit on a hung leg a while b's failure
+    // waits unobserved)
+    val p = Promise[(A, B)]()
+    fa.failed.foreach { e => sc.cancelJobGroup(s"$tag-b"); p.tryFailure(e) }
+    fb.failed.foreach { e => sc.cancelJobGroup(s"$tag-a"); p.tryFailure(e) }
+    p.completeWith(fa.zip(fb))
+    Await.result(p.future, Duration.Inf)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -531,10 +551,10 @@ object PipelineQueries {
     // corpora (rates are scale-invariant there anyway: every source
     // replicates uniformly).
     "doc_mixture" -> ((s, d) =>
-      Sample.mixtureBalanced(
+      Sample.mixtureBalancedRated(
           Tables.documents(s, d).filter(col("doc_id") < 100000000L),
-          col("source"), col("doc_id"), col("n_chars"))
-        .select(col("doc_id"), col("source"), col("__rate").as("rate"))
+          col("source"), col("doc_id"), col("n_chars"), "rate")
+        .select(col("doc_id"), col("source"), col("rate"))
         .orderBy(col("doc_id"))),
 
     // Per-source document cap (Sample.capPerStratum): at most 5 docs per
@@ -545,10 +565,10 @@ object PipelineQueries {
     // however large or skewed the sources are (plan pinned in
     // PipelineSpec). Same slice convention as doc_mixture.
     "doc_source_cap" -> ((s, d) =>
-      Sample.capPerStratum(
+      Sample.capPerStratumRanked(
           Tables.documents(s, d).filter(col("doc_id") < 100000000L),
-          col("source"), col("doc_id"), 5)
-        .select(col("doc_id"), col("source"), col("__cap_rk").as("cap_rk"))
+          col("source"), col("doc_id"), 5, "cap_rk")
+        .select(col("doc_id"), col("source"), col("cap_rk"))
         .orderBy(col("source"), col("cap_rk"))),
 
     // Approximate-nearest-neighbor join (rows-only gate): seeded
@@ -1382,14 +1402,16 @@ object PipelineQueries {
                FROM tot)
          SELECT d.doc_id, d.source, r.rate
          FROM d JOIN r USING (source)
-         WHERE (d.doc_id * 2654435761) % 4294967296 < rate * 4294967296.0
+         WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+               < rate * 4294967296.0
          ORDER BY d.doc_id""",
     // Per-source cap: row_number over the Weyl-hash order, keep rank<=5.
     "doc_source_cap" ->
       """SELECT doc_id, source, cap_rk FROM (
            SELECT doc_id, source,
              row_number() OVER (PARTITION BY source
-               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                 doc_id)
                AS cap_rk
            FROM documents WHERE doc_id < 100000000) t
          WHERE cap_rk <= 5

@@ -684,6 +684,10 @@ object Dedup {
   private def jaccardContracted(df: DataFrame, idCol: String,
       textCol: String, shingle: Int,
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    // both public entries re-check, but the literal-1.0 selfVals below
+    // are only correct under threshold <= 1.0 — keep the invariant local
+    // so a future caller can't silently pass every clique (review note)
+    require(threshold <= 1.0, "threshold must be <= 1.0")
     val c = contractExact(df, idCol, md5(col(textCol)))
     val repPairs = jaccardPairsRaw(c.reps, idCol, textCol, shingle, threshold)
     // A document's Jaccard with itself is IDENTICALLY 1.0 — including the

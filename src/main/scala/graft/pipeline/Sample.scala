@@ -64,15 +64,31 @@ object Sample {
   }
 
   /** Knuth/Weyl multiplicative hash of an integer key into [0, 2^32):
-    * `(key * 2654435761) mod 2^32` (2654435761 = floor(2^32 / φ), Knuth
-    * TAOCP §6.4). Pure 64-bit integer arithmetic — bit-identical in any
-    * engine, no string/hex round-trip — and a low-discrepancy (golden-
-    * ratio Weyl) sequence on sequential keys, so a threshold test keeps
-    * an evenly spread `frac` of any key range. Precondition: key ≥ 0 and
-    * key < 2^31 (the product must not overflow int64); corpus ids
-    * re-keyed past that should pre-fold (e.g. `key % 2^31`). */
+    * `((key mod 2^31) * 2654435761) mod 2^32` (2654435761 =
+    * floor(2^32 / φ), Knuth TAOCP §6.4). Pure 64-bit integer
+    * arithmetic — bit-identical in any engine, no string/hex
+    * round-trip — and a low-discrepancy (golden-ratio Weyl) sequence on
+    * sequential keys, so a threshold test keeps an evenly spread `frac`
+    * of any key range. The inner `pmod(key, 2^31)` fold is load-bearing
+    * (review finding): without it a key ≥ 2^31 overflows the int64
+    * product and silently biases every threshold sampler built on this
+    * hash. Folding costs one modulo, keeps the documented behavior for
+    * keys < 2^31 unchanged, and makes ANY long key well-defined. The
+    * DuckDB oracle twin is `((key % 2147483648) * 2654435761) %
+    * 4294967296`, identical for the non-negative keys corpora use (`%`
+    * vs `pmod` differ only below zero). */
   def weylHash(key: Column): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(key.cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+
+  /** Refuse input columns that collide with a sampler's internal (or
+    * requested output) column names — the silent alternative is
+    * `withColumn`/join clobbering caller data (review finding). */
+  private def noClash(df: DataFrame, names: Seq[String], op: String): Unit = {
+    val clash = df.columns.filter(names.distinct.contains)
+    require(clash.isEmpty,
+      s"input columns collide with $op internals: ${clash.mkString(", ")}")
+  }
 
   /** Budget-balanced mixture sampling — the corpus-assembly step that
     * down-samples every stratum (source/domain/language) to the SMALLEST
@@ -85,8 +101,18 @@ object Sample {
     * approximate (±O(1/√n) relative), the production trade at corpus
     * scale; [[stratifiedExact]] is the quota-exact (window) form. */
   def mixtureBalanced(df: DataFrame, stratum: Column, key: Column,
-      weight: Column): DataFrame = {
+      weight: Column): DataFrame =
+    mixtureBalancedRated(df, stratum, key, weight, "__rate").drop("__rate")
+
+  /** [[mixtureBalanced]] keeping the per-stratum keep-rate as an output
+    * column named `rateName` — for observability gates and audits that
+    * want the rate each surviving row was sampled at. The rate (and the
+    * internal stratum key) are part of this variant's contract; input
+    * columns colliding with either are refused rather than clobbered. */
+  def mixtureBalancedRated(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, rateName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    noClash(df, Seq("__stratum", "__rate", rateName), "mixtureBalanced")
     // NULL strata are excluded OUTRIGHT (review finding): the equi-join
     // below would silently drop their rows anyway, but without this
     // filter their group still entered the totals, and a handful of
@@ -108,6 +134,7 @@ object Sample {
     clean.join(broadcast(rates), stratum === col("__stratum"))
       .filter(weylHash(key).cast("double") < col("__rate") * lit(4294967296.0))
       .drop("__stratum")
+      .withColumnRenamed("__rate", rateName)
   }
 
   /** Mixture to EXPLICIT per-stratum target weights — the general
@@ -125,6 +152,7 @@ object Sample {
     import org.apache.spark.sql.expressions.Window
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "targets must be non-empty and positive")
+    noClash(df, Seq("__stratum", "__rate"), "mixtureToWeights")
     val clean = df.filter(stratum.isNotNull &&
       stratum.cast("string").isin(targets.keys.toSeq: _*))
     val targetLit = map(targets.toSeq.flatMap { case (k, v) =>
@@ -142,7 +170,7 @@ object Sample {
           .as("__rate"))
     clean.join(broadcast(scaled), stratum.cast("string") === col("__stratum"))
       .filter(weylHash(key).cast("double") < col("__rate") * lit(4294967296.0))
-      .drop("__stratum")
+      .drop("__stratum", "__rate")
   }
 
   /** Per-stratum cap: keep at most `n` rows per stratum, chosen by the
@@ -154,11 +182,22 @@ object Sample {
     * skewed the strata are — the declarative form IS the scalable
     * two-phase top-n. */
   def capPerStratum(df: DataFrame, stratum: Column, key: Column,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    capPerStratumRanked(df, stratum, key, n, "__cap_rk").drop("__cap_rk")
+
+  /** [[capPerStratum]] keeping each survivor's within-stratum rank as an
+    * output column named `rankName` (1-based in the deterministic
+    * Weyl-hash order) — for gates/audits that assert the selection
+    * order. Colliding input columns are refused rather than clobbered;
+    * the rank-filter shape is preserved so Catalyst still plans the
+    * partial-pruning WindowGroupLimit. */
+  def capPerStratumRanked(df: DataFrame, stratum: Column, key: Column,
+      n: Int, rankName: String): DataFrame = {
     require(n > 0, "cap must be positive")
+    noClash(df, Seq(rankName), "capPerStratum")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(stratum).orderBy(weylHash(key), key)
-    df.withColumn("__cap_rk", row_number().over(w))
-      .filter(col("__cap_rk") <= n)
+    df.withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= n)
   }
 }

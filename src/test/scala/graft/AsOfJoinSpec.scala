@@ -122,5 +122,14 @@ class AsOfJoinSpec extends SparkFunSuite {
       AsOfJoin.backward(bad, p, "user_id", "ts", "ts",
         Seq(col("event_id").as("m_id")), refTiebreak = col("event_id"))
     }
+    // __mt is created mid-plan by withColumn — a probe column with that
+    // name would be silently REPLACED (worse than the ambiguous-ref
+    // failures above), so it must be in the reserved set too
+    val badMt = Seq((1L, 1L, ts(1), ts(1))).toDF("event_id", "user_id",
+      "ts", "__mt")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(badMt, p, "user_id", "ts", "ts",
+        Seq(col("event_id").as("m_id")), refTiebreak = col("event_id"))
+    }
   }
 }

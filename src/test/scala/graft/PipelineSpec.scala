@@ -1177,6 +1177,43 @@ class PipelineSpec extends SparkFunSuite {
       s"expected a WindowGroupLimit on BOTH sides of the exchange:\n$plan")
   }
 
+  test("sampler hygiene: weylHash fold, no leaked internals, clash refusal") {
+    import graft.pipeline.Sample
+    // keys >= 2^31 are folded, not overflowed: hash stays in range and
+    // equals the hash of the pre-folded key (the documented fold)
+    val big = spark.range(0, 100)
+      .select((col("id") + lit(2147483648L) * 3 + 7).as("k"))
+    val folded = big.select(Sample.weylHash(col("k")).as("h"),
+      Sample.weylHash(pmod(col("k"), lit(2147483648L))).as("hf"))
+    assert(folded.filter(col("h") < 0 || col("h") >= 4294967296L)
+      .count() === 0)
+    assert(folded.filter(col("h") =!= col("hf")).count() === 0)
+    // default samplers return the INPUT schema — no __rate/__cap_rk leak
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    assert(Sample.mixtureBalanced(d, col("source"), col("doc_id"),
+      col("n_chars")).columns.toSeq === d.columns.toSeq)
+    assert(Sample.mixtureToWeights(d, col("source"), col("doc_id"),
+      col("n_chars"), Map("web" -> 1.0, "books" -> 1.0)).columns.toSeq
+      === d.columns.toSeq)
+    assert(Sample.capPerStratum(d, col("source"), col("doc_id"), 3)
+      .columns.toSeq === d.columns.toSeq)
+    // rated/ranked variants add exactly the requested column
+    assert(Sample.mixtureBalancedRated(d, col("source"), col("doc_id"),
+      col("n_chars"), "rate").columns.toSeq === d.columns.toSeq :+ "rate")
+    assert(Sample.capPerStratumRanked(d, col("source"), col("doc_id"), 3,
+      "rk").columns.toSeq === d.columns.toSeq :+ "rk")
+    // colliding input columns refuse loudly instead of being clobbered
+    val clash = d.withColumn("__rate", lit(0.0))
+    intercept[IllegalArgumentException] {
+      Sample.mixtureBalanced(clash, col("source"), col("doc_id"),
+        col("n_chars"))
+    }
+    intercept[IllegalArgumentException] {
+      Sample.capPerStratumRanked(d, col("source"), col("doc_id"), 3,
+        "n_chars")
+    }
+  }
+
   test("repetition gate: grams guard short docs; micro-sums bounded") {
     import graft.pipeline.Decontaminate
     // the descending-sequence trap: < n words must give [], not [1, 0]
