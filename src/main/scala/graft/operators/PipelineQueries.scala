@@ -571,6 +571,66 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("cap_rk"))
         .orderBy(col("source"), col("cap_rk"))),
 
+    // C4-style duplicate-line removal (Lines.lineDedup). The corpus is
+    // single-line bag-of-words text, so the gate derives a deterministic
+    // multi-line document from corpus columns (the doc_pii precedent):
+    // per-source and per-lang boilerplate lines that repeat across
+    // hundreds of docs (removed everywhere but their first occurrence),
+    // the unique body (kept), and a 3-char "faq" line below minLineLen
+    // (duplicated everywhere yet KEPT — ineligible lines never dedup).
+    // Full corpus computed; output sliced to the base ids so it stays
+    // flat on the key-shifted scale corpora, where the clones' repeated
+    // bodies also dedup toward the in-slice originals.
+    "doc_line_dedup" -> ((s, d) => {
+      val derived = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("subscribe to "), col("source"), lit(" newsletter")),
+          col("text"),
+          lit("faq"),
+          concat(lit("copyright "), col("lang"), lit(" wiki"))).as("text"))
+      graft.pipeline.Lines.lineDedup(derived, "doc_id", "text",
+          minLineLen = 5)
+        .filter(col("doc_id") < 100000000L)
+        .select(col("doc_id"),
+          when(length(col("text")) === 0, lit(0L))
+            .otherwise(size(split(col("text"), "\n")).cast("long"))
+            .as("n_kept"),
+          md5(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact incremental dedup via sharded Bloom filters (Bloom.newRows):
+    // "is this batch new against the corpus?" without shuffling the
+    // corpus. The batch is the base-id slice with ids % 3 == 0 carrying
+    // corpus text verbatim (duplicates -> dropped) and the rest a
+    // ' novel'-suffixed variant (new -> kept); the EXISTING side is the
+    // full corpus, so the probe stays fixed while the corpus scales
+    // 100x underneath it. The bloom prunes, the broadcast semi-join
+    // confirms, and the final answer is exact — hence the full oracle.
+    "doc_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inc = docs.filter(col("doc_id") < 100000000L)
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" novel"))).as("text"))
+      graft.pipeline.Bloom.newRows(docs, inc, col("text"),
+          expectedExisting = 4000000L, fpp = 0.01, shards = 32)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
+    // Corpus-frequency top-k word n-grams (with multiplicity — the
+    // corpus-analysis headline list, not the per-doc distinct form the
+    // contamination probe uses). Plan: map-side gram explode, partial
+    // aggregate on the gram key, TakeOrderedAndProject for the top-k —
+    // nothing but gram partials and the k winners ever cross the wire.
+    // Ties broken by gram text so the cut is total-ordered.
+    "doc_top_ngrams" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(explode(Decontaminate.wordGrams(
+          Decontaminate.normCol(col("text")), 3)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(50)),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -1416,6 +1476,61 @@ object PipelineQueries {
            FROM documents WHERE doc_id < 100000000) t
          WHERE cap_rk <= 5
          ORDER BY source, cap_rk""",
+    // Duplicate-line removal over the same derived multi-line text:
+    // lines >= 5 trimmed chars partition by their content ('e:' prefix)
+    // and keep only the (doc_id, pos)-first occurrence when duplicated;
+    // shorter lines get a per-occurrence unique key ('u:') and always
+    // survive. Rebuild via ORDER BY pos string_agg, md5-compared.
+    "doc_line_dedup" ->
+      """WITH d0 AS (
+           SELECT doc_id, concat_ws(chr(10),
+             'subscribe to ' || source || ' newsletter',
+             text,
+             'faq',
+             'copyright ' || lang || ' wiki') AS t
+           FROM documents),
+         l AS (SELECT doc_id,
+                 unnest(string_split(t, chr(10))) AS line,
+                 generate_subscripts(string_split(t, chr(10)), 1) AS pos
+               FROM d0),
+         x AS (SELECT doc_id, line, pos,
+                 CASE WHEN length(trim(line)) >= 5 THEN 'e:' || line
+                      ELSE 'u:' || doc_id || ':' || pos END AS k
+               FROM l),
+         f AS (SELECT doc_id, line, pos,
+                 count(*) OVER (PARTITION BY k) AS c,
+                 row_number() OVER (PARTITION BY k
+                   ORDER BY doc_id, pos) AS rn
+               FROM x),
+         kept AS (SELECT doc_id, line, pos FROM f WHERE c = 1 OR rn = 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS h
+         FROM kept WHERE doc_id < 100000000
+         GROUP BY doc_id ORDER BY doc_id""",
+    // Incremental dedup: the exact anti-join the bloom-pruned plan must
+    // reproduce — batch rows whose text is nowhere in the corpus.
+    "doc_incremental_dedup" ->
+      """WITH inc AS (
+           SELECT doc_id, lang,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' novel' END AS t
+           FROM documents WHERE doc_id < 100000000)
+         SELECT doc_id, lang FROM inc
+         WHERE NOT EXISTS (SELECT 1 FROM documents dd WHERE dd.text = inc.t)
+         ORDER BY doc_id""",
+    // Corpus top-k word 3-grams with multiplicity; ties broken by gram.
+    "doc_top_ngrams" ->
+      """WITH d AS (
+           SELECT trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+             AS norm
+           FROM documents WHERE text IS NOT NULL),
+         w AS (SELECT string_split(norm, ' ') AS ws FROM d),
+         g AS (
+           SELECT array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+             AS gram
+           FROM w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i))
+         SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
+         GROUP BY gram ORDER BY n DESC, gram LIMIT 50""",
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->
