@@ -623,9 +623,13 @@ object PipelineQueries {
     // contamination probe uses). Plan: map-side gram explode, partial
     // aggregate on the gram key, TakeOrderedAndProject for the top-k —
     // nothing but gram partials and the k winners ever cross the wire.
-    // Ties broken by gram text so the cut is total-ordered.
+    // Ties broken by gram text so the cut is total-ordered. The gram
+    // build is scan-side CPU -> spreadSmall unlocks cores on
+    // single-row-group inputs (no-op on any real multi-split table).
     "doc_top_ngrams" -> ((s, d) =>
-      Tables.documents(s, d).filter(col("text").isNotNull)
+      Decontaminate.spreadSmall(
+          Tables.documents(s, d).filter(col("text").isNotNull),
+          col("doc_id"))
         .select(explode(Decontaminate.wordGrams(
           Decontaminate.normCol(col("text")), 3)).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))

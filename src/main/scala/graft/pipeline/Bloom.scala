@@ -165,7 +165,10 @@ object Bloom {
       bitsPerShard: Int, k: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
     val (h1, h2) = keyHashes(key)
-    df.select(pmod(h1, lit(shards.toLong)).cast("int").as("__shard"),
+    // hashing + partial bloom_agg are scan-side CPU: unlock cores when
+    // the corpus sits in one row group (no-op on any multi-split table)
+    Decontaminate.spreadSmall(df, key)
+      .select(pmod(h1, lit(shards.toLong)).cast("int").as("__shard"),
         h1.as("__h1"), h2.as("__h2"))
       .groupBy(col("__shard"))
       .agg(column(BloomAgg(expr(col("__h1")), expr(col("__h2")),
@@ -220,7 +223,10 @@ object Bloom {
     val bits = BloomKernel.optimalBits(perShard, fpp)
     val k = BloomKernel.optimalHashes(bits.toLong, perShard)
     val blooms = buildSharded(existing, key, shards, bits, k)
-    val probed = probeSharded(incoming, key, blooms, shards, k)
+    // the probe feeds two consumers (definitely-new pass-through and the
+    // candidate confirm) — persistTracked keeps it one scan of the batch
+    val probed = Caches.persistTracked(
+      probeSharded(incoming, key, blooms, shards, k))
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     if (!exact) definitelyNew
     else {

@@ -206,6 +206,51 @@ object EventStream {
       .filter(col("n_hit") > 0L)
   }
 
+  /** Streaming incremental dedup — the streaming twin of
+    * [[graft.pipeline.Bloom.newRows]]: every arriving document is
+    * checked against a STATIC existing corpus and only genuinely-new
+    * rows pass. The corpus's sharded bloom filters are resolved ONCE up
+    * front and re-lifted as a local (shard, bits) frame — KBs-to-MBs by
+    * construction — so each micro-batch probes a broadcast of fixed
+    * bytes instead of re-aggregating the corpus per trigger (the same
+    * resolve-once discipline as [[contamination]]'s gram set).
+    *
+    * Rows the filter rejects are PROVABLY new (no false negatives) and
+    * pass through scan-side — stateless, Append-mode, final the
+    * micro-batch they arrive in. With `exact = true`, `maybe_seen`
+    * candidates (true duplicates + ~fpp of new rows) are confirmed by a
+    * stream-static LEFT ANTI join against the corpus keys — Spark
+    * supports that shape statelessly, but the static side is a
+    * per-batch broadcast of corpus keys, so at real corpus scale either
+    * persist the key projection or take `exact = false` (drop all
+    * candidates: ~fpp of new rows lost, zero joins — the trade
+    * production dedup takes against a cold-storage corpus). */
+  def newDocs(stream: DataFrame, existingStatic: DataFrame, key: String,
+      expectedExisting: Long, fpp: Double = 0.01, shards: Int = 32,
+      exact: Boolean = true): DataFrame = {
+    import graft.pipeline.{Bloom, BloomKernel}
+    val spark = existingStatic.sparkSession
+    import spark.implicits._
+    val perShard = math.max(1L, expectedExisting / shards)
+    val bits = BloomKernel.optimalBits(perShard, fpp)
+    val k = BloomKernel.optimalHashes(bits.toLong, perShard)
+    val blooms = Bloom
+      .buildSharded(existingStatic, col(key), shards, bits, k)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+      .toDF("__shard", "__bits")
+    val probed = Bloom.probeSharded(stream, col(key), blooms, shards, k)
+    val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
+    if (!exact) definitelyNew
+    else {
+      val cands = probed.filter(col("maybe_seen")).drop("maybe_seen")
+      val confirmed = cands.join(
+        existingStatic.select(col(key).as("__bk")).distinct(),
+        col(key) === col("__bk"), "left_anti")
+      definitelyNew.unionByName(confirmed)
+    }
+  }
+
   /** Stream-static temporal (as-of) lookup — the streaming twin of
     * [[graft.joins.AsOfJoin.backward]] for the case every stream engine
     * special-cases: the reference side is a STATIC, compact dimension

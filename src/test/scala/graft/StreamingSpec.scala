@@ -187,6 +187,35 @@ class StreamingSpec extends SparkFunSuite {
       "decontamination stream should carry no stateful operators")
   }
 
+  test("streaming incremental dedup == batch newRows on the same batch") {
+    val dir = Files.createTempDirectory("newdocs").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    // batch: half corpus duplicates, half novel variants
+    val incoming = docs.select(col("doc_id"),
+      when(col("doc_id") % 2L === 0L, col("text"))
+        .otherwise(concat(col("text"), lit(" zz"))).as("text"))
+    incoming.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(incoming.schema).parquet(dir)
+    val q = EventStream.newDocs(src, docs, "text",
+        expectedExisting = 10000L, fpp = 0.01, shards = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("newdocs").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("newdocs").select("doc_id")
+      .as[Long].collect().toSet
+    val batch = graft.pipeline.Bloom.newRows(docs, incoming, col("text"),
+        expectedExisting = 10000L, fpp = 0.01, shards = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < incoming.count(),
+      "fixture must mix new and duplicate docs")
+    assert(streamed === batch)
+    // stateless contract: bloom probe + stream-static anti join carry
+    // no state store — every row is final on arrival
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "incremental dedup stream should carry no stateful operators")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = Files.createTempDirectory("dup").toString
     def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
