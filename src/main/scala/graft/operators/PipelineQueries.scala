@@ -635,6 +635,19 @@ object PipelineQueries {
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram")).limit(50)),
 
+    // Context-window token chunking (Chunk.chunkTokens): 32-token
+    // windows, 8-token stride overlap — doc-local transform+posexplode,
+    // ZERO exchanges before the output sort. Input sliced to the base
+    // ids (chunking has no cross-doc interaction, so the slice loses
+    // nothing and the gate stays flat on the scale corpora).
+    "doc_chunks" -> ((s, d) =>
+      graft.pipeline.Chunk.chunkTokens(
+          Tables.documents(s, d).filter(col("doc_id") < 100000000L),
+          "doc_id", "text", maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk")).as("h"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -1535,6 +1548,25 @@ object PipelineQueries {
            FROM w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i))
          SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
          GROUP BY gram ORDER BY n DESC, gram LIMIT 50""",
+    // Context-window chunking: same window arithmetic — 1 chunk when
+    // n <= 32, else ceil((n-32)/24)+1, chunk i = tokens [i*24+1, +32].
+    "doc_chunks" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL AND doc_id < 100000000),
+         c AS (SELECT doc_id, ws,
+                 CASE WHEN len(ws) <= 32 THEN 1
+                      ELSE CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT) + 1
+                 END AS k
+               FROM d),
+         e AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                 ws[CAST(i*24 + 1 AS INT):CAST(i*24 + 32 AS INT)] AS cw
+               FROM c, unnest(range(0, k)) AS t(i))
+         SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tokens,
+           md5(array_to_string(cw, ' ')) AS h
+         FROM e ORDER BY doc_id, chunk_id""",
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->

@@ -100,6 +100,38 @@ class BloomLinesSpec extends SparkFunSuite {
     }
   }
 
+  test("chunkTokens: coverage, stride overlap, edge lengths") {
+    import graft.pipeline.Chunk
+    val d = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, (1 to 32).map(i => s"x$i").mkString(" ")),  // exactly max
+      (3L, (1 to 33).map(i => s"y$i").mkString(" ")),  // one over
+      (4L, "solo"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Chunk.chunkTokens(d, "doc_id", "text", 32, 8)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 100 tokens, step 24: ceil((100-32)/24)+1 = 4 chunks; starts 0/24/48/72
+    assert(out(1L).map(_._3).toSeq === Seq(32L, 32L, 32L, 28L))
+    assert(out(1L)(1)._4.startsWith("w25 ") && out(1L)(1)._4.endsWith(" w56"))
+    // every token covered, consecutive chunks share exactly 8 tokens
+    val c0 = out(1L)(0)._4.split(" "); val c1 = out(1L)(1)._4.split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+    assert(out(2L).map(_._3).toSeq === Seq(32L), "exact max: one chunk")
+    assert(out(3L).map(_._3).toSeq === Seq(32L, 9L), "one over: short tail")
+    assert(out(4L).map(_._4).toSeq === Seq("solo"))
+    assert(out(5L).map(_._3).toSeq === Seq(1L), "empty text: one [\"\"] chunk")
+    assert(!out.contains(6L), "null text yields no chunks")
+    // full reconstruction: dropping each chunk's 8-token overlap prefix
+    // (except the first) re-concatenates to the original token stream
+    val rebuilt = out(1L).zipWithIndex.flatMap { case ((_, _, _, c), i) =>
+      val w = c.split(" "); if (i == 0) w else w.drop(8)
+    }
+    assert(rebuilt.toSeq === (1 to 100).map(i => s"w$i"))
+  }
+
   test("lineDedup on the corpus: idempotent and boilerplate-mass exact") {
     // derive the gate's multi-line text; after one pass every duplicated
     // eligible line occurs exactly once corpus-wide -> second pass is a
