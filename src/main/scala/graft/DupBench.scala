@@ -141,6 +141,50 @@ object DupBench {
         List(("keepbest", t, n))
       }
 
+    // Line dedup (round-14): every line of every clone is corpus-
+    // duplicated — the worst case for the "losers are a small fraction"
+    // broadcast assumption. The contract printed: wall tracks corpus
+    // rows, KEPT eligible lines stay the distinct-content count
+    // (~bodies + boilerplate groups) FLAT in clone factor.
+    val lineResults =
+      if (!families("linededup")) Nil
+      else {
+        val derived = docs.select(col("doc_id"), concat_ws("\n",
+          concat(lit("promo "), substring(md5(col("text")), 1, 2)),
+          col("text"),
+          lit("legal boilerplate line")).as("text"))
+        val t0 = System.nanoTime()
+        val out = graft.pipeline.Lines.lineDedup(derived, "doc_id", "text",
+          minLineLen = 5).persist()
+        val kept = out.select(sum(when(length(col("text")) === 0, 0)
+          .otherwise(size(split(col("text"), "\n"))))).collect()(0).getLong(0)
+        val t = (System.nanoTime() - t0) / 1e9
+        out.unpersist(blocking = false)
+        graft.pipeline.Caches.release()
+        println(f"${"linededup"}%-24s $t%8.2f s  kept_lines=$kept")
+        List(("linededup", t, kept))
+      }
+
+    // Bloom incremental dedup (round-14): the corpus side scales with
+    // the clone factor while the probe batch stays the base slice —
+    // wall should track the two corpus SCANS (build + confirm), the
+    // new-row count stays flat (half the batch by construction).
+    val bloomResults =
+      if (!families("bloomnew")) Nil
+      else {
+        val incoming = Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(2L)) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" zz"))).as("text"))
+        val t0 = System.nanoTime()
+        val n = graft.pipeline.Bloom.newRows(docs, incoming, col("text"),
+          expectedExisting = docs.count(), fpp = 0.01, shards = 32).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.pipeline.Caches.release()
+        println(f"${"bloomnew"}%-24s $t%8.2f s  new=$n")
+        List(("bloomnew", t, n))
+      }
+
     println("GRAFT_DUPBENCH")
     results.foreach { case (n, on, off) =>
       if (off.isNaN) println(f"$n%-16s on=$on%.2f s off=skipped (mode=on)")
@@ -151,6 +195,12 @@ object DupBench {
     }
     keepResults.foreach { case (n, t, g) =>
       println(f"$n%-16s agg=$t%.2f s groups=$g")
+    }
+    lineResults.foreach { case (n, t, kl) =>
+      println(f"$n%-16s t=$t%.2f s kept_lines=$kl")
+    }
+    bloomResults.foreach { case (n, t, nw) =>
+      println(f"$n%-16s t=$t%.2f s new=$nw")
     }
     spark.stop()
   }
