@@ -571,6 +571,21 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("cap_rk"))
         .orderBy(col("source"), col("cap_rk"))),
 
+    // Temperature (alpha=0.5) mixture sampling (Sample.mixtureTemperature):
+    // keep-rate (total_s/total_min)^(alpha-1) lifts low-resource sources —
+    // the XLM-R/mC4 rebalancing recipe. Same zero-corpus-shuffle plan as
+    // doc_mixture; the emitted rate is Det.r-rounded on both sides
+    // because pow (unlike the mixture's division) is not IEEE-exact
+    // across engines.
+    "doc_mixture_temp" -> ((s, d) =>
+      Sample.mixtureTemperature(
+          Tables.documents(s, d).filter(col("doc_id") < 100000000L),
+          col("source"), col("doc_id"), col("n_chars"), alpha = 0.5,
+          rateName = Some("rate"))
+        .select(col("doc_id"), col("source"),
+          Det.r(col("rate"), 9).as("rate"))
+        .orderBy(col("doc_id"))),
+
     // C4-style duplicate-line removal (Lines.lineDedup). The corpus is
     // single-line bag-of-words text, so the gate derives a deterministic
     // multi-line document from corpus columns (the doc_pii precedent):
@@ -1493,6 +1508,22 @@ object PipelineQueries {
            FROM documents WHERE doc_id < 100000000) t
          WHERE cap_rk <= 5
          ORDER BY source, cap_rk""",
+    // Temperature mixture: per-source rate (w/wmin)^(-0.5), Weyl-hash
+    // threshold keep; the rate column rounded identically on both sides.
+    "doc_mixture_temp" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 100000000),
+         tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+                 FROM d GROUP BY source),
+         r AS (SELECT source,
+                 pow(CAST(w AS DOUBLE) /
+                     (SELECT CAST(min(w) AS DOUBLE) FROM tot), -0.5) AS rate
+               FROM tot)
+         SELECT d.doc_id, d.source,
+           ${graft.Det.rsql("r.rate", 9)} AS rate
+         FROM d JOIN r USING (source)
+         WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+               < r.rate * 4294967296.0
+         ORDER BY d.doc_id""",
     // Duplicate-line removal over the same derived multi-line text:
     // lines >= 5 trimmed chars partition by their content ('e:' prefix)
     // and keep only the (doc_id, pos)-first occurrence when duplicated;

@@ -173,6 +173,50 @@ object Sample {
       .drop("__stratum", "__rate")
   }
 
+  /** Temperature (α) mixture sampling — the multilingual/multi-domain
+    * rebalancing recipe (XLM-R §3.1, mC4/mT5 §3.2: sample stratum `s`
+    * with probability ∝ total_s^α, 0 < α ≤ 1): α = 1 keeps natural
+    * proportions, α → 0 approaches [[mixtureBalanced]]'s uniform
+    * budget, and the published sweet spots (α ≈ 0.3–0.7) lift
+    * low-resource strata without drowning high-resource ones. Keep-rate
+    * solves to `(total_s / total_min)^(α−1)` — the SMALLEST stratum
+    * keeps rate 1 (for α < 1) and the output hits the ∝ total^α
+    * proportions at the maximum size the corpus supports. Same plan
+    * shape as the other mixtures: tiny aggregate → window-over-
+    * aggregate scalar → broadcast rates → stateless Weyl-hash threshold
+    * scan; zero corpus shuffles.
+    *
+    * Keeps the rate as `rateName` when given (same contract as
+    * [[mixtureBalancedRated]]). Cross-engine note: `pow` is not
+    * IEEE-correctly-rounded, so a differential gate should compare
+    * [[graft.Det.r]]-rounded rates; the keep DECISION is safe — a 1-ulp
+    * rate disagreement moves the integer threshold by ~2^-20, which
+    * flips a row only when a hash lands exactly on that sliver. */
+  def mixtureTemperature(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, alpha: Double,
+      rateName: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    noClash(df, Seq("__stratum", "__rate") ++ rateName, "mixtureTemperature")
+    val clean = df.filter(stratum.isNotNull)
+    val totals = clean.groupBy(stratum.as("__stratum"))
+      .agg(sum(weight).as("__w"))
+    val rates = totals
+      .withColumn("__wmin", min(col("__w")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("__stratum"),
+        pow(col("__w").cast("double") / col("__wmin").cast("double"),
+          lit(alpha - 1.0)).as("__rate"))
+    val kept = clean.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(weylHash(key).cast("double") < col("__rate") * lit(4294967296.0))
+      .drop("__stratum")
+    rateName match {
+      case Some(n) => kept.withColumnRenamed("__rate", n)
+      case None => kept.drop("__rate")
+    }
+  }
+
   /** Per-stratum cap: keep at most `n` rows per stratum, chosen by the
     * deterministic [[weylHash]] order (key tiebreak) — the per-domain
     * document cap of web-corpus assembly. Declared as a rank window so

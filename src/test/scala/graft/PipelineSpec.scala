@@ -1116,6 +1116,31 @@ class PipelineSpec extends SparkFunSuite {
       s"some stratum must bind at rate 1: kept $w of $full")
   }
 
+  test("mixtureTemperature: alpha=1 identity, alpha=0.5 sqrt proportions") {
+    import graft.pipeline.Sample
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    // alpha = 1: every rate is (w/wmin)^0 = 1 — nothing dropped
+    assert(Sample.mixtureTemperature(d, col("source"), col("doc_id"),
+      col("n_chars"), alpha = 1.0).count() === d.count())
+    // alpha = 0.5: output weights ∝ sqrt(total); per-sqrt-unit roughly
+    // constant across strata (binomial band), smallest stratum binds
+    val totals = d.groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sample.mixtureTemperature(d, col("source"), col("doc_id"),
+      col("n_chars"), alpha = 0.5, rateName = Some("rate"))
+    val keptW = kept.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perUnit = keptW.map { case (s, w) => w / math.sqrt(totals(s)) }
+    assert(perUnit.max < perUnit.min * 1.8,
+      s"sqrt proportions off: $keptW vs totals $totals")
+    val minSrc = totals.minBy(_._2)._1
+    assert(keptW(minSrc) === totals(minSrc),
+      "smallest stratum must keep rate 1")
+    // rate column carried under the caller's name, internals dropped
+    assert(kept.columns.toSeq === d.columns.toSeq :+ "rate")
+  }
+
   test("sampling boundaries: frac=1 identity; null strata excluded from budget") {
     import graft.pipeline.Sample
     val df = docs.select(col("doc_id"), col("lang"))
