@@ -52,10 +52,16 @@ object PipelineQueries {
     val fb = run("b")(b)
     // fail-fast: EITHER leg's failure completes the promise immediately
     // (fa.zip(fb) alone would sit on a hung leg a while b's failure
-    // waits unobserved)
+    // waits unobserved). The STICKY cancel variant closes two races a
+    // plain cancelJobGroup leaves open (review finding): the sibling
+    // may not have submitted its first job yet, and a multi-job leg
+    // would re-submit after a one-shot cancel — sticky cancellation
+    // also fails every FUTURE submission in the group.
     val p = Promise[(A, B)]()
-    fa.failed.foreach { e => sc.cancelJobGroup(s"$tag-b"); p.tryFailure(e) }
-    fb.failed.foreach { e => sc.cancelJobGroup(s"$tag-a"); p.tryFailure(e) }
+    fa.failed.foreach { e =>
+      sc.cancelJobGroupAndFutureJobs(s"$tag-b"); p.tryFailure(e) }
+    fb.failed.foreach { e =>
+      sc.cancelJobGroupAndFutureJobs(s"$tag-a"); p.tryFailure(e) }
     p.completeWith(fa.zip(fb))
     Await.result(p.future, Duration.Inf)
   }

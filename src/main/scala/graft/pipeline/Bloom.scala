@@ -41,12 +41,18 @@ import org.apache.spark.sql.types._
 object BloomKernel {
 
   /** m = ceil(-n·ln(p) / ln(2)²) rounded up to a byte multiple — the
-    * optimal bit count for `n` keys at false-positive rate `p`. */
+    * optimal bit count for `n` keys at false-positive rate `p`. Bounded
+    * by [[BloomAgg]]'s own 128 MiB per-shard cap so an oversized `n`
+    * fails HERE with actionable guidance, not later with a misleading
+    * byte-multiple error (review finding: the old Int.MaxValue check
+    * also let m round up past 2^31 and wrap negative). */
   def optimalBits(n: Long, fpp: Double): Int = {
     require(n > 0 && fpp > 0 && fpp < 1, "need n > 0 and fpp in (0, 1)")
-    val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
-    require(m <= Int.MaxValue.toDouble, s"filter of $m bits: shard more")
-    ((m.toLong + 7) / 8 * 8).toInt
+    val m = (math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
+      .toLong + 7) / 8 * 8
+    require(m <= (1L << 30), s"filter of $m bits exceeds the 128 MiB " +
+      "per-shard cap: shard more")
+    m.toInt
   }
 
   /** k = max(1, round(m/n · ln 2)) — the fpp-minimizing probe count. */
@@ -157,6 +163,15 @@ object Bloom {
   def keyHashes(key: Column): (Column, Column) =
     (xxhash64(key), xxhash64(lit("graft-bloom-h2"), key))
 
+  /** Shard router — a THIRD salted hash, independent of both probe
+    * hashes (review finding: routing by `pmod(h1, shards)` conditions
+    * h1's low bits within a shard, which collapses every key's i=0
+    * probe into a 1/gcd(shards, m) slice of the filter and inflates the
+    * realized fpp well past the sizing). */
+  private def shardOf(key: Column, shards: Int): Column =
+    pmod(xxhash64(lit("graft-bloom-shard"), key), lit(shards.toLong))
+      .cast("int")
+
   /** Build `shards` independent filters over `df`'s keys, routed by
     * `floorMod(h1, shards)`: returns one (`__shard` int, `__bits`
     * binary) row per non-empty shard. Size `bitsPerShard` for the
@@ -168,7 +183,7 @@ object Bloom {
     // hashing + partial bloom_agg are scan-side CPU: unlock cores when
     // the corpus sits in one row group (no-op on any multi-split table)
     Decontaminate.spreadSmall(df, key)
-      .select(pmod(h1, lit(shards.toLong)).cast("int").as("__shard"),
+      .select(shardOf(key, shards).as("__shard"),
         h1.as("__h1"), h2.as("__h2"))
       .groupBy(col("__shard"))
       .agg(column(BloomAgg(expr(col("__h1")), expr(col("__h2")),
@@ -180,13 +195,15 @@ object Bloom {
     * broadcast — at any realistic shard count it is KBs to MBs. */
   def probeSharded(df: DataFrame, key: Column, blooms: DataFrame,
       shards: Int, k: Int): DataFrame = {
-    val internals = Seq("__shard", "__bits", "__h1", "__h2")
+    // maybe_seen is in the guard too: it is CREATED by withColumn, so a
+    // pre-existing caller column would be silently replaced, not refused
+    val internals = Seq("__shard", "__bits", "__h1", "__h2", "maybe_seen")
     val clash = df.columns.filter(internals.contains)
     require(clash.isEmpty,
       s"input columns collide with bloom internals: ${clash.mkString(", ")}")
     val (h1, h2) = keyHashes(key)
     df.withColumn("__h1", h1).withColumn("__h2", h2)
-      .withColumn("__shard", pmod(col("__h1"), lit(shards.toLong)).cast("int"))
+      .withColumn("__shard", shardOf(key, shards))
       .join(broadcast(blooms), Seq("__shard"), "left")
       .withColumn("maybe_seen",
         col("__bits").isNotNull &&
@@ -219,6 +236,10 @@ object Bloom {
   def newRows(existing: DataFrame, incoming: DataFrame, key: Column,
       expectedExisting: Long, fpp: Double = 0.01, shards: Int = 32,
       exact: Boolean = true): DataFrame = {
+    // __bk is the confirm legs' join alias on BOTH frames — refuse a
+    // collision up front instead of an opaque ambiguous-reference error
+    val bk = (existing.columns ++ incoming.columns).filter(_ == "__bk")
+    require(bk.isEmpty, "input columns collide with bloom internals: __bk")
     val perShard = math.max(1L, expectedExisting / shards)
     val bits = BloomKernel.optimalBits(perShard, fpp)
     val k = BloomKernel.optimalHashes(bits.toLong, perShard)

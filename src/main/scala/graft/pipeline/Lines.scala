@@ -57,12 +57,16 @@ object Lines {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = df.select(col(idCol).as("__ld_id"),
       posexplode(split(col(textCol), sepLit)).as(Seq("__ld_pos", "__ld_line")))
-    val keyed = lines
+    // keyed feeds BOTH the owner aggregate and the loser join, and the
+    // aggregate's exchange (above a partial agg) cannot be reused by the
+    // join — persistTracked keeps the corpus explode to ONE pass
+    // (review finding; the substringDup precedent)
+    val keyed = Caches.persistTracked(lines
       .filter(length(trim(col("__ld_line"))) >= minLineLen)
       .select(
         (if (hashed) xxhash64(col("__ld_line")) else col("__ld_line"))
           .as("__ld_k"),
-        col("__ld_id"), col("__ld_pos"))
+        col("__ld_id"), col("__ld_pos")))
     // the single corpus-wide exchange: line keys, partially aggregated
     // map-side; only keys seen more than once survive
     val owners = keyed.groupBy(col("__ld_k"))

@@ -33,11 +33,25 @@ class BloomLinesSpec extends SparkFunSuite {
     val probed = Bloom.probeSharded(existing, col("text"), blooms, 8, 7)
     assert(probed.filter(!col("maybe_seen")).count() === 0,
       "no false negatives across the shard routing")
-    // clash refusal on internal names
+    // clash refusal on internal names — including the OUTPUT column,
+    // which withColumn would otherwise silently replace
     intercept[IllegalArgumentException] {
       Bloom.probeSharded(existing.withColumn("__h1", lit(1L)), col("text"),
         blooms, 8, 7)
     }
+    intercept[IllegalArgumentException] {
+      Bloom.probeSharded(existing.withColumn("maybe_seen", lit(true)),
+        col("text"), blooms, 8, 7)
+    }
+    intercept[IllegalArgumentException] {
+      Bloom.newRows(existing, existing.withColumn("__bk", lit(1)),
+        col("text"), 1000L)
+    }
+    // sizing guards fail early with actionable messages, never wrap
+    intercept[IllegalArgumentException] {
+      graft.pipeline.BloomKernel.optimalBits(300000000L, 0.01) // > 128 MiB
+    }
+    assert(graft.pipeline.BloomKernel.optimalBits(100000000L, 0.01) > 0)
   }
 
   test("newRows == exact anti-join; approx is a subset missing ~fpp only") {
