@@ -669,6 +669,24 @@ object PipelineQueries {
           md5(col("chunk")).as("h"))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // C4/Gopher document-level quality rules (QualityRules.classify):
+    // first-fail classification over exact-integer surface metrics —
+    // one scan (spreadSmall-unlocked doc-local HOFs), ONE exchange (the
+    // per-(source, reason) aggregate). The id checksum makes the hash
+    // oracle certify the exact per-document classification, not just
+    // the class sizes.
+    "doc_quality_rules" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+        Tables.documents(s, d), col("doc_id"))
+      graft.pipeline.QualityRules.classify(base, "text")
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_stop_hits")).as("sum_stop_hits"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"), col("reason"))
+    }),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -1604,6 +1622,43 @@ object PipelineQueries {
          SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tokens,
            md5(array_to_string(cw, ' ')) AS h
          FROM e ORDER BY doc_id, chunk_id""",
+    // C4/Gopher doc-level rules: same first-fail ladder over the same
+    // exact-integer metrics; ratio thresholds divide identical integer
+    // operands on both engines, so the comparisons are portable.
+    "doc_quality_rules" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id, source,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+               AS swl,
+             CAST(len(list_filter(ws, w -> w IN ('the','a','an','of','and',
+               'to','with','that','be','have'))) AS BIGINT) AS nstop,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+               AS BIGINT) AS nalpha,
+             CAST(len(list_filter(ws, w -> w LIKE '#%' OR contains(w, '...')
+               OR contains(w, '{'))) AS BIGINT) AS nsym
+           FROM d),
+         c AS (
+           SELECT source, doc_id, n_words, nstop,
+             CASE
+               WHEN n_words < 50 OR n_words > 100000 THEN 'words'
+               WHEN swl / CAST(n_words AS DOUBLE) < 3.0
+                 OR swl / CAST(n_words AS DOUBLE) > 10.0 THEN 'wordlen'
+               WHEN nstop < 2 THEN 'stop'
+               WHEN nalpha / CAST(n_words AS DOUBLE) < 0.8 THEN 'alpha'
+               WHEN nsym / CAST(n_words AS DOUBLE) > 0.1 THEN 'symbol'
+               ELSE 'keep' END AS reason
+           FROM m)
+         SELECT source, reason, count(*) AS n,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(nstop) AS BIGINT) AS sum_stop_hits,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM c GROUP BY 1, 2 ORDER BY source, reason""",
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->

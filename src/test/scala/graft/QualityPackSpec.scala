@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.QualityRules
+
+/** C4/Gopher doc-level quality rules (and, below, the packing/BM25/search
+  * operators added alongside them in round 14). */
+class QualityPackSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("quality rules: first-fail ladder classifies hand-built docs") {
+    val fixture = Seq(
+      // 60 in-band words incl. stopwords -> keep
+      (1L, (Seq.fill(29)("the word") :+ "word end").mkString(" ")),
+      // too short -> words (even though it also lacks stopwords)
+      (2L, "tiny doc"),
+      // 60 words, stopwords present, but every word is 12 chars -> wordlen
+      (3L, Seq.fill(60)("abcdefghijkl").mkString(" ")),
+      // 60 plain words, zero stopwords -> stop
+      (4L, Seq.fill(60)("word").mkString(" ")),
+      // stopwords fine, but >20% digit-only words -> alpha
+      (5L, (Seq.fill(30)("the word") ++ Seq.fill(25)("123")).mkString(" ")),
+      // stopword-bearing prose with >10% '#'-words -> symbol
+      (6L, (Seq.fill(30)("the word") ++ Seq.fill(10)("#tag")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = QualityRules.classify(fixture, "text")
+      .select(col("doc_id"), col("reason")).as[(Long, String)]
+      .collect().toMap
+    assert(got === Map(1L -> "keep", 2L -> "words", 3L -> "wordlen",
+      4L -> "stop", 5L -> "alpha", 6L -> "symbol"))
+  }
+
+  test("quality rules: mean word length uses exact-integer operands") {
+    // 50 words of length 2 and 50 of length 4 -> mean exactly 3.0, which
+    // must pass the >= 3.0 bound (boundary is inclusive by construction)
+    val doc = (Seq.fill(25)("th is") ++ Seq.fill(25)("that word"))
+      .mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val m = QualityRules.classify(df, "text").head()
+    assert(m.getAs[Long]("n_words") === 100L)
+    assert(m.getAs[Long]("sum_word_len") === 300L)
+    assert(m.getAs[String]("reason") === "keep")
+  }
+
+  test("quality rules: corpus classification is total and keepClean agrees") {
+    val c = QualityRules.classify(docs, "text")
+    assert(c.count() === docs.filter(col("text").isNotNull).count())
+    val byReason = c.groupBy("reason").count().as[(String, Long)]
+      .collect().toMap
+    // the synthetic corpus must exercise more than one rule
+    assert(byReason.contains("keep") && byReason.contains("words"))
+    assert(QualityRules.keepClean(docs, "text").count()
+      === byReason("keep"))
+    // keepClean restores the caller's schema exactly
+    assert(QualityRules.keepClean(docs, "text").columns.toSeq
+      === docs.columns.toSeq)
+  }
+
+  test("quality rules: NULL text is dropped, empty text is measured") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val c = QualityRules.classify(df, "text")
+    assert(c.count() === 1)
+    val r = c.head()
+    assert(r.getAs[Long]("doc_id") === 2L)
+    // split("", " ") -> [""]: one zero-length word, fails the word-count
+    assert(r.getAs[Long]("n_words") === 1L)
+    assert(r.getAs[String]("reason") === "words")
+  }
+}
