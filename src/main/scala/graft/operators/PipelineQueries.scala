@@ -687,6 +687,18 @@ object PipelineQueries {
         .orderBy(col("source"), col("reason"))
     }),
 
+    // Okapi BM25 query scoring (Bm25.topK): per-term tf as doc-local
+    // HOFs (no explode, no per-term shuffle); N/Σdl/df ride ONE
+    // broadcast scalar row; top-k is a TakeOrdered. Exchanges: the
+    // scalar aggregate only — the scan-bound retrieval plan for a
+    // fixed small query at any corpus size.
+    "doc_bm25" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+        Tables.documents(s, d), col("doc_id"))
+      graft.pipeline.Bm25.topK(base, "doc_id", "text",
+        query = Seq("spark", "merge", "window"), k = 50)
+    }),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -1659,6 +1671,57 @@ object PipelineQueries {
            CAST(sum(nstop) AS BIGINT) AS sum_stop_hits,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM c GROUP BY 1, 2 ORDER BY source, reason""",
+    // Okapi BM25: the same expression tree in the same operand order —
+    // integer statistics, then one fixed-shape double formula per doc,
+    // summed left-associatively in query-term order; constants written
+    // as the same foldable arithmetic so both engines derive identical
+    // doubles before the Det rounding.
+    "doc_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+             CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(ws, w -> w = 'merge')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(ws, w -> w = 'window')) AS BIGINT) AS tf2
+           FROM d),
+         s AS (
+           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+           FROM m),
+         sc AS (
+           SELECT doc_id, dl,
+             floor(((
+               ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                 / (CAST(df0 AS DOUBLE) + 0.5))
+                 * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25
+                     + (CAST(dl AS DOUBLE) * 0.75)
+                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+               + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                 / (CAST(df1 AS DOUBLE) + 0.5))
+                 * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25
+                     + (CAST(dl AS DOUBLE) * 0.75)
+                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                 / (CAST(df2 AS DOUBLE) + 0.5))
+                 * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25
+                     + (CAST(dl AS DOUBLE) * 0.75)
+                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM m, s)
+         SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+         ORDER BY score DESC, doc_id LIMIT 50""",
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 query scoring (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework"; the `+1` idf form is the
+  * always-positive variant Lucene standardized). The retrieval twin of
+  * [[graft.operators.PipelineQueries]]'s `doc_tfidf` corpus statistics:
+  * given a FIXED small query-term set, score every document.
+  *
+  * Shape at any scale: per-term tf is a doc-LOCAL `filter` over the
+  * whitespace token array — no gram explode, no per-term shuffle. The
+  * corpus statistics the formula needs (N, Σdl, per-term df) are ONE
+  * partially-aggregated scalar row, broadcast back with a cross join; the
+  * only other exchange is the caller's top-k (a TakeOrdered, not a sort).
+  * So: one scan + one scalar aggregate, regardless of corpus size — the
+  * right plan when |query| is small. For arbitrary-vocabulary scoring the
+  * inverted-index build (`doc_tfidf`'s explode + two aggs) is the scale
+  * path, and this operator composes with it unchanged.
+  *
+  * Cross-engine determinism: every stored statistic is an exact integer;
+  * doubles appear only in the final per-doc formula, whose operand ORDER
+  * is part of the contract (contributions summed left-associatively in
+  * query order) so an oracle writing the same tree gets bit-identical
+  * IEEE-754 results before the deterministic rounding.
+  */
+object Bm25 {
+
+  /** Score `docs` against `query` terms; returns `idCol, dl, score`
+    * (score UN-rounded — gates round with [[graft.Det.r]]).
+    * NULL texts are dropped; `dl` is the whitespace word count of the
+    * normalized text. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(query == query.distinct, "query terms must be distinct")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0, 1]")
+    val reserved = Seq("__ws", "__dl", "__n", "__sumdl") ++
+      query.indices.flatMap(i => Seq(s"__tf$i", s"__df$i"))
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"input columns clash with internals: $clash")
+
+    val words = split(Decontaminate.normCol(col(textCol)), " ")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), words.as("__ws"))
+      .withColumn("__dl", size(col("__ws")).cast("long"))
+    val withTf = query.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"__tf$i",
+        size(filter(col("__ws"), w => w === lit(t))).cast("long"))
+    }.drop("__ws")
+
+    val statCols = Seq(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl")) ++ query.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+
+    val joined = withTf.crossJoin(broadcast(stats))
+    val nD = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / nD
+    val contribs: Seq[Column] = query.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfT + 0.5) / (dfT + 0.5))
+      // operand order is the oracle contract: ((idf * (tf * (k1+1))) /
+      // (tf + k1 * ((1-b) + (dl * b) / avgdl))) — an oracle writing the
+      // same tree gets the same IEEE double before rounding
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) *
+          (lit(1.0 - b) + (col("__dl").cast("double") * b) / avgdl))
+    }
+    joined.select(col(idCol), col("__dl").as("dl"),
+      contribs.reduceLeft(_ + _).as("score"))
+  }
+
+  /** Retrieval form: positive-scoring docs, top `k` by (score desc, id) —
+    * rounded via [[graft.Det.r]] so gate and oracle compare equal. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    score(docs, idCol, textCol, query, k1, b)
+      .withColumn("score", graft.Det.r(col("score"), 6))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

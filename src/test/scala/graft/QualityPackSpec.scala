@@ -59,6 +59,44 @@ class QualityPackSpec extends SparkFunSuite {
       === docs.columns.toSeq)
   }
 
+  test("bm25: hand-checkable scores on a three-doc corpus") {
+    val fixture = Seq(
+      (1L, "spark spark join"), // tf(spark)=2, dl=3
+      (2L, "spark join scan"),  // tf(spark)=1, dl=3
+      (3L, "join scan merge"))  // tf(spark)=0
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Bm25
+      .score(fixture, "doc_id", "text", Seq("spark"))
+      .select(col("doc_id"), col("score")).as[(Long, Double)]
+      .collect().toMap
+    // N=3, df=2, avgdl=3 -> idf = ln(1 + 1.5/2.5); dl/avgdl = 1 so the
+    // length norm collapses to (tf*2.2)/(tf+1.2)
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    assert(math.abs(got(1L) - idf * 2.0 * 2.2 / (2.0 + 1.2)) < 1e-12)
+    assert(math.abs(got(2L) - idf * 1.0 * 2.2 / (1.0 + 1.2)) < 1e-12)
+    assert(got(3L) === 0.0)
+  }
+
+  test("bm25: more matched terms strictly raises the score; topK orders") {
+    val fixture = Seq(
+      (1L, "spark merge window pad pad pad"),
+      (2L, "spark merge scan pad pad pad"),
+      (3L, "spark scan scan pad pad pad"),
+      (4L, "scan scan scan pad pad pad"))
+      .toDF("doc_id", "text")
+    val q = Seq("spark", "merge", "window")
+    val top = graft.pipeline.Bm25.topK(fixture, "doc_id", "text", q, k = 10)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L, 3L), "zero-score doc excluded, rank by terms")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Bm25.score(fixture, "doc_id", "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Bm25.score(fixture.withColumn("__dl", lit(1L)),
+        "doc_id", "text", q)
+    }
+  }
+
   test("quality rules: NULL text is dropped, empty text is measured") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")
