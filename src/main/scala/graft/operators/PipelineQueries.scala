@@ -687,6 +687,25 @@ object PipelineQueries {
         .orderBy(col("source"), col("reason"))
     }),
 
+    // Greedy sequence packing (Pack.packGreedy): context-budget bin
+    // packing of whitespace token counts, per source stratum in doc_id
+    // order — ONE stratum-key exchange + a sequential per-partition
+    // walk; the per-bin aggregate hash-checks every bin assignment via
+    // the id checksum (the oracle replays the same recurrence with a
+    // recursive CTE).
+    "doc_pack" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+          Tables.documents(s, d).filter(col("text").isNotNull),
+          col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(split(Decontaminate.normCol(col("text")), " "))
+            .cast("long").as("n_tokens"))
+      val packed = graft.pipeline.Pack.packGreedy(
+        base, "doc_id", "n_tokens", "source", budget = 512L)
+      graft.pipeline.Pack.binStats(packed, "doc_id", "n_tokens", "source")
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Okapi BM25 query scoring (Bm25.topK): per-term tf as doc-local
     // HOFs (no explode, no per-term shuffle); N/Σdl/df ride ONE
     // broadcast scalar row; top-k is a TakeOrdered. Exchanges: the
@@ -1671,6 +1690,33 @@ object PipelineQueries {
            CAST(sum(nstop) AS BIGINT) AS sum_stop_hits,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM c GROUP BY 1, 2 ORDER BY source, reason""",
+    // Greedy packing: replay the recurrence sequentially per source
+    // with a recursive CTE — bin 0 / fill = tokens at rn 1; overflow
+    // => bin + 1, fill = tokens; else fill += tokens.
+    "doc_pack" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS BIGINT)
+               AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+           FROM documents WHERE text IS NOT NULL),
+         p AS (
+           SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN p.bin + 1
+                  ELSE p.bin END AS bin,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
+                  ELSE p.fill + d.n_tokens END AS fill
+           FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+         SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM p GROUP BY 1, 2 ORDER BY source, bin""",
     // Okapi BM25: the same expression tree in the same operand order —
     // integer statistics, then one fixed-shape double formula per doc,
     // summed left-associatively in query-term order; constants written

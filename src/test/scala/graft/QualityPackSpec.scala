@@ -97,6 +97,59 @@ class QualityPackSpec extends SparkFunSuite {
     }
   }
 
+  test("pack: hand-checkable greedy recurrence incl. oversized docs") {
+    import graft.pipeline.Pack
+    val fixture = Seq(
+      // stratum a, budget 10: 4+5 fit bin0; 3 overflows -> bin1; 12 is
+      // oversized -> overflows into bin2 alone; 2 -> overflows 12's bin
+      (1L, "a", 4L), (2L, "a", 5L), (3L, "a", 3L), (4L, "a", 12L),
+      (5L, "a", 2L),
+      // stratum b restarts at bin 0; oversized FIRST doc holds bin 0
+      (6L, "b", 99L), (7L, "b", 1L))
+      .toDF("doc_id", "stratum", "toks")
+    val got = Pack.packGreedy(fixture, "doc_id", "toks", "stratum", 10L)
+      .select(col("doc_id"), col("bin")).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 0L, 7L -> 1L))
+  }
+
+  test("pack: assignment is independent of input partitioning") {
+    import graft.pipeline.Pack
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pack.packGreedy(df, "doc_id", "toks", "source", 512L)
+        .select(col("doc_id"), col("bin")).as[(Long, Long)]
+        .collect().toMap
+    val a = run(base)
+    val b = run(base.repartition(37))
+    val c = run(base.repartition(1))
+    assert(a === b && a === c)
+    // every bin except possibly a stratum's last is filled past the
+    // point where the next doc overflows: fill + next > budget
+    val stats = Pack.binStats(
+      Pack.packGreedy(base, "doc_id", "toks", "source", 512L),
+      "doc_id", "toks", "source")
+    assert(stats.filter(col("bin_tokens") > 512L &&
+      col("n_docs") > 1L).count() === 0,
+      "multi-doc bins must respect the budget")
+    // null stratum packs as its own group
+    val withNull = Seq((1L, null.asInstanceOf[String], 5L),
+      (2L, null.asInstanceOf[String], 6L)).toDF("doc_id", "source", "toks")
+    val n = Pack.packGreedy(withNull, "doc_id", "toks", "source", 10L)
+      .select(col("doc_id"), col("bin")).as[(Long, Long)].collect().toMap
+    assert(n === Map(1L -> 0L, 2L -> 1L))
+    intercept[IllegalArgumentException] {
+      Pack.packGreedy(base.withColumn("bin", lit(1L)), "doc_id", "toks",
+        "source", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.packGreedy(base.withColumn("toks", col("toks").cast("int")),
+        "doc_id", "toks", "source", 10L)
+    }
+  }
+
   test("quality rules: NULL text is dropped, empty text is measured") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")
