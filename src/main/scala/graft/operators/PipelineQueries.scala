@@ -687,6 +687,23 @@ object PipelineQueries {
         .orderBy(col("source"), col("reason"))
     }),
 
+    // Conjunctive multi-query search (Search.conjunctiveJoin): per-doc
+    // distinct terms explode map-side, broadcast query-term semi-join
+    // prunes BEFORE the exchange, one (doc, query) arity count — the
+    // inverted-index probe; shuffled rows bounded by query-term hits.
+    "doc_search" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark"), (1L, "join"), (2L, "merge"),
+        (2L, "window"), (2L, "sort"), (3L, "dup"))
+        .toDF("query_id", "term")
+      graft.pipeline.Search.conjunctiveJoin(
+          Tables.documents(s, d), "doc_id", "text", qs)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("query_id"))
+    }),
+
     // Greedy sequence packing (Pack.packGreedy): context-budget bin
     // packing of whitespace token counts, per source stratum in doc_id
     // order — ONE stratum-key exchange + a sequential per-partition
@@ -1690,6 +1707,27 @@ object PipelineQueries {
            CAST(sum(nstop) AS BIGINT) AS sum_stop_hits,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM c GROUP BY 1, 2 ORDER BY source, reason""",
+    // Conjunctive search: same inverted-index probe, query table as
+    // VALUES.
+    "doc_search" ->
+      """WITH q(query_id, term) AS (VALUES
+             (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
+             (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'window'),
+             (CAST(2 AS BIGINT), 'sort'), (CAST(3 AS BIGINT), 'dup')),
+         d AS (
+           SELECT doc_id, list_distinct(string_split(trim(regexp_replace(
+             lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS ws
+           FROM documents WHERE text IS NOT NULL),
+         dt AS (
+           SELECT doc_id, t.term FROM d, LATERAL unnest(ws) AS t(term)),
+         m AS (
+           SELECT q.query_id, dt.doc_id, count(*) AS hits
+           FROM dt JOIN q USING (term) GROUP BY 1, 2),
+         a AS (SELECT query_id, count(*) AS arity FROM q GROUP BY 1)
+         SELECT m.query_id, count(*) AS n_matches,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM m JOIN a USING (query_id) WHERE m.hits = a.arity
+         GROUP BY 1 ORDER BY query_id""",
     // Greedy packing: replay the recurrence sequentially per source
     // with a recursive CTE — bin 0 / fill = tokens at rn 1; overflow
     // => bin + 1, fill = tokens; else fill += tokens.

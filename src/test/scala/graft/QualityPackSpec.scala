@@ -150,6 +150,29 @@ class QualityPackSpec extends SparkFunSuite {
     }
   }
 
+  test("search: conjunctive join == doc-local predicate per query") {
+    import graft.pipeline.Search
+    val qs = Seq((1L, "spark"), (1L, "join"), (2L, "dup"))
+      .toDF("query_id", "term")
+    val joined = Search.conjunctiveJoin(docs, "doc_id", "text", qs)
+      .as[(Long, Long)].collect().toSet
+    val q1 = docs.filter(Search.matchesAll(col("text"),
+        Seq("spark", "join")))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val q2 = docs.filter(Search.matchesAll(col("text"), Seq("dup")))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(joined === q1.map((1L, _)) ++ q2.map((2L, _)))
+    assert(q1.nonEmpty && q2.nonEmpty, "fixture queries must match")
+    // duplicate query rows must not double-count arity
+    val dupQs = qs.union(qs)
+    assert(Search.conjunctiveJoin(docs, "doc_id", "text", dupQs)
+      .as[(Long, Long)].collect().toSet === joined)
+    intercept[IllegalArgumentException] {
+      Search.conjunctiveJoin(docs, "doc_id", "text",
+        qs.withColumnRenamed("term", "t"))
+    }
+  }
+
   test("quality rules: NULL text is dropped, empty text is measured") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")
