@@ -697,7 +697,8 @@ object PipelineQueries {
         (2L, "window"), (2L, "sort"), (3L, "dup"))
         .toDF("query_id", "term")
       graft.pipeline.Search.conjunctiveJoin(
-          Tables.documents(s, d), "doc_id", "text", qs)
+          Decontaminate.spreadSmall(Tables.documents(s, d), col("doc_id")),
+          "doc_id", "text", qs)
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_matches"),
           sum(col("doc_id")).as("id_checksum"))

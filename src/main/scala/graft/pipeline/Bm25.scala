@@ -45,10 +45,18 @@ object Bm25 {
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), words.as("__ws"))
       .withColumn("__dl", size(col("__ws")).cast("long"))
-    val withTf = query.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-      df.withColumn(s"__tf$i",
-        size(filter(col("__ws"), w => w === lit(t))).cast("long"))
-    }.drop("__ws")
+    // The projected tf table (id, dl, tf_i — ~5 longs/doc) feeds BOTH
+    // the stats aggregate and the per-doc scoring pass; without a
+    // persist Catalyst plans two full text scans + splits (column
+    // pruning differentiates the subtrees, so exchange reuse cannot
+    // collapse them). Persisting the narrow projection keeps the
+    // expensive text pass single — Caches-registered, evicted at the
+    // caller's release point.
+    val withTf = Caches.persistTracked(
+      query.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+        df.withColumn(s"__tf$i",
+          size(filter(col("__ws"), w => w === lit(t))).cast("long"))
+      }.drop("__ws"))
 
     val statCols = Seq(count(lit(1)).as("__n"),
       sum(col("__dl")).as("__sumdl")) ++ query.indices.map(i =>
