@@ -64,21 +64,39 @@ object Bm25 {
     val stats = withTf.agg(statCols.head, statCols.tail: _*)
 
     val joined = withTf.crossJoin(broadcast(stats))
-    val nD = col("__n").cast("double")
-    val avgdl = col("__sumdl").cast("double") / nD
-    val contribs: Seq[Column] = query.indices.map { i =>
-      val tf = col(s"__tf$i").cast("double")
-      val dfT = col(s"__df$i").cast("double")
-      val idf = log(lit(1.0) + (nD - dfT + 0.5) / (dfT + 0.5))
-      // operand order is the oracle contract: ((idf * (tf * (k1+1))) /
-      // (tf + k1 * ((1-b) + (dl * b) / avgdl))) — an oracle writing the
-      // same tree gets the same IEEE double before rounding
-      idf * (tf * (k1 + 1.0)) /
-        (tf + lit(k1) *
-          (lit(1.0 - b) + (col("__dl").cast("double") * b) / avgdl))
-    }
+    val statCols_ = (col("__n"), col("__sumdl"),
+      query.indices.map(i => col(s"__df$i")))
     joined.select(col(idCol), col("__dl").as("dl"),
-      contribs.reduceLeft(_ + _).as("score"))
+      scoreExpr(query.indices.map(i => col(s"__tf$i")), col("__dl"),
+        statCols_._1, statCols_._2, statCols_._3, k1, b).as("score"))
+  }
+
+  /** The BM25 formula as one Column tree. Operand order is the contract
+    * — ((idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + (dl * b) / avgdl))),
+    * contributions summed left-associatively in query order — so an
+    * oracle (or a streaming twin feeding the SAME statistics as
+    * literals) derives bit-identical IEEE doubles before rounding.
+    * All inputs are integer Columns. */
+  private[graft] def scoreExpr(tfs: Seq[Column], dl: Column, n: Column,
+      sumdl: Column, dfs: Seq[Column], k1: Double, b: Double): Column = {
+    val nD = n.cast("double")
+    val avgdl = sumdl.cast("double") / nD
+    val contribs: Seq[Column] = tfs.indices.map { i =>
+      val tf = tfs(i).cast("double")
+      val dfT = dfs(i).cast("double")
+      val idf = log(lit(1.0) + (nD - dfT + 0.5) / (dfT + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + (dl.cast("double") * b) / avgdl))
+    }
+    contribs.reduceLeft(_ + _)
+  }
+
+  /** Doc-local per-term tf counts over the normalized whitespace tokens
+    * — shared by the batch scorer and the streaming twin. */
+  private[graft] def tfCols(textCol: String,
+      query: Seq[String]): Seq[Column] = {
+    val words = split(Decontaminate.normCol(col(textCol)), " ")
+    query.map(t => size(filter(words, w => w === lit(t))).cast("long"))
   }
 
   /** Retrieval form: positive-scoring docs, top `k` by (score desc, id) —

@@ -318,4 +318,47 @@ object EventStream {
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
         col("l_ts"), col("r_ts"), col("r_value"))
   }
+
+  /** Streaming quality filtering — [[graft.pipeline.QualityRules]] is
+    * pure per-row column arithmetic, so the SAME classify ladder runs on
+    * a stream unchanged: stateless, Append-mode, no watermark, each
+    * doc's verdict final the micro-batch it arrives in. This wrapper
+    * exists to pin that contract (StreamingSpec asserts stream ≡ batch
+    * and zero stateful operators). */
+  def qualityRules(stream: DataFrame, textCol: String): DataFrame =
+    graft.pipeline.QualityRules.classify(stream, textCol)
+
+  /** Streaming BM25 — score arriving documents against a STATIC corpus's
+    * statistics (the search-index convention: df/avgdl update on index
+    * rebuild, not per query). The stats resolve ONCE up front (one
+    * scalar-row job) and land in the plan as literals, so each
+    * micro-batch is a stateless doc-local projection: per-term tf via
+    * the same HOF counts, the same fixed-operand-order formula as the
+    * batch scorer — stream ≡ batch bit-for-bit (StreamingSpec). */
+  def bm25(stream: DataFrame, corpusStatic: DataFrame, idCol: String,
+      textCol: String, query: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.pipeline.{Bm25, Decontaminate}
+    require(query.nonEmpty && query == query.distinct,
+      "query terms must be non-empty and distinct")
+    val words = split(Decontaminate.normCol(col(textCol)), " ")
+    val statRow = corpusStatic.filter(col(textCol).isNotNull)
+      .select(Seq(size(words).cast("long").as("__dl")) ++
+        Bm25.tfCols(textCol, query).zipWithIndex.map {
+          case (c, i) => c.as(s"__tf$i") }: _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__dl")).as("sumdl") +:
+          query.indices.map(i =>
+            sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L))
+              .as(s"df$i"))): _*)
+      .head()
+    val n = lit(statRow.getAs[Long]("n"))
+    val sumdl = lit(statRow.getAs[Long]("sumdl"))
+    val dfs = query.indices.map(i => lit(statRow.getAs[Long](s"df$i")))
+    val tfs = Bm25.tfCols(textCol, query)
+    stream.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(words).cast("long").as("dl"),
+        Bm25.scoreExpr(tfs, size(words).cast("long"), n, sumdl, dfs,
+          k1, b).as("score"))
+  }
 }

@@ -231,4 +231,52 @@ class StreamingSpec extends SparkFunSuite {
     q.processAllAvailable(); q.awaitTermination(30000)
     assert(spark.table("dedup").count() === 2)
   }
+
+  test("streaming quality rules == batch classify; stateless") {
+    val dir = Files.createTempDirectory("qstream").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = EventStream.qualityRules(src, "text")
+      .select(col("doc_id"), col("reason"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qrules").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("qrules")
+      .as[(Long, String)].collect().toSet
+    val batch = graft.pipeline.QualityRules.classify(docs, "text")
+      .select(col("doc_id"), col("reason"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.map(_._2).size > 1, "fixture exercises multiple rules")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "quality rules must carry no stateful operators")
+  }
+
+  test("streaming bm25 against static corpus stats == batch score") {
+    val dir = Files.createTempDirectory("bm25stream").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docs.schema).parquet(dir)
+    val query = Seq("spark", "merge", "window")
+    val q = EventStream.bm25(src, docs, "doc_id", "text", query)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bm25s").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("bm25s")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, dl, s) => id -> ((dl, s)) }.toMap
+    val batch = graft.pipeline.Bm25
+      .score(docs, "doc_id", "text", query)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, dl, s) => id -> ((dl, s)) }.toMap
+    // literal-statistics streaming scores are BIT-identical to the
+    // batch broadcast-statistics scores (same operand-order contract
+    // the DuckDB oracle relies on) — exact equality, no tolerance
+    assert(streamed === batch)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "bm25 scoring must carry no stateful operators")
+  }
 }
