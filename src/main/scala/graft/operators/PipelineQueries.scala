@@ -687,6 +687,32 @@ object PipelineQueries {
         .orderBy(col("source"), col("reason"))
     }),
 
+    // The corpus-prep chain as ONE composed plan: quality rules (keep
+    // only) -> exact dedup keep-first (one window exchange on the text
+    // hash) -> greedy packing -> per-bin stats. Three corpus-sized
+    // exchanges end to end — the honest shape of the full prep pipeline
+    // at any scale — with rule metrics computed once and reused as the
+    // packing token counts. The oracle chains the same three stages in
+    // SQL (CASE ladder -> QUALIFY-style row_number -> recursive CTE).
+    "doc_pipeline_e2e" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+        Tables.documents(s, d), col("doc_id"))
+      val classified = graft.pipeline.QualityRules.classify(base, "text")
+        .filter(col("reason") === "keep")
+        .select(col("doc_id"), col("source"), col("text"),
+          col("n_words").as("n_tokens"))
+      val deduped = classified
+        .withColumn("__dn", row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary")))
+            .orderBy(col("doc_id"))))
+        .filter(col("__dn") === 1)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      val packed = graft.pipeline.Pack.packGreedy(
+        deduped, "doc_id", "n_tokens", "source", budget = 512L)
+      graft.pipeline.Pack.binStats(packed, "doc_id", "n_tokens", "source")
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Conjunctive multi-query search (Search.conjunctiveJoin): per-doc
     // distinct terms explode map-side, broadcast query-term semi-join
     // prunes BEFORE the exchange, one (doc, query) arity count — the
@@ -1708,6 +1734,58 @@ object PipelineQueries {
            CAST(sum(nstop) AS BIGINT) AS sum_stop_hits,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM c GROUP BY 1, 2 ORDER BY source, reason""",
+    // The composed corpus-prep chain: rules keep -> first-id per
+    // md5(text) -> recursive-CTE packing of the survivors.
+    "doc_pipeline_e2e" ->
+      """WITH RECURSIVE raw AS (
+           SELECT doc_id, source, text,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id, source, text,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+               AS swl,
+             CAST(len(list_filter(ws, w -> w IN ('the','a','an','of','and',
+               'to','with','that','be','have'))) AS BIGINT) AS nstop,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+               AS BIGINT) AS nalpha,
+             CAST(len(list_filter(ws, w -> w LIKE '#%' OR contains(w, '...')
+               OR contains(w, '{'))) AS BIGINT) AS nsym
+           FROM raw),
+         kept AS (
+           SELECT doc_id, source, text, n_words AS n_tokens FROM m
+           WHERE NOT (n_words < 50 OR n_words > 100000)
+             AND NOT (swl / CAST(n_words AS DOUBLE) < 3.0
+               OR swl / CAST(n_words AS DOUBLE) > 10.0)
+             AND nstop >= 2
+             AND nalpha / CAST(n_words AS DOUBLE) >= 0.8
+             AND nsym / CAST(n_words AS DOUBLE) <= 0.1),
+         dd AS (
+           SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS dn
+           FROM kept),
+         d AS (
+           SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM dd WHERE dn = 1),
+         p AS (
+           SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN p.bin + 1
+                  ELSE p.bin END AS bin,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
+                  ELSE p.fill + d.n_tokens END AS fill
+           FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+         SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM p GROUP BY 1, 2 ORDER BY source, bin""",
     // Conjunctive search: same inverted-index probe, query table as
     // VALUES.
     "doc_search" ->

@@ -173,6 +173,22 @@ class QualityPackSpec extends SparkFunSuite {
     }
   }
 
+  test("pipeline e2e gate: bins account for exactly the kept-deduped docs") {
+    val out = SparkEntry.queries("doc_pipeline_e2e")(spark, sf("sf0.001"))
+      .collect()
+    val binDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val binToks = out.map(_.getAs[Long]("bin_tokens")).sum
+    // independent recomputation of the survivor set
+    val kept = graft.pipeline.QualityRules.keepClean(docs, "text")
+    val expected = kept
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .count()
+    assert(binDocs === expected,
+      "every kept-deduped doc lands in exactly one bin")
+    assert(binToks > 0 && out.forall(r => r.getAs[Long]("bin_tokens") > 0))
+  }
+
   test("quality rules: NULL text is dropped, empty text is measured") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")
