@@ -185,6 +185,33 @@ object DupBench {
         List(("bloomnew", t, n))
       }
 
+    // Sequence packing (round-14): packing is linear in corpus rows by
+    // construction — the contract printed: wall tracks rows, bins track
+    // total tokens / budget, and mean bin fill stays FLAT in clone
+    // factor (clones add tokens, not fragmentation).
+    val packResults =
+      if (!families("pack")) Nil
+      else {
+        val docsSrc = cloned(Tables.documents(spark, sfDir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("source")), "doc_id")
+        val toks = docsSrc.select(col("doc_id"), col("source"),
+          size(split(graft.pipeline.Decontaminate.normCol(col("text")),
+            " ")).cast("long").as("n_tokens"))
+        val t0 = System.nanoTime()
+        val stats = graft.pipeline.Pack.binStats(
+          graft.pipeline.Pack.packGreedy(toks, "doc_id", "n_tokens",
+            "source", budget = 512L),
+          "doc_id", "n_tokens", "source").persist()
+        val nBins = stats.count()
+        val fill = stats.agg(avg(col("bin_tokens"))).head().getDouble(0)
+        val t = (System.nanoTime() - t0) / 1e9
+        stats.unpersist(blocking = false)
+        graft.pipeline.Caches.release()
+        println(f"${"pack"}%-24s $t%8.2f s  bins=$nBins fill=$fill%.1f")
+        List(("pack", t, nBins))
+      }
+
     println("GRAFT_DUPBENCH")
     results.foreach { case (n, on, off) =>
       if (off.isNaN) println(f"$n%-16s on=$on%.2f s off=skipped (mode=on)")
@@ -201,6 +228,9 @@ object DupBench {
     }
     bloomResults.foreach { case (n, t, nw) =>
       println(f"$n%-16s t=$t%.2f s new=$nw")
+    }
+    packResults.foreach { case (n, t, nb) =>
+      println(f"$n%-16s t=$t%.2f s bins=$nb")
     }
     spark.stop()
   }
