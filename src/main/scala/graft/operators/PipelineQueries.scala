@@ -687,6 +687,24 @@ object PipelineQueries {
         .orderBy(col("source"), col("reason"))
     }),
 
+    // Inter-source n-gram overlap matrix
+    // (Decontaminate.sourceOverlapMatrix): one gram-key exchange with
+    // bounded collect_set partials; pair expansion on single-gram rows.
+    "doc_source_overlap" -> ((s, d) =>
+      Decontaminate.sourceOverlapMatrix(
+          Tables.documents(s, d), "doc_id", "source", "text", n = 5)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Deterministic train/val/test split (Sample.assignSplits):
+    // md5-prefix thresholds — stable under corpus growth, zero
+    // exchanges before the gate's aggregate.
+    "doc_split" -> ((s, d) =>
+      Sample.assignSplits(Tables.documents(s, d), col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"), col("split"))),
+
     // The corpus-prep chain as ONE composed plan: quality rules (keep
     // only) -> exact dedup keep-first (one window exchange on the text
     // hash) -> greedy packing -> per-bin stats. Three corpus-sized
@@ -1734,6 +1752,41 @@ object PipelineQueries {
            CAST(sum(nstop) AS BIGINT) AS sum_stop_hits,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM c GROUP BY 1, 2 ORDER BY source, reason""",
+    // Source overlap: distinct (source, 5-gram) -> per-gram source
+    // sets -> pair counts.
+    "doc_source_overlap" ->
+      """WITH d AS (
+           SELECT source, string_split(trim(regexp_replace(lower(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT DISTINCT source,
+             array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               AS gram
+           FROM d, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+         s AS (
+           SELECT gram, list_sort(list(source)) AS ss FROM g
+           GROUP BY gram HAVING count(*) > 1),
+         p AS (
+           SELECT a.sa AS source_a, b.sb AS source_b
+           FROM s, unnest(ss) AS a(sa), unnest(ss) AS b(sb)
+           WHERE a.sa < b.sb)
+         SELECT source_a, source_b, count(*) AS n_shared
+         FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // Split: same md5-prefix ladder; cccccccc/e6666666 are
+    // thresholdHex(0.8)/thresholdHex(0.9).
+    "doc_split" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT source, split, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM s GROUP BY 1, 2 ORDER BY source, split""",
     // The composed corpus-prep chain: rules keep -> first-id per
     // md5(text) -> recursive-CTE packing of the survivors.
     "doc_pipeline_e2e" ->

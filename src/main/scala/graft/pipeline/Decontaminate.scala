@@ -150,4 +150,33 @@ object Decontaminate {
       .filter(col("n_hit") > 0L)
       .select(col("__id").as(idCol), col("n_grams"), col("n_hit"))
   }
+
+  /** Inter-source content-overlap matrix: for every pair of sources, the
+    * number of distinct word `n`-grams they share — the "who copies
+    * whom" diagnostic a corpus audit runs before mixing sources (the
+    * pairwise generalization of [[overlap]]'s train/eval probe).
+    *
+    * ONE corpus-wide exchange: per-doc distinct grams explode map-side
+    * into `groupBy(gram).collect_set(source)` — partial aggregation
+    * dedups sources map-side, and every set is bounded by the number of
+    * sources, so ubiquitous grams cannot skew a reducer. Pair expansion
+    * then runs on single-gram rows (≤ |sources|² each) and the final
+    * rollup moves ≤ C(|sources|, 2) rows. For domain-granular strata
+    * (millions of sources) cap gram document-frequency first, the same
+    * df-cap discipline [[Dedup.winnowPairs]] applies. */
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val sets = spreadSmall(df.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(sourceCol).as("__src"),
+        explode(array_distinct(wordGrams(normCol(col(textCol)), n)))
+          .as("__gram"))
+      .groupBy(col("__gram"))
+      .agg(array_sort(collect_set(col("__src"))).as("__ss"))
+      .filter(size(col("__ss")) > 1)
+    sets.select(explode(col("__ss")).as("source_a"), col("__ss"))
+      .select(col("source_a"), explode(col("__ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -63,6 +63,35 @@ object Sample {
       .drop("__srk", "__sn")
   }
 
+  /** Deterministic dataset split — the train/val/test assignment every
+    * corpus ships with. Each row gets the FIRST label whose cumulative
+    * fraction bound its hash prefix falls under ([[hashKey]] — md5, so
+    * assignment is stable across runs, partitionings, engines, and is
+    * disjoint/exhaustive by construction). A row's split never changes
+    * when other rows are added or removed — the property per-stratum
+    * row-number splits lack. Stateless scan-side arithmetic: zero
+    * exchanges at any scale. `fracs` must sum to 1 (the last label takes
+    * the remainder including the clamped top hex value). */
+  def assignSplits(df: DataFrame, key: Column,
+      fracs: Seq[(String, Double)],
+      splitName: String = "split"): DataFrame = {
+    require(fracs.size >= 2, "need at least two splits")
+    require(fracs.map(_._1).distinct.size == fracs.size,
+      "split labels must be distinct")
+    require(fracs.forall(_._2 > 0.0), "fractions must be positive")
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    noClash(df, Seq(splitName), "assignSplits")
+    val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    val hk = hashKey(key)
+    val chain = fracs.init.zip(cum.init).reverse
+      .foldLeft(lit(fracs.last._1): Column) {
+        case (els, ((name, _), c)) =>
+          when(hk < lit(thresholdHex(c)), lit(name)).otherwise(els)
+      }
+    df.withColumn(splitName, chain)
+  }
+
   /** Knuth/Weyl multiplicative hash of an integer key into [0, 2^32):
     * `((key mod 2^31) * 2654435761) mod 2^32` (2654435761 =
     * floor(2^32 / φ), Knuth TAOCP §6.4). Pure 64-bit integer

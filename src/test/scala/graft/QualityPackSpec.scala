@@ -189,6 +189,49 @@ class QualityPackSpec extends SparkFunSuite {
     assert(binToks > 0 && out.forall(r => r.getAs[Long]("bin_tokens") > 0))
   }
 
+  test("split: disjoint, exhaustive, stable under corpus growth") {
+    import graft.pipeline.Sample
+    val fracs = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Sample.assignSplits(docs, col("doc_id"), fracs)
+      .select(col("doc_id"), col("split")).as[(Long, String)]
+      .collect().toMap
+    assert(a.size === docs.count())
+    val shares = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(shares.keySet === Set("train", "val", "test"))
+    assert(shares("train") > shares("val") && shares("train") > shares("test"))
+    // growth stability: the same rows keep their split when the corpus
+    // doubles (row-number splits break exactly here)
+    val grown = docs.union(docs.withColumn("doc_id",
+      col("doc_id") + 1000000L))
+    val b = Sample.assignSplits(grown, col("doc_id"), fracs)
+      .select(col("doc_id"), col("split")).as[(Long, String)]
+      .collect().toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+    intercept[IllegalArgumentException] {
+      Sample.assignSplits(docs, col("doc_id"),
+        Seq(("a", 0.5), ("b", 0.4))) // does not sum to 1
+    }
+    intercept[IllegalArgumentException] {
+      Sample.assignSplits(docs.withColumn("split", lit("x")),
+        col("doc_id"), fracs)
+    }
+  }
+
+  test("source overlap matrix: hand-checkable pair counts") {
+    import graft.pipeline.Decontaminate
+    val fixture = Seq(
+      (1L, "a", "one two three four five six"),   // grams: 2 five-grams
+      (2L, "b", "one two three four five"),       // shares "one..five" with a
+      (3L, "c", "one two three four five"),       // and with b
+      (4L, "d", "totally different words here now"))
+      .toDF("doc_id", "src", "text")
+    val got = Decontaminate.sourceOverlapMatrix(
+        fixture, "doc_id", "src", "text", n = 5)
+      .as[(String, String, Long)].collect().toSet
+    // "one two three four five" is shared by a, b, c -> 3 pairs x 1 gram
+    assert(got === Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
   test("quality rules: NULL text is dropped, empty text is measured") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")
