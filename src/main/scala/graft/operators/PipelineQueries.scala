@@ -687,6 +687,16 @@ object PipelineQueries {
         .orderBy(col("source"), col("reason"))
     }),
 
+    // Corpus-unigram surprisal (LmScore.unigramLogProb): CCNet-shaped
+    // LM quality signal; per-term logprobs rounded to integer micros
+    // ONCE, all sums exact integers (order-free). Corpus-wide
+    // frequencies; output sliced to the base ids (doc_pii convention).
+    "doc_lm_score" -> ((s, d) =>
+      graft.pipeline.LmScore.unigramLogProb(
+          Tables.documents(s, d), "doc_id", "text")
+        .filter(col("doc_id") < 1000L)
+        .orderBy(col("doc_id"))),
+
     // Inter-source n-gram overlap matrix
     // (Decontaminate.sourceOverlapMatrix): one gram-key exchange with
     // bounded collect_set partials; pair expansion on single-gram rows.
@@ -1752,6 +1762,26 @@ object PipelineQueries {
            CAST(sum(nstop) AS BIGINT) AS sum_stop_hits,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM c GROUP BY 1, 2 ORDER BY source, reason""",
+    // Unigram surprisal: same micro-rounding of per-term logprobs,
+    // integer sums per doc.
+    "doc_lm_score" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         t AS (SELECT doc_id, t.term FROM d,
+                 LATERAL unnest(ws) AS t(term)),
+         f AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+         lp AS (
+           SELECT term,
+             CAST(floor(ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS lpm
+           FROM f, tot)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(lp.lpm) AS BIGINT) AS lp_micros
+         FROM t JOIN lp USING (term) WHERE t.doc_id < 1000
+         GROUP BY 1 ORDER BY doc_id""",
     // Source overlap: distinct (source, 5-gram) -> per-gram source
     // sets -> pair counts.
     "doc_source_overlap" ->

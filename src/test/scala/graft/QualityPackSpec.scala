@@ -232,6 +232,26 @@ class QualityPackSpec extends SparkFunSuite {
     assert(got === Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
   }
 
+  test("lm score: hand-checkable unigram surprisal micros") {
+    import graft.pipeline.LmScore
+    val fixture = Seq((1L, "a a b"), (2L, "b c"))
+      .toDF("doc_id", "text")
+    val got = LmScore.unigramLogProb(fixture, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, lp) => id -> ((n, lp)) }.toMap
+    // total 5 tokens: P(a)=2/5, P(b)=2/5, P(c)=1/5
+    def m(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    assert(got(1L) === ((3L, 2 * m(2.0 / 5) + m(2.0 / 5))))
+    assert(got(2L) === ((2L, m(2.0 / 5) + m(1.0 / 5))))
+    // corpus-typical docs (common words) outscore rare-token docs
+    val rare = LmScore.unigramLogProb(docs, "doc_id", "text")
+    assert(rare.count() === docs.filter(col("text").isNotNull).count())
+    intercept[IllegalArgumentException] {
+      LmScore.unigramLogProb(fixture.withColumn("__term", lit(1)),
+        "doc_id", "text")
+    }
+  }
+
   test("quality rules: NULL text is dropped, empty text is measured") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")
