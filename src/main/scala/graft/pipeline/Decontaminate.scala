@@ -163,7 +163,8 @@ object Decontaminate {
     * then runs on single-gram rows (≤ |sources|² each) and the final
     * rollup moves ≤ C(|sources|, 2) rows. For domain-granular strata
     * (millions of sources) cap gram document-frequency first, the same
-    * df-cap discipline [[Dedup.winnowPairs]] applies. */
+    * df-cap discipline [[Dedup.winnowPairs]] applies. Rows with a NULL
+    * source contribute no pairs (`collect_set` skips nulls). */
   def sourceOverlapMatrix(df: DataFrame, idCol: String, sourceCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     val sets = spreadSmall(df.filter(col(textCol).isNotNull), col(idCol))

@@ -34,6 +34,8 @@ object LmScore {
     val reserved = Seq("__term", "__freq", "__total", "__lpm")
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty, s"input columns clash with internals: $clash")
+    require(idCol != "n_tokens" && idCol != "lp_micros" && idCol != "__term",
+      s"idCol '$idCol' clashes with the output/internal columns")
     val terms = Decontaminate.spreadSmall(
         df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol),

@@ -61,6 +61,12 @@ object Pack {
         var bin = 0L
         rows.map { r =>
           val st = r.get(stIdx)
+          // fail loudly instead of NPE-ing inside codegen: a null token
+          // count means the caller forgot to filter/derive upstream
+          if (r.isNullAt(tkIdx))
+            throw new IllegalArgumentException(
+              s"null token count at ${r.get(idIdx)}; filter or coalesce " +
+                "the tokens column before packing")
           val tk = r.getLong(tkIdx)
           if (!started || st != cur) {
             started = true; cur = st; bin = 0L; fill = tk

@@ -45,6 +45,13 @@ object QualityRules {
     * mirroring the split semantics every other text operator shares. */
   def withDocMetrics(df: DataFrame, textCol: String,
       stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    require(stopwords.nonEmpty, "stopword list must be non-empty")
+    // refuse silent clobbering of caller columns (withColumn REPLACES
+    // same-named columns — the Sample/Bloom review-finding class)
+    val reserved = Seq("__ws", "n_words", "sum_word_len", "n_stop_hits",
+      "n_alpha_words", "n_symbol_words")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"input columns clash with metrics: $clash")
     val words = split(Decontaminate.normCol(col(textCol)), " ")
     val stopArr = array(stopwords.map(lit): _*)
     df.filter(col(textCol).isNotNull)
@@ -73,6 +80,8 @@ object QualityRules {
       minStopHits: Long = 2L, minAlphaFrac: Double = 0.8,
       maxSymbolFrac: Double = 0.1,
       stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    require(!df.columns.contains("reason"),
+      "input already has a 'reason' column; rename it before classify")
     val m = withDocMetrics(df, textCol, stopwords)
     val nw = col("n_words").cast("double")
     val meanLen = col("sum_word_len").cast("double") / nw

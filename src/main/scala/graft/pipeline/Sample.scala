@@ -71,7 +71,10 @@ object Sample {
     * when other rows are added or removed — the property per-stratum
     * row-number splits lack. Stateless scan-side arithmetic: zero
     * exchanges at any scale. `fracs` must sum to 1 (the last label takes
-    * the remainder including the clamped top hex value). */
+    * the remainder including the clamped top hex value). A NULL key
+    * hashes to NULL, every `<` comparison is NULL, and the CASE ladder
+    * falls through to the LAST label — deterministic, but filter null
+    * keys out first if that is not the intent. */
   def assignSplits(df: DataFrame, key: Column,
       fracs: Seq[(String, Double)],
       splitName: String = "split"): DataFrame = {

@@ -32,6 +32,10 @@ object Search {
       queries: DataFrame): DataFrame = {
     require(queries.columns.toSet == Set("query_id", "term"),
       "queries must have exactly (query_id, term)")
+    // the id column survives into the output next to the join-internal
+    // names — a clash would silently corrupt the arity count
+    require(!Set("term", "query_id", "__hits", "__arity").contains(idCol),
+      s"idCol '$idCol' clashes with join internals")
     val arity = queries.distinct()
       .groupBy(col("query_id")).agg(count(lit(1)).as("__arity"))
     val docTerms = docs.filter(col(textCol).isNotNull)

@@ -352,6 +352,9 @@ object EventStream {
             sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L))
               .as(s"df$i"))): _*)
       .head()
+    require(statRow.getAs[Long]("n") > 0L,
+      "static corpus has no non-null documents - no statistics to score " +
+        "against")
     val n = lit(statRow.getAs[Long]("n"))
     val sumdl = lit(statRow.getAs[Long]("sumdl"))
     val dfs = query.indices.map(i => lit(statRow.getAs[Long](s"df$i")))

@@ -252,6 +252,38 @@ class QualityPackSpec extends SparkFunSuite {
     }
   }
 
+  test("hardening: reserved-name and null guards fail loudly") {
+    import graft.pipeline.{LmScore, Pack, QualityRules, Search}
+    intercept[IllegalArgumentException] {
+      QualityRules.classify(docs.withColumn("n_words", lit(1L)), "text")
+    }
+    intercept[IllegalArgumentException] {
+      QualityRules.classify(docs.withColumn("reason", lit("x")), "text")
+    }
+    intercept[IllegalArgumentException] {
+      Search.conjunctiveJoin(docs.withColumnRenamed("doc_id", "term"),
+        "term", "text", Seq((1L, "a")).toDF("query_id", "term"))
+    }
+    intercept[IllegalArgumentException] {
+      LmScore.unigramLogProb(
+        docs.withColumnRenamed("doc_id", "n_tokens"), "n_tokens", "text")
+    }
+    // null token count inside the packing walk fails with a message,
+    // not an NPE from generated code
+    val withNull = Seq((1L, "a", java.lang.Long.valueOf(5L)),
+      (2L, "a", null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "src", "toks")
+    val ex = intercept[Exception] {
+      Pack.packGreedy(withNull, "doc_id", "toks", "src", 10L).collect()
+    }
+    assert(ex.getMessage != null)
+    // streaming bm25 refuses an empty static corpus
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.bm25(
+        docs, docs.filter(lit(false)), "doc_id", "text", Seq("spark"))
+    }
+  }
+
   test("quality rules: NULL text is dropped, empty text is measured") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")
