@@ -697,6 +697,39 @@ object PipelineQueries {
         .filter(col("doc_id") < 1000L)
         .orderBy(col("doc_id"))),
 
+    // Interpolated bigram LM scoring (LmScore.bigramLogProb): one
+    // Markov order up from doc_lm_score — the CCNet perplexity-filter
+    // model class. Scan-side bigram HOF (no token self-join), one
+    // reused bigram-key exchange, vocab-sized unigram attachments.
+    "doc_lm_bigram" -> ((s, d) =>
+      graft.pipeline.LmScore.bigramLogProb(
+          Tables.documents(s, d), "doc_id", "text")
+        .filter(col("doc_id") < 1000L)
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance weights (Dsir.importanceWeights): Laplace-smoothed
+    // target/raw log-ratio over unigram+bigram features — domain-targeted
+    // data selection (Xie et al. 2023). One gram-key exchange serves the
+    // conditional count agg AND the probe join; totals broadcast.
+    "doc_dsir" -> ((s, d) =>
+      graft.pipeline.Dsir.importanceWeights(
+          Tables.documents(s, d), "doc_id", "text",
+          col("source") === lit("src0"))
+        .filter(col("doc_id") < 1000L)
+        .orderBy(col("doc_id"))),
+
+    // DSIR Gumbel-top-k resampling (Dsir.gumbelTopK): deterministic
+    // weylHash-derived Gumbel noise on the log-weights, distributed
+    // TakeOrderedAndProject top-k — the full select step, oracle-able
+    // end to end because the noise stream has a DuckDB twin.
+    "doc_dsir_sample" -> ((s, d) =>
+      graft.pipeline.Dsir.gumbelTopK(
+        graft.pipeline.Dsir.importanceWeights(
+            Tables.documents(s, d), "doc_id", "text",
+            col("source") === lit("src0")),
+        "doc_id", k = 100)
+        .orderBy(col("doc_id"))),
+
     // Inter-source n-gram overlap matrix
     // (Decontaminate.sourceOverlapMatrix): one gram-key exchange with
     // bounded collect_set partials; pair expansion on single-gram rows.
@@ -1782,6 +1815,122 @@ object PipelineQueries {
            CAST(sum(lp.lpm) AS BIGINT) AS lp_micros
          FROM t JOIN lp USING (term) WHERE t.doc_id < 1000
          GROUP BY 1 ORDER BY doc_id""",
+    // Bigram LM: the identical fixed-association double tree as the
+    // Scala side — 0.9·(cb/cu) + 0.1·(cw/total), micros-rounded once.
+    "doc_lm_bigram" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         u AS (SELECT t.term AS w, count(*) AS cu FROM d,
+                 LATERAL unnest(ws) AS t(term) GROUP BY 1),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM u),
+         b AS (
+           SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+             ws[CAST(i + 1 AS INT)] AS w2
+           FROM d, LATERAL unnest(generate_series(1, len(ws) - 1))
+             AS g(i)
+           WHERE len(ws) >= 2),
+         bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+         lp AS (
+           SELECT bc.w1, bc.w2,
+             CAST(floor(ln(
+               0.9 * (CAST(bc.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)) +
+               0.1 * (CAST(u2.cu AS DOUBLE) / CAST(total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lpm
+           FROM bc JOIN u u1 ON bc.w1 = u1.w
+                   JOIN u u2 ON bc.w2 = u2.w, tot)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           CAST(sum(lp.lpm) AS BIGINT) AS lp2_micros
+         FROM b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+         WHERE b.doc_id < 1000
+         GROUP BY 1 ORDER BY doc_id""",
+    // DSIR: unigram+bigram gram stream, conditional target/raw counts,
+    // Laplace-smoothed log-ratio micros — identical double trees to
+    // the Scala side (two micros roundings, then integer sums).
+    "doc_dsir" ->
+      """WITH d AS (
+           SELECT doc_id, (source = 'src0') AS tgt,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, tgt, t.term AS g FROM d,
+             LATERAL unnest(ws) AS t(term)
+           UNION ALL
+           SELECT doc_id, tgt,
+             ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS g
+           FROM d, LATERAL unnest(generate_series(1, len(ws) - 1))
+             AS s(i)
+           WHERE len(ws) >= 2),
+         c AS (
+           SELECT g, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+               AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           FROM g GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t,
+           CAST(sum(cr) AS BIGINT) AS r,
+           CAST(count(*) AS BIGINT) AS v FROM c),
+         lp AS (
+           SELECT g,
+             CAST(floor(ln(CAST(ct + 1 AS DOUBLE) /
+               CAST(t + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) /
+               CAST(r + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS dlt
+           FROM c, tot)
+         SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(lp.dlt) AS BIGINT) AS w_micros
+         FROM g JOIN lp USING (g) WHERE g.doc_id < 1000
+         GROUP BY 1 ORDER BY doc_id""",
+    // DSIR Gumbel-top-k: the weights CTE plus the deterministic
+    // weylHash -> inverse-Gumbel noise, top 100 by integer score.
+    "doc_dsir_sample" ->
+      """WITH d AS (
+           SELECT doc_id, (source = 'src0') AS tgt,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, tgt, t.term AS g FROM d,
+             LATERAL unnest(ws) AS t(term)
+           UNION ALL
+           SELECT doc_id, tgt,
+             ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS g
+           FROM d, LATERAL unnest(generate_series(1, len(ws) - 1))
+             AS s(i)
+           WHERE len(ws) >= 2),
+         c AS (
+           SELECT g, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+               AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           FROM g GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t,
+           CAST(sum(cr) AS BIGINT) AS r,
+           CAST(count(*) AS BIGINT) AS v FROM c),
+         lp AS (
+           SELECT g,
+             CAST(floor(ln(CAST(ct + 1 AS DOUBLE) /
+               CAST(t + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) /
+               CAST(r + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS dlt
+           FROM c, tot),
+         w AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(lp.dlt) AS BIGINT) AS w_micros
+           FROM g JOIN lp USING (g) GROUP BY 1),
+         scored AS (
+           SELECT doc_id, n_grams, w_micros,
+             w_micros + CAST(floor(-ln(-ln(
+               (CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+                 AS DOUBLE) + 0.5) / 4294967296.0))
+               * 1000000.0 + 0.5) AS BIGINT) AS score_micros
+           FROM w)
+         SELECT * FROM (
+           SELECT doc_id, n_grams, w_micros, score_micros FROM scored
+           ORDER BY score_micros DESC, doc_id LIMIT 100)
+         ORDER BY doc_id""",
     // Source overlap: distinct (source, 5-gram) -> per-gram source
     // sets -> pair counts.
     "doc_source_overlap" ->

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): score every raw-corpus document by how much more likely its
+  * n-gram features are under a small TARGET distribution (the quality
+  * seed — wiki, books, a curated domain) than under the raw corpus
+  * itself, then resample the raw corpus with Gumbel-top-k on those
+  * log-weights. The standard domain-targeted selection step a
+  * training-data pipeline runs between quality filtering and mixing.
+  *
+  * Features are word unigrams + bigrams (the paper's hashed n-gram
+  * model with n = 2); both feature distributions are Laplace-smoothed
+  * bag-of-grams fits:
+  *
+  *   ŵ(doc) = Σ_{g ∈ grams(doc)} [ ln p̂(g) − ln q̂(g) ]
+  *   p̂(g) = (c_target(g)+1)/(T+V),  q̂(g) = (c_raw(g)+1)/(R+V)
+  *
+  * with V the union vocabulary size and T/R the total target/raw gram
+  * counts. The paper hashes grams into a fixed bucket count; here the
+  * exact-string form is the oracle-gated default and `hashBuckets`
+  * turns on the paper's bucketing for corpus scale (8-byte xxhash64 →
+  * bucket id — grams never cross the wire as strings).
+  *
+  * Determinism contract (the [[LmScore]] pins): each gram's
+  * log-ratio is TWO fixed-association double trees rounded to integer
+  * micros once (`micros(ln p̂) − micros(ln q̂)`); per-doc sums are then
+  * exact integer arithmetic, order-free across partitions. The DuckDB
+  * oracle twin transliterates the identical trees.
+  *
+  * Scale shape: one scan builds the gram stream scan-side (HOF concat
+  * of the split array and its adjacent-pair transform — no self-join);
+  * ONE gram-key exchange serves both the conditional count aggregate
+  * (target and raw counts in the same pass — the target corpus is NOT
+  * re-scanned) and the probe join back to the stream (same child, same
+  * partitioning — the exchange-reuse shape PLANS.md documents for
+  * lm_score). Totals ride a broadcast scalar row. With `hashBuckets`
+  * set, the exchange keys drop from strings to longs.
+  */
+object Dsir {
+
+  private val Reserved = Seq("__ws", "__g", "__tgt", "__ct", "__cr",
+    "__t", "__r", "__v", "__dlt")
+
+  /** Per-document importance log-weight: `(idCol, n_grams, w_micros)`
+    * for EVERY doc with non-null text (target docs score too — callers
+    * select from the raw side; keeping both makes the weight table
+    * reusable as a domain-affinity signal). `targetCol` must be a
+    * boolean column over `df`'s columns. Docs whose text normalizes to
+    * a single token still emit their unigram (n_grams ≥ 1). */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, hashBuckets: Option[Int] = None): DataFrame = {
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty, s"input columns clash with internals: $clash")
+    require(!Reserved.contains(idCol) && idCol != "n_grams" &&
+      idCol != "w_micros",
+      s"idCol '$idCol' clashes with the output/internal columns")
+    hashBuckets.foreach(b => require(b > 1, s"hashBuckets must be > 1: $b"))
+    val gramKey = hashBuckets match {
+      case Some(b) => pmod(xxhash64(col("__g")), lit(b.toLong)).as("__g")
+      case None => col("__g")
+    }
+    val grams = Decontaminate.spreadSmall(
+        df.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), targetCol.as("__tgt"),
+        split(Decontaminate.normCol(col(textCol)), " ").as("__ws"))
+      .select(col(idCol), col("__tgt"), explode(concat(col("__ws"),
+        // sequence() descends when stop < start — guard the 1-token doc
+        when(size(col("__ws")) >= 2, expr(
+          "transform(sequence(1, size(__ws) - 1), " +
+            "i -> concat(element_at(__ws, i), ' ', " +
+            "element_at(__ws, i + 1)))"))
+          .otherwise(typedLit(Seq.empty[String])))).as("__g"))
+      .select(col(idCol), col("__tgt"), gramKey)
+    val gcnt = grams.groupBy(col("__g")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+    val tot = gcnt.agg(sum(col("__ct")).as("__t"),
+      sum(col("__cr")).as("__r"), count(lit(1)).as("__v"))
+    def lnMicros(c: Column, denom: Column): Column =
+      floor(log((c + lit(1L)).cast("double") / denom.cast("double"))
+        * 1000000.0 + lit(0.5)).cast("long")
+    val lp = gcnt.crossJoin(broadcast(tot))
+      .select(col("__g"),
+        (lnMicros(col("__ct"), col("__t") + col("__v")) -
+          lnMicros(col("__cr"), col("__r") + col("__v"))).as("__dlt"))
+    grams.select(col(idCol), col("__g")).join(lp, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__dlt")).as("w_micros"))
+  }
+
+  /** Gumbel-top-k resampling over the importance weights — the "IR" in
+    * DSIR. Sampling without replacement from softmax(w) is equivalent
+    * to taking the top k of `w + Gumbel(0,1)` (Vieira 2014); the noise
+    * here is the deterministic [[Sample.weylHash]] stream mapped
+    * through the inverse-Gumbel CDF, so the draw is reproducible AND
+    * oracle-able: `u = (weylHash(id)+0.5)/2^32 ∈ (0,1)`, `g =
+    * −ln(−ln u)`, both engines computing the identical double tree,
+    * micros-rounded once, then an integer-key top-k. Returns the
+    * selected rows of `weights` plus `score_micros`. */
+  def gumbelTopK(weights: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(weights.columns.contains("w_micros"),
+      "weights must carry w_micros (importanceWeights output)")
+    require(!weights.columns.contains("score_micros"),
+      "input already has a score_micros column")
+    val u = (Sample.weylHash(col(idCol)).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val g = floor(-log(-log(u)) * 1000000.0 + lit(0.5)).cast("long")
+    // orderBy + limit plans as TakeOrderedAndProject — per-partition
+    // top-k merged on the driver, never a single-partition window
+    weights.withColumn("score_micros", col("w_micros") + g)
+      .orderBy(col("score_micros").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

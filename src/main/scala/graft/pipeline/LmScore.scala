@@ -54,4 +54,86 @@ object LmScore {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("__lpm")).as("lp_micros"))
   }
+
+  /** Per-document INTERPOLATED BIGRAM log-probability — one Markov order
+    * up from [[unigramLogProb]], the actual model class CCNet's
+    * perplexity filter uses (an n-gram LM, Wenzek et al. 2020 §3.3),
+    * with Jelinek–Mercer interpolation against the unigram distribution
+    * so unseen-history bigrams stay finite without external smoothing
+    * tables:
+    *
+    *   P(w2 | w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/total
+    *
+    * Returns `(idCol, n_bigrams, lp2_micros)` where `lp2_micros =
+    * Σ_bigrams micros(ln P(w2|w1))`. Docs with fewer than two tokens
+    * emit no row (they have no bigram evidence — callers treat absence
+    * as "unscorable", the same contract as empty-text docs upstream).
+    *
+    * Determinism contract (the [[unigramLogProb]] pins, one order up):
+    * each bigram's probability is ONE fixed-association double tree —
+    * `λ·(cb/cu) + (1−λ)·(cw/total)` with every count cast to double
+    * first — rounded to integer micros once, then per-doc sums are
+    * exact integer arithmetic, order-free across partitions. The DuckDB
+    * oracle twin transliterates the identical tree.
+    *
+    * Scale shape: the bigram stream is built scan-side (one pass, a
+    * sequence/transform HOF over the split array — no self-join of the
+    * token stream); ONE bigram-key exchange serves both the bigram
+    * count aggregate and the probe join back to the stream (same child,
+    * same partitioning — the exchange-reuse shape PLANS.md documents
+    * for lm_score). The unigram table joins attach to the DISTINCT
+    * bigram side (vocabulary-sized, not corpus-sized), and the
+    * vocabulary total rides a broadcast scalar row. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1) so both mixture legs stay live: $lambda")
+    val reserved = Seq("__ws", "__e", "__w1", "__w2", "__bi", "__cb",
+      "__cu", "__cw", "__total", "__lpm")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"input columns clash with internals: $clash")
+    require(!reserved.contains(idCol) && idCol != "n_bigrams" &&
+      idCol != "lp2_micros",
+      s"idCol '$idCol' clashes with the output/internal columns")
+    val toks = Decontaminate.spreadSmall(
+        df.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol),
+        split(Decontaminate.normCol(col(textCol)), " ").as("__ws"))
+    // corpus unigram table + total (token-key exchange, vocab-sized out)
+    val unis = toks.select(explode(col("__ws")).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__cu"))
+    val total = unis.agg(sum(col("__cu")).as("__total"))
+    // scan-side bigram stream: ws[i-1] ++ ' ' ++ ws[i], i in [1, n-1]
+    val bis = toks
+      .filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), " +
+          "i -> struct(element_at(__ws, i) as w1, " +
+          "element_at(__ws, i + 1) as w2, " +
+          "concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)) " +
+          "as bi))")).as("__e"))
+      .select(col(idCol), col("__e.w1").as("__w1"),
+        col("__e.w2").as("__w2"), col("__e.bi").as("__bi"))
+    // a distinct bigram string determines (w1, w2), so grouping by all
+    // three keeps bigram cardinality while making both unigram
+    // attachments plain equi-joins on the vocab-sized side
+    val bcnt = bis.groupBy(col("__w1"), col("__w2"), col("__bi"))
+      .agg(count(lit(1)).as("__cb"))
+    // per-distinct-bigram interpolated logprob, micros-rounded ONCE
+    val lp = bcnt
+      .join(unis, Seq("__w1"))
+      .join(unis.select(col("__w1").as("__w2"), col("__cu").as("__cw")),
+        Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .select(col("__bi"),
+        floor(log(lit(lambda) *
+            (col("__cb").cast("double") / col("__cu").cast("double")) +
+          lit(1.0 - lambda) *
+            (col("__cw").cast("double") / col("__total").cast("double")))
+          * 1000000.0 + lit(0.5)).cast("long").as("__lpm"))
+    bis.select(col(idCol), col("__bi")).join(lp, Seq("__bi"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lpm")).as("lp2_micros"))
+  }
 }

@@ -252,6 +252,85 @@ class QualityPackSpec extends SparkFunSuite {
     }
   }
 
+  test("bigram lm: hand-checkable interpolated micros") {
+    import graft.pipeline.LmScore
+    val fixture = Seq((1L, "a b a b"), (2L, "b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = LmScore.bigramLogProb(fixture, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, lp) => id -> ((n, lp)) }.toMap
+    // unigrams over 7 tokens: a=2 b=3 c=1 x=1; bigrams: (a b)=2,
+    // (b a)=1, (b c)=1. P(b|a)=0.9*(2/2)+0.1*(3/7), P(a|b)=0.9*(1/3)
+    // +0.1*(2/7), P(c|b)=0.9*(1/3)+0.1*(1/7)
+    def m(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val pBA = m(0.9 * (2.0 / 2.0) + 0.1 * (3.0 / 7.0))
+    val pAB = m(0.9 * (1.0 / 3.0) + 0.1 * (2.0 / 7.0))
+    val pCB = m(0.9 * (1.0 / 3.0) + 0.1 * (1.0 / 7.0))
+    assert(got(1L) === ((3L, 2 * pBA + pAB)))
+    assert(got(2L) === ((1L, pCB)))
+    // a single-token doc has no bigram evidence -> absent, not zero
+    assert(!got.contains(3L))
+    // interpolation keeps every observed bigram finite; lambda bounds
+    // and reserved names fail loudly
+    intercept[IllegalArgumentException] {
+      LmScore.bigramLogProb(fixture, "doc_id", "text", lambda = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      LmScore.bigramLogProb(fixture.withColumn("__bi", lit(1)),
+        "doc_id", "text")
+    }
+  }
+
+  test("dsir: target-like docs outweigh raw-like docs; hashed variant " +
+      "preserves the separation") {
+    import graft.pipeline.Dsir
+    // target speaks "alpha beta", raw speaks "gamma delta"; doc 5 is
+    // target-like raw text, doc 6 is raw-like — DSIR must rank 5 > 6
+    val fixture = Seq(
+      (1L, true, "alpha beta alpha beta"),
+      (2L, true, "beta alpha beta"),
+      (3L, false, "gamma delta gamma delta"),
+      (4L, false, "delta gamma delta"),
+      (5L, false, "alpha beta alpha"),
+      (6L, false, "gamma delta gamma"))
+      .toDF("doc_id", "tgt", "text")
+    val w = Dsir.importanceWeights(fixture, "doc_id", "text", col("tgt"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, wm) => id -> ((n, wm)) }.toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // "alpha beta alpha" = 3 unigrams + 2 bigrams
+    assert(w(5L)._1 === 5L)
+    assert(w(5L)._2 > w(6L)._2)
+    assert(w(1L)._2 > w(3L)._2)
+    // the paper's hashed-feature form keeps the ordering (collisions
+    // fold counts but cannot invert a strong separation at this size)
+    val h = Dsir.importanceWeights(fixture, "doc_id", "text", col("tgt"),
+        hashBuckets = Some(1 << 16))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, wm) => id -> wm }.toMap
+    assert(h(5L) > h(6L) && h(1L) > h(3L))
+    // gumbel-top-k: k bounds the output, selection is deterministic
+    val weights = Dsir.importanceWeights(fixture, "doc_id", "text",
+      col("tgt"))
+    val s1 = Dsir.gumbelTopK(weights, "doc_id", 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = Dsir.gumbelTopK(weights, "doc_id", 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1.length === 3 && s1 === s2)
+    // guards fail loudly
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(fixture.withColumn("__g", lit(1)),
+        "doc_id", "text", col("tgt"))
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(fixture, "doc_id", "text", col("tgt"),
+        hashBuckets = Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.gumbelTopK(weights.drop("w_micros"), "doc_id", 3)
+    }
+  }
+
   test("hardening: reserved-name and null guards fail loudly") {
     import graft.pipeline.{LmScore, Pack, QualityRules, Search}
     intercept[IllegalArgumentException] {
