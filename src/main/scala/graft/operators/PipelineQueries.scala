@@ -1186,6 +1186,26 @@ object PipelineQueries {
           "vec_id", "embedding", dim = 64))
     }),
 
+    // SQ8 scalar quantization (Sq.sqTopK): per-dim min/max affine codes,
+    // compressed-domain MIPS — the ONE ANN gate with a FULL hash oracle
+    // (closed-form model, so DuckDB replays train+encode+score exactly).
+    "emb_sq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.pipeline.Sq.sqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SQ8 soundness: the emb_pq_sound rank-percentile bound over the
+    // scalar-quantized path — a broken affine fold (transposed dims,
+    // step/min swap) scores like chance and trips it instantly.
+    "emb_sq_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pqRankCertificate(emb,
+        graft.pipeline.Sq.sqTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", dim = 64, topK = 10))
+    }),
+
     // PQ soundness — a rank-percentile bound, robust to the corpus's
     // distribution: for every query, the MEAN exact-dot rank (computed
     // in-gate by a brute window over FULL vectors — an independent
@@ -2355,6 +2375,41 @@ object PipelineQueries {
       """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings""",
     "emb_ann_sound" ->
+      """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 10""",
+    // SQ8: full replay — float-exact min/max, the identical affine
+    // encode tree, per-dim micros terms, integer sums, same tie-break.
+    "emb_sq" ->
+      """WITH mm AS (
+           SELECT i.i AS pos,
+             CAST(min(embedding[i.i + 1]) AS DOUBLE) AS mn,
+             CAST(max(embedding[i.i + 1]) AS DOUBLE) AS mx
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY 1),
+         st AS (SELECT pos, mn, (mx - mn) / 255.0 AS step FROM mm),
+         codes AS (
+           SELECT e.vec_id, s.pos, s.mn, s.step,
+             CASE WHEN s.step = 0 THEN 0
+               ELSE least(255, greatest(0, CAST(floor(
+                 (CAST(e.embedding[s.pos + 1] AS DOUBLE) - s.mn)
+                   / s.step + 0.5) AS BIGINT))) END AS c
+           FROM embeddings e CROSS JOIN st s),
+         scores AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(floor(
+               CAST(q.embedding[c.pos + 1] AS DOUBLE) *
+                 (c.mn + c.step * CAST(c.c AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micros
+           FROM embeddings q JOIN codes c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, score_micros, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micros DESC, neighbor_id ASC) AS rank
+           FROM scores) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "emb_sq_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
     "emb_pq_sound" ->

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) — the other production vector-compression
+  * family next to [[Pq]]: per-dimension min/max learned from the corpus,
+  * each float mapped to an 8-bit code `c = round((x−min)/step)` with
+  * `step = (max−min)/255` (the FAISS `ScalarQuantizer` QT_8bit layout;
+  * Jégou et al.'s codebook-free baseline). 4× less storage than float32
+  * per dimension with no codebook training pass — the standard choice
+  * when recall must stay near-exact and PQ's distortion is too coarse.
+  *
+  * Approximate max-inner-product search scores codes WITHOUT
+  * reconstruction: `q·decode(c) = Σ_d q_d·(min_d + step_d·c_d)` — the
+  * per-dim affine constants fold into the scoring loop, so only 8-bit
+  * codes cross the wire (the corpus side of the candidate join carries
+  * `dim` bytes per row, not `4·dim`).
+  *
+  * Determinism contract (the family pins): min/max are EXACT float
+  * aggregates (no arithmetic), the per-dim score term is one
+  * fixed-association double tree rounded to integer micros once, and
+  * per-pair sums are exact integer arithmetic — order-free across
+  * partitions, transliterable into the DuckDB oracle twin. emb_sq is
+  * the one ANN-family gate with a FULL hash oracle (PQ/IVF train
+  * iteratively and certify instead; SQ8's model is a closed-form
+  * aggregate, so the oracle can replay it end to end).
+  *
+  * Scale shape: training is ONE posexplode aggregate with map-side
+  * combine down to `dim` rows (collected: 64 rows, bounded by dim, not
+  * corpus). Search is the [[Pq.adcTopK]] shape — broadcast queries ×
+  * coded corpus, per-query top-k window. At 100 TB the corpus side
+  * stays code-only; re-ranking survivors against full vectors is a
+  * standard second pass callers compose with [[Similarity.knnJoin]].
+  */
+object Sq {
+
+  /** Per-dimension affine dequantization constants, doubles on the
+    * driver (exact widenings of the learned float min/max). */
+  case class Model(dim: Int, mins: Array[Double], steps: Array[Double])
+
+  /** Learn per-dimension min/max: one scan, one `dim`-row aggregate. */
+  def train(df: DataFrame, vecCol: String, dim: Int): Model = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos"))
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+      .collect()
+    require(rows.length == dim,
+      s"corpus vectors have ${rows.length} dims, expected $dim")
+    val mins = new Array[Double](dim)
+    val steps = new Array[Double](dim)
+    rows.foreach { r =>
+      val p = r.getAs[Int]("__pos")
+      val mn = r.getAs[Float]("__mn").toDouble
+      val mx = r.getAs[Float]("__mx").toDouble
+      mins(p) = mn
+      steps(p) = (mx - mn) / 255.0
+    }
+    Model(dim, mins, steps)
+  }
+
+  private def litArr(a: Array[Double]): Column = array(a.map(lit(_)): _*)
+
+  /** 8-bit code array for a float-vector column (zero-width dims code
+    * to 0; in-range inputs land in [0,255] by construction, clamped
+    * anyway so out-of-corpus probes stay valid codes). */
+  def encode(vec: Column, model: Model): Column = {
+    val mins = litArr(model.mins)
+    val steps = litArr(model.steps)
+    transform(vec, (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val st = element_at(steps, i + 1)
+      when(st === 0.0, 0L).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - mn) / st + lit(0.5)))))
+    })
+  }
+
+  /** Compressed-domain approximate MIPS top-k: `(query_id, neighbor_id,
+    * score_micros, rank)`, `score_micros = Σ_d micros(q_d·(min_d +
+    * step_d·c_d))` — the affine-folded inner product against the
+    * dequantized corpus, never materializing reconstructed vectors. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val model = train(corpus, vecCol, dim)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), model).as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    val mins = litArr(model.mins)
+    val steps = litArr(model.steps)
+    val score = aggregate(
+      sequence(lit(0), lit(dim - 1)), lit(0L),
+      (acc, d) => acc +
+        floor(element_at(col("__qvec"), d + 1).cast("double") *
+          (element_at(mins, d + 1) +
+            element_at(steps, d + 1) *
+              element_at(col("__codes"), d + 1).cast("double")) *
+          1000000.0 + lit(0.5)).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(coded)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_micros", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score_micros"),
+        col("rank"))
+  }
+}

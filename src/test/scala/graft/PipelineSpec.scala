@@ -1024,6 +1024,58 @@ class PipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("sq8: per-dim round-trip error <= step/2; scores track exact dots") {
+    import graft.pipeline.Sq
+    val dim = 64
+    val model = Sq.train(emb, "embedding", dim)
+    assert(model.mins.length === dim && model.steps.length === dim)
+    assert(model.steps.forall(_ >= 0.0))
+    // affine round-trip: |x - (min + step*c)| <= step/2 on EVERY dim of
+    // EVERY vector (the defining property of round-to-nearest SQ)
+    val mins = array(model.mins.map(lit(_)): _*)
+    val steps = array(model.steps.map(lit(_)): _*)
+    // indexed form: max_d |x_d - (min_d + step_d*c_d)| - step_d/2 <= 0
+    val slack = emb.select(max(aggregate(
+      sequence(lit(0), lit(dim - 1)), lit(-1.0d),
+      (acc, d) => greatest(acc,
+        abs(element_at(col("embedding"), d + 1).cast("double") -
+          (element_at(mins, d + 1) + element_at(steps, d + 1) *
+            element_at(Sq.encode(col("embedding"), model), d + 1)
+              .cast("double"))) -
+        element_at(steps, d + 1) / 2.0 - lit(1e-9)))))
+      .collect()(0).getDouble(0)
+    assert(slack <= 0.0, s"round-trip error exceeds step/2: slack=$slack")
+    // zero-width dims: constant column codes to 0 and scores finitely
+    val flat = emb.select(col("vec_id"),
+      transform(col("embedding"), _ => lit(1.0f)).as("embedding"))
+    val m2 = Sq.train(flat, "embedding", dim)
+    assert(m2.steps.forall(_ === 0.0))
+    val sc = Sq.sqTopK(flat.filter(col("vec_id") < 2), flat, "vec_id",
+      "embedding", dim, topK = 3).collect()
+    assert(sc.length === 6 && sc.forall(!_.isNullAt(2)))
+    // deterministic end to end
+    val a = Sq.sqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+      "embedding", dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = Sq.sqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+      "embedding", dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a === b && a.nonEmpty)
+    // 8-bit codes lose little: SQ top-1 must sit in the exact top-3
+    // (PQ gets a percentile bound; SQ is near-exact by construction)
+    val exact = graft.pipeline.Similarity.knnJoin(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val sqTop1 = Sq.sqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+      "embedding", dim, topK = 1).select(col("query_id"),
+      col("neighbor_id")).as[(Long, Long)].collect()
+    sqTop1.foreach { case (q, n) =>
+      assert(exact(q).contains(n), s"sq top-1 $n outside exact top-3 for $q")
+    }
+  }
+
   test("unicode normalize: NFC composition, NFKC folding, null, bad form") {
     import graft.pipeline.TextFunctions.unicode_normalize
     // "e<combining acute> <fi ligature>": NFC composes the pair and keeps
