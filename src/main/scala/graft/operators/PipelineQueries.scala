@@ -940,6 +940,64 @@ object PipelineQueries {
     // every SF instead of half the soak wall (round-7 verdict #2);
     // sf0.01, the driver's correctness gate, still verifies the whole
     // corpus, and emb_neardup_lsh stays the full-corpus scale path.
+    // SemDeDup (Similarity.semDedup): k-means-clustered semantic dedup,
+    // paper keep-rule (lowest centroid-sim survives). Sliced gate
+    // (vec_id < 200 — constant across SFs, like the ANN query slices);
+    // at corpus scale nlist grows with n to bound the per-cluster
+    // quadratic. Rows-only gate; decisions re-verified by the _sound
+    // certificate below and the clone fixture in PipelineSpec.
+    "emb_semdedup" -> ((s, d) => {
+      Similarity.semDedup(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.42, nlist = 8)
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup soundness: BOTH decision directions re-verified with an
+    // independent cosine path (the HOF kernel, vs the operator's codegen
+    // DotProduct): every dropped row must have a possibly-dominating
+    // near-dup (sim >= t - 1e-5 with a lower (centroid_sim, id) key),
+    // every kept row must have NO definitely-dominating one
+    // (sim >= t + 1e-5) — the tolerance band keeps a 1-ulp divergence
+    // between the two cosine kernels from reading as a violation while
+    // a wrong keep-rule, broken clustering join, or inverted flag still
+    // trips it. Structural partition check rides along.
+    "emb_semdedup_sound" -> ((s, d) => {
+      val t = 0.42
+      val slice = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val sd = Caches.persistTracked(Similarity.semDedup(
+        slice, "vec_id", "embedding", threshold = t, nlist = 8))
+      val vecs = slice.select(col("vec_id"), col("embedding"))
+      val withVec = sd.join(vecs, Seq("vec_id"))
+      val b = withVec.select(col("vec_id").as("__idb"),
+        col("cluster"), col("centroid_sim").as("__cb"),
+        col("embedding").as("__vb"))
+      val doms = withVec.join(b, Seq("cluster"))
+        .filter(col("__idb") =!= col("vec_id"))
+        .filter(col("__cb") < col("centroid_sim") ||
+          (col("__cb") === col("centroid_sim") &&
+            col("__idb") < col("vec_id")))
+        .withColumn("__sim",
+          Det.r(hofCosine(col("embedding"), col("__vb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(sum(when(col("__sim") >= t + 1e-5, 1L).otherwise(0L))
+            .as("__strict"),
+          sum(when(col("__sim") >= t - 1e-5, 1L).otherwise(0L))
+            .as("__loose"))
+      val checked = sd.join(doms, Seq("vec_id"), "left")
+        .withColumn("__viol", when(
+          (col("kept") && coalesce(col("__strict"), lit(0L)) > 0L) ||
+            (!col("kept") && coalesce(col("__loose"), lit(0L)) === 0L),
+          1L).otherwise(0L))
+      slice.agg(count(lit(1)).as("__n")).crossJoin(
+        checked.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("__viol")), lit(0L)).cast("long")
+            .as("__v1")))
+        .select(col("n_rows"),
+          (col("__v1") + when(col("__n") =!= col("n_rows"), 1L)
+            .otherwise(0L)).cast("long").as("n_violations"))
+    }),
+
     "emb_neardup" -> ((s, d) => {
       Similarity.bruteNearDupPairsSliced(Tables.embeddings(s, d),
         "vec_id", "embedding", threshold = 0.42, maxRows = 1000L)
@@ -2377,6 +2435,10 @@ object PipelineQueries {
     "emb_ann_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
+    // SemDeDup certificate: the pinned partition-and-zero-violations row.
+    "emb_semdedup_sound" ->
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 200""",
     // SQ8: full replay — float-exact min/max, the identical affine
     // encode tree, per-dim micros terms, integer sums, same tie-break.
     "emb_sq" ->

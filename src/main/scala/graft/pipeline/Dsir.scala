@@ -44,6 +44,75 @@ object Dsir {
   private val Reserved = Seq("__ws", "__g", "__tgt", "__ct", "__cr",
     "__t", "__r", "__v", "__dlt")
 
+  /** Doc-local unigram+bigram feature array for a text column — shared
+    * by the batch gram stream and the streaming scorer so the feature
+    * definition cannot diverge. */
+  private[graft] def gramArray(text: Column): Column = {
+    val ws = split(Decontaminate.normCol(text), " ")
+    concat(ws,
+      // sequence() descends when stop < start — guard the 1-token doc
+      when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(typedLit(Seq.empty[String])))
+  }
+
+  /** Optional paper-style feature hashing: gram string → bucket id. */
+  private[graft] def bucketed(g: Column,
+      hashBuckets: Option[Int]): Column = hashBuckets match {
+    case Some(b) => pmod(xxhash64(g), lit(b.toLong))
+    case None => g
+  }
+
+  /** `micros(ln((c+1)/denom))` — THE smoothed-logprob tree; one
+    * definition so batch, streaming, and driver-side twins agree. */
+  private[graft] def lnMicros(c: Column, denom: Column): Column =
+    floor(log((c + lit(1L)).cast("double") / denom.cast("double"))
+      * 1000000.0 + lit(0.5)).cast("long")
+
+  /** Per-gram target/raw counts over the exploded feature stream:
+    * `(__g, __ct, __cr)` — ONE gram-key exchange. */
+  private[graft] def gramCounts(grams: DataFrame): DataFrame =
+    grams.groupBy(col("__g")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+
+  /** Per-gram smoothed log-ratio table `(__g, __dlt)` over the counts. */
+  private[graft] def logRatios(gcnt: DataFrame): DataFrame = {
+    val tot = gcnt.agg(sum(col("__ct")).as("__t"),
+      sum(col("__cr")).as("__r"), count(lit(1)).as("__v"))
+    gcnt.crossJoin(broadcast(tot))
+      .select(col("__g"),
+        (lnMicros(col("__ct"), col("__t") + col("__v")) -
+          lnMicros(col("__cr"), col("__r") + col("__v"))).as("__dlt"))
+  }
+
+  private def guard(df: DataFrame, idCol: String): Unit = {
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty, s"input columns clash with internals: $clash")
+    require(!Reserved.contains(idCol) && idCol != "n_grams" &&
+      idCol != "w_micros",
+      s"idCol '$idCol' clashes with the output/internal columns")
+  }
+
+  /** Exploded `(idCol, __tgt, __g)` feature stream, scan-side. */
+  private[graft] def gramStream(df: DataFrame, idCol: String,
+      textCol: String, targetCol: Column,
+      hashBuckets: Option[Int]): DataFrame =
+    Decontaminate.spreadSmall(
+        df.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), targetCol.as("__tgt"),
+        explode(gramArray(col(textCol))).as("__g"))
+      .select(col(idCol), col("__tgt"),
+        bucketed(col("__g"), hashBuckets).as("__g"))
+      // redundant semantically (exploded grams are never null) but
+      // load-bearing for the plan: the probe join infers an
+      // isnotnull(__g) filter into ITS copy of the count subtree, and
+      // without the same filter on every copy the totals leg loses
+      // exchange reuse and re-explodes the corpus (Explain-verified)
+      .filter(col("__g").isNotNull)
+
   /** Per-document importance log-weight: `(idCol, n_grams, w_micros)`
     * for EVERY doc with non-null text (target docs score too — callers
     * select from the raw side; keeping both makes the weight table
@@ -52,40 +121,10 @@ object Dsir {
     * a single token still emit their unigram (n_grams ≥ 1). */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       targetCol: Column, hashBuckets: Option[Int] = None): DataFrame = {
-    val clash = df.columns.toSet.intersect(Reserved.toSet)
-    require(clash.isEmpty, s"input columns clash with internals: $clash")
-    require(!Reserved.contains(idCol) && idCol != "n_grams" &&
-      idCol != "w_micros",
-      s"idCol '$idCol' clashes with the output/internal columns")
+    guard(df, idCol)
     hashBuckets.foreach(b => require(b > 1, s"hashBuckets must be > 1: $b"))
-    val gramKey = hashBuckets match {
-      case Some(b) => pmod(xxhash64(col("__g")), lit(b.toLong)).as("__g")
-      case None => col("__g")
-    }
-    val grams = Decontaminate.spreadSmall(
-        df.filter(col(textCol).isNotNull), col(idCol))
-      .select(col(idCol), targetCol.as("__tgt"),
-        split(Decontaminate.normCol(col(textCol)), " ").as("__ws"))
-      .select(col(idCol), col("__tgt"), explode(concat(col("__ws"),
-        // sequence() descends when stop < start — guard the 1-token doc
-        when(size(col("__ws")) >= 2, expr(
-          "transform(sequence(1, size(__ws) - 1), " +
-            "i -> concat(element_at(__ws, i), ' ', " +
-            "element_at(__ws, i + 1)))"))
-          .otherwise(typedLit(Seq.empty[String])))).as("__g"))
-      .select(col(idCol), col("__tgt"), gramKey)
-    val gcnt = grams.groupBy(col("__g")).agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
-      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
-    val tot = gcnt.agg(sum(col("__ct")).as("__t"),
-      sum(col("__cr")).as("__r"), count(lit(1)).as("__v"))
-    def lnMicros(c: Column, denom: Column): Column =
-      floor(log((c + lit(1L)).cast("double") / denom.cast("double"))
-        * 1000000.0 + lit(0.5)).cast("long")
-    val lp = gcnt.crossJoin(broadcast(tot))
-      .select(col("__g"),
-        (lnMicros(col("__ct"), col("__t") + col("__v")) -
-          lnMicros(col("__cr"), col("__r") + col("__v"))).as("__dlt"))
+    val grams = gramStream(df, idCol, textCol, targetCol, hashBuckets)
+    val lp = logRatios(gramCounts(grams))
     grams.select(col(idCol), col("__g")).join(lp, Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("__dlt")).as("w_micros"))

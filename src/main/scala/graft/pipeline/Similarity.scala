@@ -228,6 +228,67 @@ object Similarity {
     bruteNearDupPairs(sliced, idCol, vecCol, threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication through
+    * k-means clustering — cluster the embeddings, then WITHIN each
+    * cluster drop every vector that has a semantic duplicate (rounded
+    * cosine ≥ `threshold`) with a strictly lower keep-key, where the
+    * keep-key is `(centroid_sim, id)` ascending — the paper's rule of
+    * keeping the lowest-cosine-to-centroid member of each duplicate
+    * group (the most diverse example), with id as the deterministic
+    * tiebreak (exact clones share a centroid_sim). The
+    * clustering is what makes web-scale semantic dedup tractable: the
+    * quadratic pair search runs per cluster, so cost is Σ n_c² — at
+    * corpus scale `nlist` grows with n to hold the per-cluster count
+    * bounded (the paper runs 50k clusters over LAION), and cross-cluster
+    * duplicates are missed BY DESIGN (the paper's declared
+    * approximation; measured duplicate recall stays high because near-
+    * identical embeddings land in the same cell).
+    *
+    * Returns `(vec_id, cluster, centroid_sim, kept)` for EVERY input
+    * row — a partition of the corpus, not just survivors, so the gate
+    * certificate can re-verify both decision directions and callers can
+    * audit what was dropped. Drop decisions compare Det-rounded
+    * cosines, so membership cannot flip on a 1-ulp engine divergence.
+    *
+    * Scale shape: assignment and centroid_sim are scan-side (broadcast
+    * centroid literals, codegen'd dots); the pair search is ONE
+    * cluster-key equi-join (both sides co-partition on `__cluster`);
+    * the dominated set is a distinct of ids (bounded by n); the final
+    * flag is a left join back on id. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, iters: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(nlist > 0, s"nlist must be positive: $nlist")
+    val reserved = Seq("__v", "__cluster", "__csim", "__idb", "__vb",
+      "__cb", "__drop")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"input columns clash with internals: $clash")
+    val cents = ivfCentroids(df, idCol, vecCol, nlist, iters)
+    val centLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("__cluster", nearestCentroid(col("__v"), cents))
+      .withColumn("__csim", Det.r(cosine(col("__v"),
+        element_at(centLit, col("__cluster") + 1)), 6))
+    val b = base.select(col("vec_id").as("__idb"), col("__v").as("__vb"),
+      col("__cluster"), col("__csim").as("__cb"))
+    // x is dominated iff ANY same-cluster y with (csim, id) < x's key is
+    // a semantic dup of x — y's own kept status is irrelevant (the
+    // paper's matrix formulation zeroes rows independently)
+    val dominated = base.join(b, Seq("__cluster"))
+      .filter(col("__idb") =!= col("vec_id"))
+      .filter(!isnan(cosine(col("__v"), col("__vb"))) &&
+        Det.r(cosine(col("__v"), col("__vb")), 6) >= threshold)
+      .filter(col("__cb") < col("__csim") ||
+        (col("__cb") === col("__csim") && col("__idb") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("__drop", lit(true))
+    base.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("__cluster").as("cluster"),
+        col("__csim").as("centroid_sim"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed — the scale
     * path: candidates are rows sharing a hyperplane-LSH bucket in any of
     * `tables` independent tables (equi-join on (table, bucket) — only

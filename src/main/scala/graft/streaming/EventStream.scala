@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -327,6 +327,57 @@ object EventStream {
     * and zero stateful operators). */
   def qualityRules(stream: DataFrame, textCol: String): DataFrame =
     graft.pipeline.QualityRules.classify(stream, textCol)
+
+  /** Streaming DSIR scoring — the streaming twin of
+    * [[graft.pipeline.Dsir.importanceWeights]] in its hashed-feature
+    * form (the form the paper itself uses, and the ONLY form whose
+    * model is boundedly liftable: the log-ratio table is ≤ hashBuckets
+    * rows NO MATTER the corpus size, where the exact-string table grows
+    * with the vocabulary). The target/raw distributions are fitted ONCE
+    * on the static corpus — the same resolve-once discipline as
+    * [[bm25]]'s index stats — and land in the plan as a bucket→micros
+    * map literal; each micro-batch is then a stateless doc-local HOF
+    * (normalize → grams → hash → map lookup → integer sum): Append
+    * mode, no watermark, no state store.
+    *
+    * Unseen buckets (a stream doc whose feature hash hit no corpus
+    * gram) score with the FULLY-SMOOTHED ratio `micros(ln(1/(T+V))) −
+    * micros(ln(1/(R+V)))` — the c=0 Laplace value, computed through the
+    * same [[graft.pipeline.Dsir.lnMicros]] tree lifted from a literal
+    * row so the stream ≡ batch equality is bit-exact where both are
+    * defined (StreamingSpec) and the streaming side generalizes to new
+    * text the batch join never sees. */
+  def dsirScore(stream: DataFrame, corpusStatic: DataFrame, idCol: String,
+      textCol: String, targetCol: Column,
+      hashBuckets: Int = 1 << 16): DataFrame = {
+    import graft.pipeline.Dsir
+    require(hashBuckets > 1, s"hashBuckets must be > 1: $hashBuckets")
+    val grams = Dsir.gramStream(corpusStatic, idCol, textCol, targetCol,
+      Some(hashBuckets))
+    val gcnt = graft.pipeline.Caches.persistTracked(
+      Dsir.gramCounts(grams)) // two one-shot reads: table + totals
+    val lpRows = Dsir.logRatios(gcnt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(lpRows.nonEmpty,
+      "static corpus has no non-null documents - no distributions to fit")
+    val tot = gcnt.agg(sum(col("__ct")), sum(col("__cr")), count(lit(1)))
+      .head()
+    val spark = corpusStatic.sparkSession
+    val default = spark.range(1).select(
+      (Dsir.lnMicros(lit(0L), lit(tot.getLong(0)) + lit(tot.getLong(2))) -
+        Dsir.lnMicros(lit(0L), lit(tot.getLong(1)) + lit(tot.getLong(2))))
+        .as("d")).head().getLong(0)
+    val mapLit = map(lpRows.flatMap {
+      case (g, d) => Seq(lit(g), lit(d)) }: _*)
+    val buckets = transform(Dsir.gramArray(col(textCol)),
+      g => Dsir.bucketed(g, Some(hashBuckets)))
+    stream.filter(col(textCol).isNotNull)
+      .select(col(idCol), buckets.as("__b"))
+      .select(col(idCol), size(col("__b")).cast("long").as("n_grams"),
+        aggregate(col("__b"), lit(0L), (acc, b) =>
+          acc + coalesce(element_at(mapLit, b), lit(default)))
+          .as("w_micros"))
+  }
 
   /** Streaming BM25 — score arriving documents against a STATIC corpus's
     * statistics (the search-index convention: df/avgdl update on index

@@ -1024,6 +1024,65 @@ class PipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("semdedup: one survivor per clone group, lowest-centroid-sim " +
+      "keep rule, full partition") {
+    import graft.pipeline.Similarity
+    // clone vectors 0 and 7 three times each under fresh ids — every
+    // clone group must collapse to exactly one kept member
+    val clones = emb.filter(col("vec_id").isin(0L, 7L))
+      .crossJoin(Seq(1000L, 2000L, 3000L).toDF("__off"))
+      .select((col("vec_id") + col("__off")).as("vec_id"),
+        col("embedding"), col("label"))
+    val corpus = emb.unionByName(clones)
+    val sd = Similarity.semDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999999, nlist = 4)
+    val rows = sd.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getDouble(2), r.getBoolean(3)))
+    // partition: every input id exactly once
+    assert(rows.map(_._1).sorted.toSeq ===
+      corpus.select("vec_id").as[Long].collect().sorted.toSeq)
+    // each clone group (4 identical vectors) keeps exactly its min id —
+    // identical vectors share cluster and centroid_sim, so the id
+    // tiebreak decides
+    for (base <- Seq(0L, 7L)) {
+      val group = rows.filter(r => r._1 % 1000 == base).sortBy(_._1)
+      assert(group.length === 4)
+      assert(group.count(_._4) === 1, s"clone group $base: exactly 1 kept")
+      assert(group.find(_._4).get._1 === base,
+        s"clone group $base must keep the min id")
+      assert(group.map(_._2).distinct.length === 1,
+        "identical vectors must share a cluster")
+    }
+    // at a clone-only threshold nothing else is near-identical: all
+    // non-clone rows survive
+    assert(rows.filter(r => r._1 % 1000 != 0L && r._1 % 1000 != 7L)
+      .forall(_._4))
+    // keep rule: with distinct near-dups, the LOWER centroid_sim member
+    // survives — verified by re-deriving every decision in plain Scala
+    val sd2 = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.42, nlist = 4)
+    val r2 = sd2.join(emb.select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getBoolean(3), r.getSeq[Float](4).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    r2.foreach { case (id, cl, cs, kept, v) =>
+      val dominated = r2.exists { case (id2, cl2, cs2, _, v2) =>
+        id2 != id && cl2 == cl && cos(v, v2) >= 0.42 &&
+          (cs2 < cs || (cs2 == cs && id2 < id))
+      }
+      assert(kept === !dominated, s"decision diverges for $id")
+    }
+    assert(r2.exists(!_._4), "fixture must exercise at least one drop")
+  }
+
   test("sq8: per-dim round-trip error <= step/2; scores track exact dots") {
     import graft.pipeline.Sq
     val dim = 64

@@ -254,6 +254,52 @@ class StreamingSpec extends SparkFunSuite {
       "quality rules must carry no stateful operators")
   }
 
+  test("streaming dsir against static fitted distributions == batch " +
+      "hashed weights; unseen text scores with the smoothed default") {
+    val dir = Files.createTempDirectory("dsirstream").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), col("text"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docs.schema).parquet(dir)
+    val buckets = 1 << 16
+    val q = EventStream.dsirScore(src, docs, "doc_id", "text",
+        col("source") === lit("src0"), buckets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsirs").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("dsirs")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, w) => id -> ((n, w)) }.toMap
+    val batch = graft.pipeline.Dsir.importanceWeights(docs, "doc_id",
+        "text", col("source") === lit("src0"),
+        hashBuckets = Some(buckets))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, w) => id -> ((n, w)) }.toMap
+    // every corpus gram's bucket is in the fitted table, so the lifted
+    // map replays the batch join bit-exactly — exact equality
+    assert(streamed === batch && streamed.nonEmpty)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "dsir scoring must carry no stateful operators")
+    // a stream doc made of unseen tokens scores n_grams * default (the
+    // c=0 Laplace ratio), not a null or a dropped row
+    val novel = Seq((999999L, "srcX", "zzzq1 zzzq2"))
+      .toDF("doc_id", "source", "text")
+    novel.coalesce(1).write.mode("append").parquet(dir)
+    val q2 = EventStream.dsirScore(
+        spark.readStream.schema(docs.schema).parquet(dir),
+        docs, "doc_id", "text", col("source") === lit("src0"), buckets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsirs2").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.awaitTermination(30000)
+    val nov = spark.table("dsirs2").filter(col("doc_id") === 999999L)
+      .as[(Long, Long, Long)].collect()
+    assert(nov.length === 1)
+    val (_, nGrams, w) = nov(0)
+    assert(nGrams === 3L) // 2 unigrams + 1 bigram
+    assert(w % nGrams === 0L,
+      "all-unseen doc must score an integer multiple of the default")
+  }
+
   test("streaming bm25 against static corpus stats == batch score") {
     val dir = Files.createTempDirectory("bm25stream").toString
     val docs = Tables.documents(spark, sf("sf0.001"))
