@@ -940,6 +940,59 @@ object PipelineQueries {
     // every SF instead of half the soak wall (round-7 verdict #2);
     // sf0.01, the driver's correctness gate, still verifies the whole
     // corpus, and emb_neardup_lsh stays the full-corpus scale path.
+    // Distributed PCA (Pca.fit): one-pass (n, Σx, Σxxᵀ) custom
+    // TypedImperativeAggregate (33 KB partials per task), driver Jacobi
+    // eigensolve. Rows-only gate (the eigensolver is iterative — not
+    // SQL-replayable); the _sound certificate below re-verifies the
+    // model against the corpus in-engine, and PipelineSpec recovers a
+    // planted dominant direction.
+    "emb_pca" -> ((s, d) => {
+      val m = graft.pipeline.Pca.fit(
+        Tables.embeddings(s, d), "embedding", dim = 64, k = 8)
+      import s.implicits._
+      m.eigenvalues.zipWithIndex.map { case (e, j) =>
+        (j, math.floor(e * 1e4 + 0.5) / 1e4,
+          math.floor(m.explained(j) * 1e4 + 0.5) / 1e4)
+      }.toSeq.toDF("component", "eigenvalue", "explained_cum")
+        .orderBy(col("component"))
+    }),
+
+    // PCA soundness — three independent checks of the fitted model
+    // against the corpus it claims to describe: (1) orthonormality of
+    // the component matrix (driver-side, max |QQᵀ−I| < 1e-6); (2)
+    // Bessel's inequality per row (Σ proj² <= |x−μ|² + 1e-6 — catches a
+    // non-orthonormal basis or a mismatched mean on EVERY vector); (3)
+    // the eigensolver's variance claim re-MEASURED in-engine:
+    // Σ_j E[proj_j²] must equal Σ_j λ_j within 1e-3 of total variance
+    // (a transposed component matrix, wrong mean, or broken aggregate
+    // all shift the measured spectrum instantly).
+    "emb_pca_sound" -> ((s, d) => {
+      import graft.pipeline.Pca
+      val emb = Tables.embeddings(s, d)
+      val m = Pca.fit(emb, "embedding", dim = 64, k = 8)
+      val orthoViol = (0 until m.k).flatMap(i => (0 until m.k).map { j =>
+        val dot = (0 until m.dim)
+          .map(r => m.components(i)(r) * m.components(j)(r)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).count(_ > 1e-6).toLong
+      val proj = Pca.project(col("embedding"), m)
+      val centered = zip_with(col("embedding"),
+        array(m.mean.map(lit(_)): _*), (x, mu) => x.cast("double") - mu)
+      val normSq = aggregate(centered, lit(0.0), (a, x) => a + x * x)
+      val projSq = aggregate(proj, lit(0.0), (a, x) => a + x * x)
+      val claimed = m.eigenvalues.sum
+      emb.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(projSq > normSq + 1e-6, 1L).otherwise(0L)),
+            lit(0L)).as("__bessel"),
+          avg(projSq).as("__measured"))
+        .select(col("n_rows"),
+          (col("__bessel") + lit(orthoViol) +
+            when(abs(col("__measured") - lit(claimed)) >
+              lit(1e-3) * lit(m.totalVariance), 1L).otherwise(0L))
+            .cast("long").as("n_violations"))
+    }),
+
     // SemDeDup (Similarity.semDedup): k-means-clustered semantic dedup,
     // paper keep-rule (lowest centroid-sim survives). Sliced gate
     // (vec_id < 200 — constant across SFs, like the ANN query slices);
@@ -2435,6 +2488,10 @@ object PipelineQueries {
     "emb_ann_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
+    // PCA certificate: the pinned all-rows-zero-violations row.
+    "emb_pca_sound" ->
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings""",
     // SemDeDup certificate: the pinned partition-and-zero-violations row.
     "emb_semdedup_sound" ->
       """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_violations

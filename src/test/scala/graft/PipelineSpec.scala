@@ -1024,6 +1024,72 @@ class PipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("pca: recovers a planted dominant direction; whitening " +
+      "normalizes variance; guards fail loudly") {
+    import graft.pipeline.Pca
+    // planted corpus: x = s·u + ε with s ~ ±{1..n} large and ε tiny —
+    // the top principal axis must align with u
+    val dim = 16
+    val u = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val nu = math.sqrt(u.map(x => x * x).sum)
+    val unit = u.map(_ / nu)
+    val rows = (1 to 400).map { i =>
+      val s = (if (i % 2 == 0) 1 else -1) * (i / 4.0 + 1.0)
+      // deterministic tiny noise; the i*j cross term keeps it full rank
+      // (plain cos(ai + bj) decomposes into TWO fixed vectors — a rank-2
+      // noise floor that left axes >= 3 exactly degenerate)
+      val eps = Array.tabulate(dim)(j =>
+        0.01 * math.cos(i * 31 + j * 7 + i * j * 0.618))
+      (i.toLong, Array.tabulate(dim)(j => (s * unit(j) + eps(j)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", dim, k = 4)
+    val cosTop = math.abs(
+      (0 until dim).map(j => m.components(0)(j) * unit(j)).sum)
+    assert(cosTop > 0.999, s"top axis must align with the planted u: $cosTop")
+    // eigenvalues descending, explained cumulative monotone to <= 1
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.explained(0) > 0.99 && m.explained(3) <= 1.0 + 1e-9)
+    // orthonormality of the fitted basis
+    for (i <- 0 until m.k; j <- 0 until m.k) {
+      val dot = (0 until dim).map(r => m.components(i)(r) *
+        m.components(j)(r)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"QQt($i,$j) = $dot")
+    }
+    // in-engine: whitened axes have ~unit variance (the preconditioner
+    // contract), projections obey Bessel on every row
+    val w = df.select(Pca.whiten(col("embedding"), m).as("w"))
+    val vars = w.select((0 until m.k).map(j =>
+        avg(element_at(col("w"), j + 1) *
+          element_at(col("w"), j + 1)).as(s"v$j")): _*)
+      .head()
+    (0 until m.k).foreach { j =>
+      val v = vars.getDouble(j)
+      assert(math.abs(v - 1.0) < 0.05, s"whitened axis $j variance $v")
+    }
+    // determinism: same data -> identical model (sign pin included)
+    val m2 = Pca.fit(df, "embedding", dim, k = 4)
+    assert(m2.components.flatten.toSeq === m.components.flatten.toSeq)
+    // degenerate axes whiten to exactly 0, never +-Inf: a rank-2 corpus
+    // (planted direction + rank-2 noise) has a dead 4th axis
+    val rank2 = (1 to 200).map { i =>
+      val s = (if (i % 2 == 0) 1 else -1) * (i / 4.0 + 1.0)
+      (i.toLong, Array.tabulate(dim)(j =>
+        (s * unit(j) + 0.01 * math.cos(i * 31 + j * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val mr = Pca.fit(rank2, "embedding", dim, k = 4)
+    val deadVar = rank2.select(Pca.whiten(col("embedding"), mr).as("w"))
+      .agg(avg(element_at(col("w"), 4) * element_at(col("w"), 4)))
+      .head().getDouble(0)
+    assert(deadVar === 0.0, s"degenerate axis must whiten to 0: $deadVar")
+    // dim-mismatch fails loudly inside the aggregate
+    val ex = intercept[Exception] {
+      Pca.fit(df, "embedding", dim = 8, k = 2)
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("semdedup: one survivor per clone group, lowest-centroid-sim " +
       "keep rule, full partition") {
     import graft.pipeline.Similarity
