@@ -356,12 +356,17 @@ object EventStream {
       Some(hashBuckets))
     val gcnt = graft.pipeline.Caches.persistTracked(
       Dsir.gramCounts(grams)) // two one-shot reads: table + totals
-    val lpRows = Dsir.logRatios(gcnt)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    require(lpRows.nonEmpty,
-      "static corpus has no non-null documents - no distributions to fit")
-    val tot = gcnt.agg(sum(col("__ct")), sum(col("__cr")), count(lit(1)))
-      .head()
+    val (lpRows, tot) =
+      try {
+        val lp = Dsir.logRatios(gcnt)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(lp.nonEmpty,
+          "static corpus has no non-null documents - no distributions " +
+            "to fit")
+        (lp, gcnt.agg(sum(col("__ct")), sum(col("__cr")),
+          count(lit(1))).head())
+      } finally gcnt.unpersist() // fitted literals extracted; a long-
+        // lived streaming session must not pin the count table
     val spark = corpusStatic.sparkSession
     val default = spark.range(1).select(
       (Dsir.lnMicros(lit(0L), lit(tot.getLong(0)) + lit(tot.getLong(2))) -
