@@ -89,16 +89,15 @@ object Sq {
       encode(col(vecCol), model).as("__codes"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qvec"))
-    val mins = litArr(model.mins)
-    val steps = litArr(model.steps)
-    val score = aggregate(
-      sequence(lit(0), lit(dim - 1)), lit(0L),
-      (acc, d) => acc +
-        floor(element_at(col("__qvec"), d + 1).cast("double") *
-          (element_at(mins, d + 1) +
-            element_at(steps, d + 1) *
-              element_at(col("__codes"), d + 1).cast("double")) *
-          1000000.0 + lit(0.5)).cast("long"))
+    // fused per-pair scoring loop (SqScoreExpr): the HOF formulation
+    // (aggregate over sequence(0, dim-1)) materializes the index array
+    // and allocates lambda frames PER PAIR — measured 6.1 s at sf1;
+    // the compact interpreted loop computes the IDENTICAL per-dim
+    // double tree (same micros, same oracle) in one pass
+    val score = org.apache.spark.sql.graftbridge.column(SqScoreExpr(
+      org.apache.spark.sql.graftbridge.expression(col("__qvec")),
+      org.apache.spark.sql.graftbridge.expression(col("__codes")),
+      model.mins, model.steps))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micros").desc, col("neighbor_id").asc)
@@ -110,4 +109,45 @@ object Sq {
       .select(col("query_id"), col("neighbor_id"), col("score_micros"),
         col("rank"))
   }
+}
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Fused SQ8 ADC scorer: `Σ_d micros(q_d·(min_d + step_d·c_d))` as one
+  * compact interpreted loop — the exact per-dim double tree of the HOF
+  * formulation it replaces (so the DuckDB oracle is unchanged), minus
+  * the per-pair index-array materialization and lambda frames (the
+  * [[PqEncodeExpr]] discipline: interpreted-but-tight beats
+  * codegen'd-but-allocating for fixed small loops). */
+case class SqScoreExpr(left: Expression, right: Expression,
+    mins: Array[Double], steps: Array[Double])
+  extends BinaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq_adc_score"
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val ca = c.asInstanceOf[ArrayData]
+    val d = mins.length
+    require(qa.numElements() == d && ca.numElements() == d,
+      s"sq_adc_score: got ${qa.numElements()}/${ca.numElements()} dims, " +
+        s"expected $d")
+    var s = 0L
+    var i = 0
+    while (i < d) {
+      val term = qa.getFloat(i).toDouble *
+        (mins(i) + steps(i) * ca.getLong(i).toDouble)
+      s += math.floor(term * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SqScoreExpr = copy(left = l, right = r)
 }
