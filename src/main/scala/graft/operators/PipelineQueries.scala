@@ -2144,7 +2144,7 @@ object PipelineQueries {
                   ELSE p.bin END AS bin,
              CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
                   ELSE p.fill + d.n_tokens END AS fill
-           FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+           FROM p JOIN d ON d.source IS NOT DISTINCT FROM p.source AND d.rn = p.rn + 1)
          SELECT source, bin, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
@@ -2192,7 +2192,7 @@ object PipelineQueries {
                   ELSE p.bin END AS bin,
              CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
                   ELSE p.fill + d.n_tokens END AS fill
-           FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+           FROM p JOIN d ON d.source IS NOT DISTINCT FROM p.source AND d.rn = p.rn + 1)
          SELECT source, bin, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum

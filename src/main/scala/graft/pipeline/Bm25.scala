@@ -36,10 +36,16 @@ object Bm25 {
     require(query.nonEmpty, "query must have at least one term")
     require(query == query.distinct, "query terms must be distinct")
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0, 1]")
-    val reserved = Seq("__ws", "__dl", "__n", "__sumdl") ++
+    // guard the OUTPUT names too (LmScore/Dsir discipline): an input
+    // already carrying dl/score, or idCol named dl/score, would emit a
+    // frame with duplicate column names — a silent downstream trap
+    val reserved = Seq("__ws", "__dl", "__n", "__sumdl", "dl", "score") ++
       query.indices.flatMap(i => Seq(s"__tf$i", s"__df$i"))
     val clash = docs.columns.toSet.intersect(reserved.toSet)
-    require(clash.isEmpty, s"input columns clash with internals: $clash")
+    require(clash.isEmpty,
+      s"input columns clash with internals/outputs: $clash")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' clashes with the output/internal columns")
 
     val words = split(Decontaminate.normCol(col(textCol)), " ")
     val base = docs.filter(col(textCol).isNotNull)

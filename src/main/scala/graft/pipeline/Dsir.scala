@@ -65,6 +65,17 @@ object Dsir {
     case None => g
   }
 
+  /** Feature-key transform for the three key modes: exact strings
+    * (oracle default), paper-style fixed buckets (`hashBuckets` — the
+    * bounded-model form streaming lifts), or full 8-byte xxhash64
+    * (`hash64` — the [[Decontaminate]] hashed-probe shape: grams never
+    * cross the wire as strings, and a collision needs ~2^-64 per gram
+    * pair, so the result is value-identical to the exact form at any
+    * gate scale and the exact DuckDB SQL doubles as its oracle). */
+  private[graft] def featureKey(g: Column, hashBuckets: Option[Int],
+      hash64: Boolean): Column =
+    if (hash64) xxhash64(g) else bucketed(g, hashBuckets)
+
   /** `micros(ln((c+1)/denom))` — THE smoothed-logprob tree; one
     * definition so batch, streaming, and driver-side twins agree. */
   private[graft] def lnMicros(c: Column, denom: Column): Column =
@@ -99,13 +110,13 @@ object Dsir {
   /** Exploded `(idCol, __tgt, __g)` feature stream, scan-side. */
   private[graft] def gramStream(df: DataFrame, idCol: String,
       textCol: String, targetCol: Column,
-      hashBuckets: Option[Int]): DataFrame =
+      hashBuckets: Option[Int], hash64: Boolean = false): DataFrame =
     Decontaminate.spreadSmall(
         df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), targetCol.as("__tgt"),
         explode(gramArray(col(textCol))).as("__g"))
       .select(col(idCol), col("__tgt"),
-        bucketed(col("__g"), hashBuckets).as("__g"))
+        featureKey(col("__g"), hashBuckets, hash64).as("__g"))
       // redundant semantically (exploded grams are never null) but
       // load-bearing for the plan: the probe join infers an
       // isnotnull(__g) filter into ITS copy of the count subtree, and
@@ -120,10 +131,14 @@ object Dsir {
     * boolean column over `df`'s columns. Docs whose text normalizes to
     * a single token still emit their unigram (n_grams ≥ 1). */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-      targetCol: Column, hashBuckets: Option[Int] = None): DataFrame = {
+      targetCol: Column, hashBuckets: Option[Int] = None,
+      hash64: Boolean = false): DataFrame = {
     guard(df, idCol)
     hashBuckets.foreach(b => require(b > 1, s"hashBuckets must be > 1: $b"))
-    val grams = gramStream(df, idCol, textCol, targetCol, hashBuckets)
+    require(!(hash64 && hashBuckets.nonEmpty),
+      "hash64 and hashBuckets are alternative key modes - pick one")
+    val grams = gramStream(df, idCol, textCol, targetCol, hashBuckets,
+      hash64)
     val lp = logRatios(gramCounts(grams))
     grams.select(col(idCol), col("__g")).join(lp, Seq("__g"))
       .groupBy(col(idCol))
@@ -154,4 +169,55 @@ object Dsir {
       .orderBy(col("score_micros").desc, col(idCol).asc)
       .limit(k)
   }
+}
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Σ over a bucket-id array of the fitted DSIR log-ratio, unseen buckets
+  * scoring the fully-smoothed `default` — the streaming scorer's lookup
+  * as ONE compact interpreted loop over a plain hash map. The CreateMap
+  * formulation it replaces carried the whole fitted table as 2·|table|
+  * literal children (≈131k expressions at the default 2^16 buckets),
+  * which every Catalyst tree transform re-walks and which flirts with
+  * codegen constant-pool limits (the [[SqScoreExpr]] discipline: model
+  * constants belong in the expression object, not the expression TREE).
+  * The per-bucket arithmetic is table lookups of the identical
+  * [[Dsir.lnMicros]] integers, so stream ≡ batch stays bit-exact. */
+case class DsirGramScoreExpr(child: Expression,
+    table: Map[Long, Long], default: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dsir_gram_score"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName requires array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      // exploded bucket ids are never null (xxhash64 of a non-null gram)
+      s += table.getOrElse(arr.getLong(i), default)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : DsirGramScoreExpr = copy(child = c)
 }

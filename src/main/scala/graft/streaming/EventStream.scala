@@ -335,8 +335,9 @@ object EventStream {
     * rows NO MATTER the corpus size, where the exact-string table grows
     * with the vocabulary). The target/raw distributions are fitted ONCE
     * on the static corpus — the same resolve-once discipline as
-    * [[bm25]]'s index stats — and land in the plan as a bucket→micros
-    * map literal; each micro-batch is then a stateless doc-local HOF
+    * [[bm25]]'s index stats — and ride a typed lookup expression
+    * ([[graft.pipeline.DsirGramScoreExpr]]) as one bucket→micros map
+    * object; each micro-batch is then a stateless doc-local pass
     * (normalize → grams → hash → map lookup → integer sum): Append
     * mode, no watermark, no state store.
     *
@@ -372,16 +373,24 @@ object EventStream {
       (Dsir.lnMicros(lit(0L), lit(tot.getLong(0)) + lit(tot.getLong(2))) -
         Dsir.lnMicros(lit(0L), lit(tot.getLong(1)) + lit(tot.getLong(2))))
         .as("d")).head().getLong(0)
-    val mapLit = map(lpRows.flatMap {
-      case (g, d) => Seq(lit(g), lit(d)) }: _*)
+    // fitted table as a plain JVM map inside a typed expression, NOT a
+    // CreateMap literal (round-14 ADVICE): at the default 2^16 buckets
+    // the literal form carries ~131k child expressions that every
+    // Catalyst transform re-walks and that flirt with codegen
+    // constant-pool limits — the SqScoreExpr discipline (model
+    // constants in the expression OBJECT, not the expression tree).
+    // Same lnMicros integers, so stream ≡ batch stays bit-exact.
+    val table = lpRows.toMap
     val buckets = transform(Dsir.gramArray(col(textCol)),
       g => Dsir.bucketed(g, Some(hashBuckets)))
+    val scoreCol = org.apache.spark.sql.graftbridge.column(
+      graft.pipeline.DsirGramScoreExpr(
+        org.apache.spark.sql.graftbridge.expression(col("__b")),
+        table, default))
     stream.filter(col(textCol).isNotNull)
       .select(col(idCol), buckets.as("__b"))
       .select(col(idCol), size(col("__b")).cast("long").as("n_grams"),
-        aggregate(col("__b"), lit(0L), (acc, b) =>
-          acc + coalesce(element_at(mapLit, b), lit(default)))
-          .as("w_micros"))
+        scoreCol.as("w_micros"))
   }
 
   /** Streaming BM25 — score arriving documents against a STATIC corpus's

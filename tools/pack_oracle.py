@@ -79,6 +79,13 @@ def pack(rows):
     return bins
 
 
+def src_id_key(r):
+    """None-safe (source, doc_id) sort key: packGreedy packs a NULL
+    stratum as its own group, and Python 3 raises on None < str — Nones
+    sort first, mirroring the SQL oracles' IS NOT DISTINCT FROM join."""
+    return (r[1] is not None, r[1] or "", r[0])
+
+
 def docs(sf_dir):
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "source", "text"])
@@ -88,7 +95,7 @@ def docs(sf_dir):
         if txt is None:
             continue
         out.append((t["doc_id"][i].as_py(), t["source"][i].as_py(), txt))
-    out.sort(key=lambda r: (r[1], r[0]))
+    out.sort(key=src_id_key)
     return out
 
 
@@ -106,14 +113,15 @@ def oracle_rows(sf_dir, e2e):
             h = hashlib.md5(txt.encode()).hexdigest()
             if h not in first or doc_id < first[h][0]:
                 first[h] = (doc_id, src, len(ws))
-        rows = sorted(first.values(), key=lambda r: (r[1], r[0]))
+        rows = sorted(first.values(), key=src_id_key)
     else:
         rows = [(doc_id, src, len(norm_words(txt)))
                 for doc_id, src, txt in docs(sf_dir)]
     bins = pack(rows)
     names = ["source", "bin", "n_docs", "bin_tokens", "id_checksum"]
     data = [(src, b, st[0], st[1], st[2])
-            for (src, b), st in sorted(bins.items())]
+            for (src, b), st in sorted(
+                bins.items(), key=lambda kv: src_id_key((kv[0][1], kv[0][0])))]
     return names, data
 
 
