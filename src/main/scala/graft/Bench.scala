@@ -119,7 +119,21 @@ object Bench {
       if (isChild) Map.empty else priorMins(sfDir)
     def hot(name: String, v: Double): Boolean =
       priors.get(name).exists(p => isHot(p, v))
-    val flagged = results.filter { case (name, v) => hot(name, v) }.map(_._1)
+    val hotFlagged = results.filter { case (name, v) => hot(name, v) }
+      .map(_._1)
+    // Drift tripwire (round-14 verdict #2): the pairwise 2×+0.25 s bar
+    // cannot see slow MONOTONE creep across validated records —
+    // doc_jaccard_clusters_star shipped 3.19 → 3.84 → 4.44 s (+39%)
+    // without ever tripping it. A ledger window that only rises and
+    // ends ≥1.3× above its start triggers the same isolated fresh-JVM
+    // re-measure: suite-growth contention re-baselines (the isolated
+    // min breaks the monotone run on the next validated append), a
+    // genuine compounding regression keeps reading high in isolation
+    // and stays visible here round after round.
+    val driftFlagged: Seq[String] =
+      if (isChild) Nil
+      else driftingQueries(sfDir, results.map(_._1).toSet)
+    val flagged = (hotFlagged ++ driftFlagged).distinct
     val freshJvm: Map[String, Double] =
       if (flagged.isEmpty) Map.empty
       else freshJvmReMeasure(flagged, sfDir, cpus)
@@ -163,13 +177,21 @@ object Bench {
         (if (freshJvm.contains(k)) "fresh_jvm" else "in_jvm") + "\"}"
     }.mkString("{", ",", "}")
     val hotList = stillHot.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftList = driftFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","validated":$validated,"revalidated":$reval,""" +
-        s""""still_hot":$hotList}"""
+        s""""still_hot":$hotList,"drift_flagged":$driftList}"""
     println(json) // full precision (may fall outside the driver's tail window)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    // Committed per-run history (round-14 verdict #3 / round-12 #5): the
+    // driver's BENCH_r{N}.json keeps only a 2000-byte stdout tail, and a
+    // 130-query map is ~2.6 KB — it CANNOT ride the parsed line whole.
+    // So every parent run appends its FULL per-query map here; the file
+    // is committed with the round, making round-over-round per-query
+    // diffs a one-line read instead of stdout-tail archaeology.
+    if (!isChild) appendHistory(sfDir, json)
     // Tamper-evident prior history (round-12 verdict #1): a VALIDATED
     // suite run appends its per-query values to the committed
     // BENCH_PRIORS.json ledger — the ONLY writer is this post-validation
@@ -180,13 +202,62 @@ object Bench {
     // nothing: a contended suite must not lower the bar for the next.
     if (!isChild && validated) updatePriors(sfDir, finalResults.toMap)
     spark.stop()
-    // Sentinel + TOTAL-ONLY line LAST (~150 bytes): round 6 proved even a
-    // compact per-query line overflows the driver's stdout tail window.
+    // Sentinel + compact line LAST: round 6 proved a FULL per-query line
+    // (~2.6 KB at 130 queries) overflows the driver's 2000-byte stdout
+    // tail, so the parsed record carries the heaviest queries only — as
+    // many of the slowest as fit a ~1 KB budget (≈30), which is where
+    // every round-over-round regression question actually lives. The
+    // complete map is in `detail` (bench_out.json) and the committed
+    // BENCH_HISTORY.jsonl.
+    val topJson = finalResults.sortBy(-_._2).iterator
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
+      .drop(1).takeWhile(_._2 <= 1000).map(_._1)
+      .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
       s""""unit":"sec","n_queries":${finalResults.size},"sf":"$sfDir",""" +
-      s""""validated":$validated,"detail":"$outPath"}"""
+      s""""validated":$validated,"n_drift_flagged":${driftFlagged.size},""" +
+      s""""slowest":$topJson,"detail":"$outPath","history":"BENCH_HISTORY.jsonl"}"""
     println("GRAFT_BENCH_JSON")
     println(compact)
+  }
+
+  /** Append one full-record line to the committed BENCH_HISTORY.jsonl
+    * ledger (best-effort: history must never fail the bench). */
+  private[graft] def appendHistory(sfDir: String, json: String,
+      dirOverride: Option[String] = None): Unit = {
+    try {
+      val dir = java.nio.file.Paths.get(dirOverride.getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR_DIR", ".")))
+      java.nio.file.Files.writeString(dir.resolve("BENCH_HISTORY.jsonl"),
+        json + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] history append failed: $e")
+    }
+  }
+
+  /** Monotone-drift predicate over a ledger window (newest last): three
+    * validated values that never fall and end ≥1.25× above the start —
+    * the bar sits just under BOTH round-14 live cases (jaccard star
+    * +39%, neardup star +29%) — with the same 0.25 s absolute floor as
+    * [[isHot]] so millisecond queries cannot flag on jitter. */
+  private[graft] def isDrifting(vals: Seq[Double]): Boolean =
+    vals.length >= 3 &&
+      vals.sliding(2).forall { w => w(1) >= w(0) } &&
+      vals.last >= vals.head * 1.25 && vals.last - vals.head > 0.25
+
+  /** Queries whose committed ledger window shows monotone drift for
+    * this scale factor (restricted to queries the current run knows). */
+  private[graft] def driftingQueries(sfDir: String, known: Set[String],
+      dirOverride: Option[String] = None): Seq[String] = {
+    val dir = java.nio.file.Paths.get(dirOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR_DIR", ".")))
+    readPriorsLedger(dir).collect {
+      case ((sf, q), vals) if sf == sfDir && known(q) && isDrifting(vals) =>
+        q
+    }.toSeq.sorted
   }
 
   /** Re-measure `flagged` queries in a FRESH JVM: fork this same main with

@@ -141,6 +141,40 @@ class BenchSpec extends AnyFunSuite {
       "corrupt non-trivial ledger must be left untouched")
   }
 
+  test("drift tripwire: monotone >=1.3x ledger windows flag; noise does not") {
+    // the round-14 live case: doc_jaccard_clusters_star crept
+    // 3.19 -> 3.84 -> 4.44 s across three VALIDATED records, each step
+    // under the pairwise 2x+0.25 s bar — compounding drift the hot
+    // predicate cannot see
+    assert(Bench.isDrifting(Seq(3.19, 3.84, 4.44)))
+    assert(Bench.isDrifting(Seq(2.44, 2.44, 3.15))) // neardup star: +29%
+    assert(!Bench.isDrifting(Seq(3.19, 3.84)))      // window too short
+    assert(!Bench.isDrifting(Seq(3.19, 3.05, 4.44))) // non-monotone: noise
+    assert(!Bench.isDrifting(Seq(3.19, 3.25, 3.40))) // < 1.25x total
+    assert(!Bench.isDrifting(Seq(0.05, 0.06, 0.08))) // under the 0.25 s floor
+    // end-to-end through a synthetic committed ledger
+    val dir = Files.createTempDirectory("benchdrift")
+    val sf = "/root/testdata/sf0.1"
+    Seq(3.19, 3.84, 4.44).foreach(v =>
+      Bench.updatePriors(sf, Map("doc_jaccard_clusters_star" -> v),
+        Some(dir.toString)))
+    Seq(0.40, 0.41, 0.42).foreach(v =>
+      Bench.updatePriors(sf, Map("q1_agg" -> v), Some(dir.toString)))
+    val known = Set("doc_jaccard_clusters_star", "q1_agg")
+    assert(Bench.driftingQueries(sf, known, Some(dir.toString)) ===
+      Seq("doc_jaccard_clusters_star"))
+    // other-sf windows and unknown queries contribute nothing
+    assert(Bench.driftingQueries("tmp/sf10", known,
+      Some(dir.toString)).isEmpty)
+    assert(Bench.driftingQueries(sf, Set("q1_agg"),
+      Some(dir.toString)).isEmpty)
+    // a re-baselining isolated measure (lower value appended by the
+    // next validated run) breaks the monotone window and clears the flag
+    Bench.updatePriors(sf, Map("doc_jaccard_clusters_star" -> 3.3),
+      Some(dir.toString))
+    assert(Bench.driftingQueries(sf, known, Some(dir.toString)).isEmpty)
+  }
+
   test("committed ledger covers every query for the bench sf") {
     // round-13 contract: every shared query's prior provably comes from
     // round-<=12 validated data — i.e. the committed ledger has a row
