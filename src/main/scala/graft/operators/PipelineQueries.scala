@@ -730,6 +730,22 @@ object PipelineQueries {
         "doc_id", k = 100)
         .orderBy(col("doc_id"))),
 
+    // DSIR hashed-feature batch path (hash64 = full 8-byte xxhash64
+    // gram keys — the declared 100 TB shape: longs cross the exchange,
+    // never gram strings) under the SAME exact-string oracle, the
+    // doc_contamination_hashed argument: a key collision needs ~2^-64
+    // per gram pair, so at any gate scale counts, vocabulary size, and
+    // therefore every w_micros are value-identical to the exact form —
+    // a collision would surface as a loud hash mismatch, not a silent
+    // pass. (The fixed-bucket `hashBuckets` form intentionally
+    // collides — that one is gated by the streaming ≡ batch twin.)
+    "doc_dsir_hashed" -> ((s, d) =>
+      graft.pipeline.Dsir.importanceWeights(
+          Tables.documents(s, d), "doc_id", "text",
+          col("source") === lit("src0"), hash64 = true)
+        .filter(col("doc_id") < 1000L)
+        .orderBy(col("doc_id"))),
+
     // Inter-source n-gram overlap matrix
     // (Decontaminate.sourceOverlapMatrix): one gram-key exchange with
     // bounded collect_set partials; pair expansion on single-gram rows.
@@ -805,6 +821,35 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           size(split(Decontaminate.normCol(col("text")), " "))
             .cast("long").as("n_tokens"))
+      val packed = graft.pipeline.Pack.packGreedy(
+        base, "doc_id", "n_tokens", "source", budget = 512L)
+      graft.pipeline.Pack.binStats(packed, "doc_id", "n_tokens", "source")
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // Tokenizer-grade token counting (TokenCountExpr): the
+    // subword-budget scheme — letter runs ceil(len/6), digit runs
+    // ceil(len/3), other non-whitespace code points 1 — as a codegen'd
+    // scan-side expression; exact integer aggregates per source.
+    "doc_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tok", token_count(col("text")))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("total_tokens"),
+          count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_tokens"))
+        .orderBy(col("source"))),
+
+    // Greedy packing under the MODEL-token budget (token_count instead
+    // of whitespace words) — what a context-window budget actually
+    // means in a training pipeline; same recurrence, same oracle shape
+    // (the recursive CTE recomputes the token scheme in SQL).
+    "doc_pack_tokens" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+          Tables.documents(s, d).filter(col("text").isNotNull),
+          col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          token_count(col("text")).as("n_tokens"))
       val packed = graft.pipeline.Pack.packGreedy(
         base, "doc_id", "n_tokens", "source", budget = 512L)
       graft.pipeline.Pack.binStats(packed, "doc_id", "n_tokens", "source")
@@ -1315,6 +1360,98 @@ object PipelineQueries {
       pqRankCertificate(emb,
         graft.pipeline.Sq.sqTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", dim = 64, topK = 10))
+    }),
+
+    // IVF-SQ composition (Sq.ivfSqTopK): the inverted-file front end
+    // over SQ8 codes — same certificate family as emb_ivfpq (trained
+    // coarse quantizer -> no SQL twin; recall certified below).
+    "emb_ivfsq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.pipeline.Sq.ivfSqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-SQ soundness: the emb_pq_sound rank-percentile bound over the
+    // cell-probed SQ8 path (routing correctness itself is pinned in
+    // PipelineSpec, the emb_ivfpq_sound discipline).
+    "emb_ivfsq_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pqRankCertificate(emb,
+        graft.pipeline.Sq.ivfSqTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", dim = 64))
+    }),
+
+    // SQ8 + exact re-rank (Rerank.rerank over Sq candidates): the
+    // two-stage retrieval layout — compressed-domain scan nominates 30
+    // candidates/query, ONLY those re-score against full vectors. The
+    // whole chain is closed-form, so this gate carries a FULL hash
+    // oracle end to end (candidates replayed by the emb_sq SQL,
+    // re-scoring by the same per-dim-micros tree).
+    "emb_sq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val model = graft.pipeline.Sq.train(emb, "embedding", 64)
+      val cand = graft.pipeline.Sq.sqTopKWith(model, qs, emb,
+        "vec_id", "embedding", topK = 30)
+      graft.pipeline.Rerank.rerank(cand, qs, emb, "vec_id", "embedding",
+        topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Re-rank recall vs the EXACT top-10 under the same integer MIPS
+    // metric, per query, next to the un-reranked SQ overlap — the gate
+    // that shows what the second pass buys (n_hits_rerank >=
+    // n_hits_sq); fully SQL-expressible, full hash oracle.
+    "emb_sq_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = Caches.persistTracked(emb.filter(col("vec_id") < 10))
+      val model = graft.pipeline.Sq.train(emb, "embedding", 64)
+      val sq = Caches.persistTracked(graft.pipeline.Sq.sqTopKWith(
+        model, qs, emb, "vec_id", "embedding", topK = 30))
+      val rr = graft.pipeline.Rerank.rerank(sq, qs, emb,
+        "vec_id", "embedding", topK = 10)
+      val exact = Caches.persistTracked(graft.pipeline.Rerank.exactTopK(
+        qs, emb, "vec_id", "embedding", topK = 10))
+      def hits(sel: DataFrame, as: String): DataFrame =
+        sel.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(as))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits(rr, "n_hits_rerank"), Seq("query_id"), "left")
+        .join(hits(sq.filter(col("rank") <= 10), "n_hits_sq"),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits_rerank"), lit(0L)).as("n_hits_rerank"),
+          coalesce(col("n_hits_sq"), lit(0L)).as("n_hits_sq"))
+        .orderBy(col("query_id"))
+    }),
+
+    // PQ + exact re-rank: the same second pass over ADC candidates
+    // (trained codebooks -> certificate gate, emb_pq_rerank_sound).
+    "emb_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val cand = Pq.adcTopK(qs, emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, topK = 30)
+      graft.pipeline.Rerank.rerank(cand, qs, emb, "vec_id", "embedding",
+        topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Re-ranked-PQ soundness: the rank-percentile certificate over the
+    // two-stage output — re-ranking can only RAISE the bound's margin
+    // (exact ordering within candidates), so a regression in either
+    // stage trips it.
+    "emb_pq_rerank_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      pqRankCertificate(emb,
+        graft.pipeline.Rerank.rerank(
+          Pq.adcTopK(qs, emb, "vec_id", "embedding",
+            dim = 64, m = 8, k = 16, topK = 30),
+          qs, emb, "vec_id", "embedding", topK = 10))
     }),
 
     // PQ soundness — a rank-percentile bound, robust to the corpus's
@@ -2014,6 +2151,44 @@ object PipelineQueries {
            CAST(sum(lp.dlt) AS BIGINT) AS w_micros
          FROM g JOIN lp USING (g) WHERE g.doc_id < 1000
          GROUP BY 1 ORDER BY doc_id""",
+    // Hashed-gram probe (hash64): value-identical to the exact form at
+    // gate scale (see the Spark twin's comment), so the exact SQL is
+    // its oracle verbatim — the doc_contamination_hashed pattern.
+    "doc_dsir_hashed" ->
+      """WITH d AS (
+           SELECT doc_id, (source = 'src0') AS tgt,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, tgt, t.term AS g FROM d,
+             LATERAL unnest(ws) AS t(term)
+           UNION ALL
+           SELECT doc_id, tgt,
+             ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS g
+           FROM d, LATERAL unnest(generate_series(1, len(ws) - 1))
+             AS s(i)
+           WHERE len(ws) >= 2),
+         c AS (
+           SELECT g, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+               AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           FROM g GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t,
+           CAST(sum(cr) AS BIGINT) AS r,
+           CAST(count(*) AS BIGINT) AS v FROM c),
+         lp AS (
+           SELECT g,
+             CAST(floor(ln(CAST(ct + 1 AS DOUBLE) /
+               CAST(t + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) /
+               CAST(r + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS dlt
+           FROM c, tot)
+         SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(lp.dlt) AS BIGINT) AS w_micros
+         FROM g JOIN lp USING (g) WHERE g.doc_id < 1000
+         GROUP BY 1 ORDER BY doc_id""",
     // DSIR Gumbel-top-k: the weights CTE plus the deterministic
     // weylHash -> inverse-Gumbel noise, top 100 by integer score.
     "doc_dsir_sample" ->
@@ -2178,6 +2353,64 @@ object PipelineQueries {
            SELECT doc_id, source,
              CAST(len(string_split(trim(regexp_replace(lower(text),
                '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS BIGINT)
+               AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+           FROM documents WHERE text IS NOT NULL),
+         p AS (
+           SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN p.bin + 1
+                  ELSE p.bin END AS bin,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
+                  ELSE p.fill + d.n_tokens END AS fill
+           FROM p JOIN d ON d.source IS NOT DISTINCT FROM p.source AND d.rn = p.rn + 1)
+         SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM p GROUP BY 1, 2 ORDER BY source, bin""",
+    // Tokenizer-grade token counting: the subword-budget scheme
+    // replayed per run via regexp_extract_all — letter runs
+    // ceil(len/6), digit runs ceil(len/3), other non-whitespace
+    // CODE POINTS 1 (the regex is per-codepoint, matching the
+    // expression's codePointAt walk); the whitespace class is spelled
+    // [ \t\n\f\r] on BOTH sides (RE2's \s) so run boundaries agree
+    // char-for-char. list_sum([]) is NULL in DuckDB -> coalesce 0 for
+    // non-null text (an all-whitespace doc counts 0 tokens, as the
+    // expression does); NULL text stays NULL (sum/max skip it).
+    "doc_token_count" ->
+      """WITH t AS (
+           SELECT source,
+             CASE WHEN text IS NULL THEN NULL
+               ELSE CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]'),
+                 r -> CASE WHEN regexp_matches(r, '^[A-Za-z]')
+                     THEN CAST(ceil(len(r) / 6.0) AS BIGINT)
+                   WHEN regexp_matches(r, '^[0-9]')
+                     THEN CAST(ceil(len(r) / 3.0) AS BIGINT)
+                   ELSE CAST(1 AS BIGINT) END)), 0) AS BIGINT) END
+               AS n_tok
+           FROM documents)
+         SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           count(*) AS n_docs, CAST(max(n_tok) AS BIGINT) AS max_tokens
+         FROM t GROUP BY 1 ORDER BY source""",
+    // Greedy packing under the model-token budget: the doc_pack
+    // recursive CTE with n_tokens swapped for the token-scheme twin.
+    "doc_pack_tokens" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source,
+             CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]'),
+               r -> CASE WHEN regexp_matches(r, '^[A-Za-z]')
+                   THEN CAST(ceil(len(r) / 6.0) AS BIGINT)
+                 WHEN regexp_matches(r, '^[0-9]')
+                   THEN CAST(ceil(len(r) / 3.0) AS BIGINT)
+                 ELSE CAST(1 AS BIGINT) END)), 0) AS BIGINT)
                AS n_tokens,
              row_number() OVER (PARTITION BY source ORDER BY doc_id)
                AS rn
@@ -2529,6 +2762,133 @@ object PipelineQueries {
            FROM scores) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "emb_sq_sound" ->
+      """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 10""",
+    // SQ8 + exact re-rank: full two-stage replay — the emb_sq CTEs
+    // nominate the top-30 candidates, then ONLY those pairs re-score
+    // with the exact per-dim-micros tree and re-rank to top-10.
+    "emb_sq_rerank" ->
+      """WITH mm AS (
+           SELECT i.i AS pos,
+             CAST(min(embedding[i.i + 1]) AS DOUBLE) AS mn,
+             CAST(max(embedding[i.i + 1]) AS DOUBLE) AS mx
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY 1),
+         st AS (SELECT pos, mn, (mx - mn) / 255.0 AS step FROM mm),
+         codes AS (
+           SELECT e.vec_id, s.pos, s.mn, s.step,
+             CASE WHEN s.step = 0 THEN 0
+               ELSE least(255, greatest(0, CAST(floor(
+                 (CAST(e.embedding[s.pos + 1] AS DOUBLE) - s.mn)
+                   / s.step + 0.5) AS BIGINT))) END AS c
+           FROM embeddings e CROSS JOIN st s),
+         sqs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(floor(
+               CAST(q.embedding[c.pos + 1] AS DOUBLE) *
+                 (c.mn + c.step * CAST(c.c AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+           FROM embeddings q JOIN codes c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sm DESC, neighbor_id ASC) AS rk FROM sqs) t
+           WHERE rk <= 30),
+         ex AS (
+           SELECT cd.query_id, cd.neighbor_id,
+             CAST(sum(CAST(floor(
+               CAST(q.embedding[i.i + 1] AS DOUBLE) *
+                 CAST(nb.embedding[i.i + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micros
+           FROM cand cd
+           JOIN embeddings q ON q.vec_id = cd.query_id
+           JOIN embeddings nb ON nb.vec_id = cd.neighbor_id
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, score_micros, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micros DESC, neighbor_id ASC) AS rank
+           FROM ex) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Re-rank recall: overlap of the two-stage top-10 (and of the
+    // UN-reranked SQ top-10) with the exact per-dim-micros top-10.
+    "emb_sq_rerank_recall" ->
+      """WITH mm AS (
+           SELECT i.i AS pos,
+             CAST(min(embedding[i.i + 1]) AS DOUBLE) AS mn,
+             CAST(max(embedding[i.i + 1]) AS DOUBLE) AS mx
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY 1),
+         st AS (SELECT pos, mn, (mx - mn) / 255.0 AS step FROM mm),
+         codes AS (
+           SELECT e.vec_id, s.pos, s.mn, s.step,
+             CASE WHEN s.step = 0 THEN 0
+               ELSE least(255, greatest(0, CAST(floor(
+                 (CAST(e.embedding[s.pos + 1] AS DOUBLE) - s.mn)
+                   / s.step + 0.5) AS BIGINT))) END AS c
+           FROM embeddings e CROSS JOIN st s),
+         sqs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(floor(
+               CAST(q.embedding[c.pos + 1] AS DOUBLE) *
+                 (c.mn + c.step * CAST(c.c AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+           FROM embeddings q JOIN codes c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2),
+         sqr AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sm DESC, neighbor_id ASC) AS rk
+           FROM sqs),
+         exall AS (
+           SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+             CAST(sum(CAST(floor(
+               CAST(q.embedding[i.i + 1] AS DOUBLE) *
+                 CAST(nb.embedding[i.i + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micros
+           FROM embeddings q JOIN embeddings nb ON q.vec_id <> nb.vec_id
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           WHERE q.vec_id < 10
+           GROUP BY 1, 2),
+         exk AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_micros DESC, neighbor_id ASC) AS rk
+             FROM exall) t
+           WHERE rk <= 10),
+         rrk AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT e.query_id, e.neighbor_id, row_number() OVER (
+               PARTITION BY e.query_id
+               ORDER BY e.score_micros DESC, e.neighbor_id ASC) AS rk
+             FROM (SELECT c2.query_id, c2.neighbor_id, ea.score_micros
+                   FROM (SELECT query_id, neighbor_id FROM sqr
+                         WHERE rk <= 30) c2
+                   JOIN exall ea ON ea.query_id = c2.query_id
+                     AND ea.neighbor_id = c2.neighbor_id) e) t
+           WHERE rk <= 10)
+         SELECT q.vec_id AS query_id,
+           CAST(coalesce(r.n, 0) AS BIGINT) AS n_hits_rerank,
+           CAST(coalesce(s2.n, 0) AS BIGINT) AS n_hits_sq
+         FROM embeddings q
+         LEFT JOIN (SELECT rrk.query_id, count(*) AS n FROM rrk
+           JOIN exk USING (query_id, neighbor_id) GROUP BY 1) r
+           ON r.query_id = q.vec_id
+         LEFT JOIN (SELECT sqr.query_id, count(*) AS n FROM sqr
+           JOIN exk USING (query_id, neighbor_id) WHERE sqr.rk <= 10
+           GROUP BY 1) s2
+           ON s2.query_id = q.vec_id
+         WHERE q.vec_id < 10 ORDER BY query_id""",
+    "emb_ivfsq_sound" ->
+      """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
+         FROM embeddings WHERE vec_id < 10""",
+    "emb_pq_rerank_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
     "emb_pq_sound" ->

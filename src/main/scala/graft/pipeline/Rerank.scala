@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
+
+/** Exact second-pass re-ranking over compressed-domain ANN candidates —
+  * the standard two-stage retrieval layout (FAISS's refine step; Jégou
+  * et al. 2011 §VI): a cheap quantized scan ([[Sq.sqTopKWith]],
+  * [[Pq.adcTopK]], [[Pq.ivfPqTopK]]) nominates `kPrime > k` candidates
+  * per query, then ONLY those pairs are re-scored against full float
+  * vectors and the top `k` kept. Quantization error affects candidate
+  * RECALL but no longer the final ordering, so a small `kPrime/k`
+  * overfetch (2-4×) recovers most of the exact ranking at a fraction of
+  * brute-force cost.
+  *
+  * Scale shape: the candidate table is |queries|·kPrime ids — the small
+  * side by construction — so it broadcasts (with its query vectors)
+  * into ONE equi-join against the corpus on `neighbor_id`: a single
+  * corpus scan that re-reads full vectors ONLY for nominated rows. No
+  * shuffle of the corpus, no cross join; the final per-query top-k is a
+  * rank window that plans as WindowGroupLimit (map-side pre-prune).
+  *
+  * Determinism contract (the [[Sq]]/[[Pq]] family pins): the exact
+  * score is `Σ_d micros(q_d·x_d)` — per-dimension double products
+  * rounded to integer micros once, then exact integer sums — order-free
+  * across partitions and transliterable into the DuckDB oracle twin
+  * (the same per-dim tree the SQ scorer uses, minus the affine fold).
+  * Ties break to the lowest neighbor id.
+  */
+object Rerank {
+
+  /** `Σ_d micros(q_d·x_d)` over two float vectors — the exact-MIPS
+    * integer score (fused interpreted loop, [[SqScoreExpr]] shape). */
+  def exactMicros(q: Column, x: Column): Column =
+    graftbridge.column(ExactDotMicrosExpr(
+      graftbridge.expression(q), graftbridge.expression(x)))
+
+  /** Re-rank `(query_id, neighbor_id)` candidate pairs against the full
+    * vectors in `queries`/`corpus`; returns `(query_id, neighbor_id,
+    * score_micros, rank)` with `rank ≤ topK`. Extra candidate columns
+    * (the first-pass approximate score) are dropped — the exact score
+    * is THE ranking key, so the two passes cannot disagree silently. */
+  def rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("neighbor_id").asc)
+    broadcast(candidates.select(col("query_id"), col("neighbor_id"))
+        .join(q, Seq("query_id")))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("score_micros", exactMicros(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score_micros"),
+        col("rank"))
+  }
+
+  /** Exact-MIPS brute-force top-k under the SAME integer metric — the
+    * recall reference for the re-rank gates (cosine would measure the
+    * wrong thing: re-ranking is judged against the best possible result
+    * of its own scoring function). */
+  def exactTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_micros", exactMicros(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score_micros"),
+        col("rank"))
+  }
+}
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Fused exact-MIPS integer scorer: `Σ_d micros(q_d·x_d)` over two
+  * float vectors as one compact interpreted loop — the [[SqScoreExpr]]
+  * per-dim tree without the affine code fold, so the re-rank pass and
+  * its DuckDB oracle compute the identical integers. */
+case class ExactDotMicrosExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "exact_dot_micros"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires two array<float> inputs, got $other")
+    }
+
+  override def nullSafeEval(q: Any, x: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val xa = x.asInstanceOf[ArrayData]
+    val d = qa.numElements()
+    require(xa.numElements() == d,
+      s"$prettyName: got $d/${xa.numElements()} dims")
+    var s = 0L
+    var i = 0
+    while (i < d) {
+      val term = qa.getFloat(i).toDouble * xa.getFloat(i).toDouble
+      s += math.floor(term * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ExactDotMicrosExpr = copy(left = l, right = r)
+}

@@ -77,18 +77,13 @@ object Sq {
     })
   }
 
-  /** Compressed-domain approximate MIPS top-k: `(query_id, neighbor_id,
-    * score_micros, rank)`, `score_micros = Σ_d micros(q_d·(min_d +
-    * step_d·c_d))` — the affine-folded inner product against the
-    * dequantized corpus, never materializing reconstructed vectors. */
-  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, dim: Int, topK: Int = 10): DataFrame = {
-    require(topK > 0, s"topK must be positive: $topK")
-    val model = train(corpus, vecCol, dim)
-    val coded = corpus.select(col(idCol).as("neighbor_id"),
-      encode(col(vecCol), model).as("__codes"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qvec"))
+  /** Shared compressed-domain scoring tail: candidates carry
+    * `query_id`, `neighbor_id`, `__qvec`, `__codes`; score with the
+    * fused [[SqScoreExpr]] loop, rank per query with the id tie-break,
+    * keep topK. ONE definition so the flat and IVF paths cannot
+    * diverge on the determinism pins (the [[Pq]] discipline). */
+  private def scoreAndRank(candidates: DataFrame, model: Model,
+      topK: Int): DataFrame = {
     // fused per-pair scoring loop (SqScoreExpr): the HOF formulation
     // (aggregate over sequence(0, dim-1)) materializes the index array
     // and allocates lambda frames PER PAIR — measured 6.1 s at sf1;
@@ -101,13 +96,63 @@ object Sq {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micros").desc, col("neighbor_id").asc)
-    broadcast(q).crossJoin(coded)
+    candidates
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score_micros", score)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("score_micros"),
         col("rank"))
+  }
+
+  /** Compressed-domain approximate MIPS top-k against a PRE-TRAINED
+    * model — the serving path: fit once with [[train]], reuse across
+    * query batches without re-scanning the corpus (round-14 verdict:
+    * the train-inside-search shape made every invocation pay a full
+    * corpus aggregate). Returns `(query_id, neighbor_id, score_micros,
+    * rank)`, `score_micros = Σ_d micros(q_d·(min_d + step_d·c_d))` —
+    * the affine-folded inner product against the dequantized corpus,
+    * never materializing reconstructed vectors. */
+  def sqTopKWith(model: Model, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), model).as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    scoreAndRank(broadcast(q).crossJoin(coded), model, topK)
+  }
+
+  /** One-shot convenience: train on the corpus, then [[sqTopKWith]]. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, topK: Int = 10): DataFrame =
+    sqTopKWith(train(corpus, vecCol, dim), queries, corpus, idCol,
+      vecCol, topK)
+
+  /** IVF-SQ: the inverted-file front end over SQ8 codes — the same
+    * composition [[Pq.ivfPqTopK]] gives PQ (round-14 directive #7): at
+    * corpus scale compressed-domain brute force still touches every
+    * code, so corpus rows carry their nearest-centroid cell id and each
+    * query ADC-scores ONLY its `nprobe` max-dot cells — candidates drop
+    * to ~nprobe/nlist of the corpus, and the scored payload stays 8-bit
+    * codes. Same output contract and determinism pins as [[sqTopK]]. */
+  def ivfSqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      topK: Int = 10, iters: Int = 2): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val model = train(corpus, vecCol, dim)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), model).as("__codes"),
+      Similarity.nearestCentroid(col(vecCol), cents).as("__cluster"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__probe",
+        Similarity.probeCells(col("__qvec"), cents, nprobe))
+      .select(col("query_id"), col("__qvec"),
+        explode(col("__probe")).as("__cluster"))
+    scoreAndRank(broadcast(probed).join(coded, Seq("__cluster")), model,
+      topK)
   }
 }
 

@@ -53,6 +53,40 @@ object TextHash {
     sb.toString
   }
 
+  /** Subword-budget token count (see [[TokenCountExpr]] for the scheme
+    * and its rationale): one pass, no allocation, per-code-point. */
+  def tokenCount(s: String): Long = {
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+        i += 1
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z')
+        }) j += 1
+        total += (j - i + 5) / 6
+        i = j
+      } else if (c >= '0' && c <= '9') {
+        var j = i + 1
+        while (j < n && { val d = s.charAt(j); d >= '0' && d <= '9' }) j += 1
+        total += (j - i + 2) / 3
+        i = j
+      } else {
+        // one token per CODE POINT: an astral surrogate pair advances
+        // two chars but counts once, matching the SQL twin's
+        // per-codepoint regex
+        total += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    total
+  }
+
   /** MinHash signature over character n-gram shingles of the normalized
     * text: one base hash per shingle, k permutations via double hashing
     * (Kirsch-Mitzenmacher, "Less Hashing, Same Performance": the j-th
@@ -234,6 +268,34 @@ abstract class TextUnaryExpr extends UnaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
 }
 
+/** Deterministic subword-budget token count — a tokenizer-GRADE (not
+  * tokenizer-exact) model-token estimate that both engines can compute
+  * in closed form, so context budgets (packing, chunking) stop meaning
+  * "whitespace words" (round-14 directive #6). The scheme mirrors how
+  * byte-level BPE spends its merge table: a run of ASCII letters costs
+  * ceil(len/6) tokens (≈ one learned wordpiece per ~6 chars — the
+  * GPT-2 family averages ~4-6 chars/token on English), a run of ASCII
+  * digits ceil(len/3) (BPE vocabularies carry 1-3-digit groups), and
+  * every other non-whitespace CODE POINT one token (punctuation and
+  * non-ASCII rarely merge). Whitespace — exactly {space, \t, \n, \f,
+  * \r}, RE2's `\s` class, so the DuckDB regex twin agrees char-for-char
+  * — costs nothing. Counting is per code point (an astral pair is ONE
+  * token on both sides). */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHash.tokenCount(v.toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.pipeline.TextHash.tokenCount($c.toString())")
+  override def prettyName: String = "token_count"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class MinHashSig(child: Expression, numHashes: Int = 64, shingle: Int = 5)
     extends TextUnaryExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -409,4 +471,6 @@ object TextFunctions {
     graftbridge.column(UnicodeNormalize(graftbridge.expression(c), form))
   def deflate_len(c: Column): Column =
     graftbridge.column(DeflateLen(graftbridge.expression(c)))
+  def token_count(c: Column): Column =
+    graftbridge.column(TokenCountExpr(graftbridge.expression(c)))
 }

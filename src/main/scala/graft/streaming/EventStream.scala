@@ -429,4 +429,54 @@ object EventStream {
         Bm25.scoreExpr(tfs, size(words).cast("long"), n, sumdl, dfs,
           k1, b).as("score"))
   }
+
+  // ---- streaming greedy packing -------------------------------------------
+
+  final case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
+  final case class PackedDoc(doc_id: Long, source: String, n_tokens: Long,
+    bin: Long)
+  /** Per-stratum running fill: the (bin, fill) pair of
+    * [[graft.pipeline.Pack]]'s recurrence — O(1) state per stratum. */
+  final case class PackState(bin: Long, fill: Long)
+
+  /** Streaming greedy packing — the streaming twin of
+    * [[graft.pipeline.Pack.packGreedy]], closing the prep chain's
+    * stream parity (rules → dedup → pack all have streaming forms).
+    * The per-stratum (bin, fill) recurrence carries across micro-batches
+    * as flatMapGroupsWithState state, so an append-only corpus packs
+    * incrementally — new documents extend the LAST bin of their stratum
+    * instead of re-packing the corpus (the production shape: a 100 TB
+    * corpus packs once, each day's delta packs against yesterday's
+    * running fill).
+    *
+    * Order contract (inherited from the batch operator — packing is
+    * order-sensitive by nature): documents must arrive in ascending
+    * doc_id order per stratum ACROSS batches (the file-source
+    * convention for append-only corpora); within a micro-batch rows
+    * are sorted before the walk. Under that contract stream ≡ batch
+    * bit-exactly (StreamingSpec). One hash exchange on the stratum key,
+    * exactly like the batch plan's repartition. */
+  def packGreedy(docs: Dataset[PackDoc], budget: Long): Dataset[PackedDoc] = {
+    require(budget > 0, "budget must be positive")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[PackedDoc]()
+          sorted.foreach { d =>
+            cur = cur match {
+              case Some(s) if s.fill + d.n_tokens > budget =>
+                Some(PackState(s.bin + 1L, d.n_tokens))
+              case Some(s) => Some(s.copy(fill = s.fill + d.n_tokens))
+              case None => Some(PackState(0L, d.n_tokens))
+            }
+            out += PackedDoc(d.doc_id, src, d.n_tokens, cur.get.bin)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 }

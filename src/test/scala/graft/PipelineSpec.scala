@@ -1201,6 +1201,117 @@ class PipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("sq model reuse + ivf-sq flat equivalence + rerank recall") {
+    import graft.pipeline.{Pq, Rerank, Sq}
+    val dim = 64
+    val qs = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // train/search split: a model fitted once serves repeated query
+    // batches identically to the one-shot convenience form
+    val model = Sq.train(emb, "embedding", dim)
+    val once = key(Sq.sqTopKWith(model, qs, emb, "vec_id", "embedding"))
+    assert(once === key(Sq.sqTopK(qs, emb, "vec_id", "embedding", dim)))
+    assert(once === key(Sq.sqTopKWith(model, qs, emb, "vec_id",
+      "embedding")), "model reuse must be deterministic")
+    // nprobe = nlist probes every cell: IVF-SQ must equal flat SQ (the
+    // Pq ivfPq equivalence discipline)
+    assert(key(Sq.ivfSqTopK(qs, emb, "vec_id", "embedding", dim,
+      nlist = 8, nprobe = 8)) === once)
+    // exact re-rank: output pairs are a subset of the candidates, and
+    // ordering follows the exact integer metric
+    val cand = Sq.sqTopKWith(model, qs, emb, "vec_id", "embedding",
+      topK = 30)
+    val rr = Rerank.rerank(cand, qs, emb, "vec_id", "embedding", topK = 10)
+    val candSet = cand.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rrRows = rr.collect()
+    assert(rrRows.length === 5 * 10)
+    rrRows.foreach { r =>
+      assert(candSet((r.getLong(0), r.getLong(1))),
+        "re-ranked pair not among the first-pass candidates")
+    }
+    // recall vs the exact top-10 under the SAME metric: the second pass
+    // can only help — rerank recall >= the un-reranked first-pass
+    // recall, for BOTH the SQ and the PQ front end
+    val exact = Rerank.exactTopK(qs, emb, "vec_id", "embedding", 10)
+    val exSet = exact.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(exSet)
+    val sqRecall = recall(cand.filter(col("rank") <= 10))
+    val sqRerankRecall = recall(rr)
+    assert(sqRerankRecall >= sqRecall,
+      s"sq rerank recall $sqRerankRecall < first-pass $sqRecall")
+    val adc = Pq.adcTopK(qs, emb, "vec_id", "embedding", dim,
+      m = 8, k = 16, topK = 30)
+    val adcRerank = Rerank.rerank(adc, qs, emb, "vec_id", "embedding", 10)
+    val pqRecall = recall(adc.filter(col("rank") <= 10))
+    val pqRerankRecall = recall(adcRerank)
+    assert(pqRerankRecall >= pqRecall,
+      s"pq rerank recall $pqRerankRecall < first-pass $pqRecall")
+    // PQ is coarse on this corpus (16 codes/subspace): the re-rank pass
+    // must recover a strict majority of the exact top-10
+    assert(pqRerankRecall >= 25,
+      s"pq rerank recovers only $pqRerankRecall/50 exact neighbours")
+  }
+
+  test("token_count: run budgets, code points, whitespace class, null") {
+    import graft.pipeline.{TextFunctions, TextHash}
+    // scheme edges, against hand-computed budgets
+    assert(TextHash.tokenCount("") === 0L)
+    assert(TextHash.tokenCount(" \t\n\f\r ") === 0L)
+    assert(TextHash.tokenCount("hello") === 1L)       // ceil(5/6)
+    assert(TextHash.tokenCount("wonderful") === 2L)   // ceil(9/6)
+    assert(TextHash.tokenCount("abcdefghijkl") === 2L) // ceil(12/6)
+    assert(TextHash.tokenCount("12") === 1L)          // ceil(2/3)
+    assert(TextHash.tokenCount("123456") === 2L)      // ceil(6/3)
+    assert(TextHash.tokenCount("a1b") === 3L)         // three runs
+    assert(TextHash.tokenCount("!!!") === 3L)         // punct: 1/char
+    assert(TextHash.tokenCount("Hello, wonderful-world 12345") === 8L)
+    // non-ASCII letters break runs and cost 1/code point; an astral
+    // pair (2 chars) is ONE code point on both engines
+    assert(TextHash.tokenCount("été") === 3L) // é t é
+    assert(TextHash.tokenCount("a😀b") === 3L) // a 😀 b
+    // vertical tab is NOT in RE2's \s: costs 1, same as the SQL twin
+    assert(TextHash.tokenCount("a\u000bb") === 3L)
+    // the expression: codegen'd, null-safe, equals the kernel
+    val out = Seq(("x", "Hello, wonderful-world 12345"),
+      ("y", null)).toDF("k", "t")
+      .select(TextFunctions.token_count(col("t")).as("n")).collect()
+    assert(out(0).getLong(0) === 8L)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("ann top-k windows plan as WindowGroupLimit (map-side pre-prune)") {
+    import graft.pipeline.{Similarity, Sq}
+    // the per-query rank<=k windows in the ANN family must pre-prune
+    // each input partition BEFORE the window exchange (Spark 4 rewrites
+    // row_number+filter to partial/final WindowGroupLimit) — at corpus
+    // scale the exchange otherwise carries every candidate pair
+    def assertGroupLimit(df: org.apache.spark.sql.DataFrame,
+        name: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val gl = plan.linesIterator.zipWithIndex
+        .filter(_._1.contains("WindowGroupLimit")).map(_._2).toSeq
+      val ex = plan.linesIterator.zipWithIndex
+        .filter(_._1.contains("Exchange")).map(_._2).toSeq
+      assert(gl.size >= 2, s"$name: expected partial+final " +
+        s"WindowGroupLimit:\n$plan")
+      assert(ex.exists(e => gl.exists(_ < e) && gl.exists(_ > e)),
+        s"$name: expected WindowGroupLimit on BOTH sides of the " +
+          s"exchange:\n$plan")
+    }
+    val qs = emb.filter(col("vec_id") < 3)
+    assertGroupLimit(Similarity.knnJoin(qs, emb, "vec_id", "embedding",
+      k = 3), "knnJoin")
+    assertGroupLimit(Sq.sqTopK(qs, emb, "vec_id", "embedding", 64,
+      topK = 3), "sqTopK")
+    assertGroupLimit(graft.pipeline.Pq.adcTopK(qs, emb, "vec_id",
+      "embedding", 64, topK = 3), "adcTopK")
+  }
+
   test("unicode normalize: NFC composition, NFKC folding, null, bad form") {
     import graft.pipeline.TextFunctions.unicode_normalize
     // "e<combining acute> <fi ligature>": NFC composes the pair and keeps

@@ -325,4 +325,56 @@ class StreamingSpec extends SparkFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty,
       "bm25 scoring must carry no stateful operators")
   }
+
+  test("streaming greedy packing == batch packGreedy across micro-batches") {
+    // the prep chain's last streaming twin: the per-stratum (bin, fill)
+    // recurrence carries across micro-batches as state, so an
+    // append-only corpus packs incrementally. Two id-ordered chunks are
+    // fed as SEPARATE micro-batches (maxFilesPerTrigger=1) — the second
+    // must CONTINUE each stratum's running bin, not restart at 0.
+    val dir = Files.createTempDirectory("packstream").toString
+    val base = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(graft.pipeline.Decontaminate.normCol(col("text")),
+          " ")).cast("long").as("n_tokens"))
+    val mid = base.agg(avg(col("doc_id"))).collect()(0).getDouble(0).toLong
+    base.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Thread.sleep(1100) // distinct mtime: the file source orders chunks
+    base.filter(col("doc_id") >= mid).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.packGreedy(src.as[EventStream.PackDoc],
+        budget = 512L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("packs").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    assert(q.lastProgress.stateOperators.nonEmpty,
+      "packing must carry per-stratum state")
+    val streamed = spark.table("packs")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = graft.pipeline.Pack.packGreedy(base, "doc_id",
+        "n_tokens", "source", budget = 512L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty,
+      "stream must assign the batch recurrence's exact bins")
+    // and some stratum's second chunk must have continued past bin 0 —
+    // i.e. the state genuinely crossed the batch boundary
+    assert(streamed.exists { case (id, _, _, bin) => id >= mid && bin > 0 },
+      "no cross-batch bin continuation observed")
+    // bin-stats parity, the aggregate a training job reads
+    val sStats = graft.pipeline.Pack.binStats(spark.table("packs"),
+        "doc_id", "n_tokens", "source")
+      .orderBy(col("source"), col("bin"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val bStats = graft.pipeline.Pack.binStats(
+        graft.pipeline.Pack.packGreedy(base, "doc_id", "n_tokens",
+          "source", budget = 512L), "doc_id", "n_tokens", "source")
+      .orderBy(col("source"), col("bin"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(sStats === bStats)
+  }
 }
