@@ -41,6 +41,25 @@ def norm_words(text):
     return WS.sub(" ", text.lower()).strip(" ").split(" ")
 
 
+# the TokenCountExpr subword-budget scheme's regex twin (same pattern as
+# the committed DuckDB oracle — python regex is per-CODE-POINT like RE2,
+# so astral chars count once, matching the Scala codePointAt walk)
+TOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]")
+
+
+def token_count(text):
+    total = 0
+    for r in TOK.findall(text):
+        c = r[0]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            total += -(-len(r) // 6)
+        elif "0" <= c <= "9":
+            total += -(-len(r) // 3)
+        else:
+            total += 1
+    return total
+
+
 def keep(ws):
     """The doc_quality_rules first-fail ladder, keep iff every rule passes
     (mirrors QualityRules.classify / the SQL CASE)."""
@@ -99,9 +118,13 @@ def docs(sf_dir):
     return out
 
 
-def oracle_rows(sf_dir, e2e):
+def oracle_rows(sf_dir, mode):
+    e2e = mode == "e2e"
     rows = []
-    if e2e:
+    if mode == "tokens":
+        rows = [(doc_id, src, token_count(txt))
+                for doc_id, src, txt in docs(sf_dir)]
+    elif e2e:
         # rules-keep, then first doc_id per md5(text) (ids ascend within
         # each (source, doc_id)-sorted group, but dedup is CORPUS-wide:
         # pick global min id per hash, then re-walk in order)
@@ -125,14 +148,14 @@ def oracle_rows(sf_dir, e2e):
     return names, data
 
 
-def check_query(sf_dir, out_dir, name, e2e):
+def check_query(sf_dir, out_dir, name, mode):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         return None, f"no spark output for {name}"
     got = pq.read_table(files[0])
     g_rows = [tuple(c[i].as_py() for c in got.columns)
               for i in range(got.num_rows)]
-    e_names, e_rows = oracle_rows(sf_dir, e2e)
+    e_names, e_rows = oracle_rows(sf_dir, mode)
     ok_schema = sorted(got.schema.names) == sorted(e_names)
     ok_rows = len(g_rows) == len(e_rows)
     ok_hash = (table_hash(list(got.schema.names), g_rows)
@@ -159,10 +182,13 @@ def selftest(sf_dir):
             sqls = d
             break
     assert sqls, "run graft.Verify once so oracle_sql.json exists"
-    for name, e2e in (("doc_pack", False), ("doc_pipeline_e2e", True)):
+    for name, mode in (("doc_pack", "pack"), ("doc_pipeline_e2e", "e2e"),
+                       ("doc_pack_tokens", "tokens")):
+        if name not in sqls:
+            continue
         rel = con.sql(sqls[name])
         s_names, s_rows = list(rel.columns), rel.fetchall()
-        p_names, p_rows = oracle_rows(sf_dir, e2e)
+        p_names, p_rows = oracle_rows(sf_dir, mode)
         assert table_hash(s_names, s_rows) == table_hash(p_names, p_rows), \
             f"{name}: python replay != SQL oracle at {sf_dir}"
         print(f"selftest {name}: replay == SQL oracle "
@@ -176,8 +202,9 @@ def main():
     sf_dir, out_dir, corr = sys.argv[1], sys.argv[2], sys.argv[3]
     report = json.load(open(corr)) if glob.glob(corr) else {}
     fail = 0
-    for name, e2e in (("doc_pack", False), ("doc_pipeline_e2e", True)):
-        row, err = check_query(sf_dir, out_dir, name, e2e)
+    for name, mode in (("doc_pack", "pack"), ("doc_pipeline_e2e", "e2e"),
+                       ("doc_pack_tokens", "tokens")):
+        row, err = check_query(sf_dir, out_dir, name, mode)
         if err:
             print(f"SKIP {name}: {err}")
             continue
