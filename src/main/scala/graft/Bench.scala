@@ -125,7 +125,7 @@ object Bench {
     // cannot see slow MONOTONE creep across validated records —
     // doc_jaccard_clusters_star shipped 3.19 → 3.84 → 4.44 s (+39%)
     // without ever tripping it. A ledger window that only rises and
-    // ends ≥1.3× above its start triggers the same isolated fresh-JVM
+    // ends ≥1.25× above its start triggers the same isolated fresh-JVM
     // re-measure: suite-growth contention re-baselines (the isolated
     // min breaks the monotone run on the next validated append), a
     // genuine compounding regression keeps reading high in isolation

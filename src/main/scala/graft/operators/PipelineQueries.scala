@@ -1428,6 +1428,61 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Model persist/load round-trip (Models.save*/load*): the
+    // train-once/serve-many contract — every fitted ANN artifact (IVF
+    // centroids, PQ codebooks, SQ mins/steps) written as a small
+    // parquet table and reloaded must be BIT-FOR-BIT the trained model
+    // (raw IEEE bits compared, not ==, so a float->double->float or
+    // text round-trip sneaking into the path fails loudly; NaN bit
+    // patterns too). Output is a constant table iff the round-trip is
+    // exact, so this carries a FULL hash oracle (a VALUES twin): any
+    // nonzero mismatch count diverges the hash (round-15 verdict #1).
+    "emb_model_reuse" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      val sq = graft.pipeline.Sq.train(emb, "embedding", 64)
+      val pq = Pq.train(emb, "vec_id", "embedding", 64)
+      val dir = java.nio.file.Files.createTempDirectory("graft_models")
+      try {
+        val base = dir.toString
+        graft.pipeline.Models.saveIvf(s, s"$base/ivf", ivf)
+        graft.pipeline.Models.saveSq(s, s"$base/sq", sq)
+        graft.pipeline.Models.savePq(s, s"$base/pq", pq)
+        val ivf2 = graft.pipeline.Models.loadIvf(s, s"$base/ivf")
+        val sq2 = graft.pipeline.Models.loadSq(s, s"$base/sq")
+        val pq2 = graft.pipeline.Models.loadPq(s, s"$base/pq")
+        def bitsF(a: Array[Float], b: Array[Float]): Long =
+          a.zip(b).count { case (x, y) =>
+            java.lang.Float.floatToRawIntBits(x) !=
+              java.lang.Float.floatToRawIntBits(y) }.toLong
+        def bitsD(a: Array[Double], b: Array[Double]): Long =
+          a.zip(b).count { case (x, y) =>
+            java.lang.Double.doubleToRawLongBits(x) !=
+              java.lang.Double.doubleToRawLongBits(y) }.toLong
+        val ivfMm =
+          if (ivf2.length != ivf.length) -1L
+          else ivf.zip(ivf2).map { case (a, b) => bitsF(a, b) }.sum
+        val sqMm =
+          if (sq2.dim != sq.dim) -1L
+          else bitsD(sq.mins, sq2.mins) + bitsD(sq.steps, sq2.steps)
+        val pqMm =
+          if (pq2.dim != pq.dim || pq2.m != pq.m || pq2.k != pq.k) -1L
+          else (for (i <- 0 until pq.m; j <- 0 until pq.k)
+            yield bitsF(pq.books(i)(j), pq2.books(i)(j))).sum
+        import s.implicits._
+        Seq(("ivf", ivf2.length.toLong, ivfMm),
+            ("pq", (pq2.m * pq2.k).toLong, pqMm),
+            ("sq", sq2.dim.toLong, sqMm))
+          .toDF("model", "n_entries", "n_mismatch")
+          .orderBy(col("model"))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir.toFile)
+      }
+    }),
+
     // PQ + exact re-rank: the same second pass over ADC candidates
     // (trained codebooks -> certificate gate, emb_pq_rerank_sound).
     "emb_pq_rerank" -> ((s, d) => {
@@ -2764,6 +2819,16 @@ object PipelineQueries {
     "emb_sq_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
+    // Model persist/load: the Spark side emits a constant table IFF
+    // the parquet round-trip of every fitted artifact is bit-exact —
+    // so the oracle is that constant table, and any mismatch (or a
+    // shape change: -1 sentinel) diverges the hash.
+    "emb_model_reuse" ->
+      """SELECT * FROM (VALUES
+           ('ivf', CAST(16 AS BIGINT), CAST(0 AS BIGINT)),
+           ('pq',  CAST(128 AS BIGINT), CAST(0 AS BIGINT)),
+           ('sq',  CAST(64 AS BIGINT), CAST(0 AS BIGINT)))
+         AS t(model, n_entries, n_mismatch) ORDER BY model""",
     // SQ8 + exact re-rank: full two-stage replay — the emb_sq CTEs
     // nominate the top-30 candidates, then ONLY those pairs re-score
     // with the exact per-dim-micros tree and re-rank to top-10.

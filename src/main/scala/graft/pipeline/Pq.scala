@@ -115,9 +115,17 @@ object Pq {
     graftbridge.column(PqTableExpr(graftbridge.expression(vec), books))
 
   /** Learn per-subspace codebooks with `iters` fused Lloyd iterations.
-    * `idCol` pins deterministic initialization (k lowest-id vectors). */
+    * `idCol` pins deterministic initialization (k lowest-id vectors).
+    * Memoized per (corpus plan, params) via [[Models.memo]] — see
+    * [[Similarity.ivfCentroids]] for the contract. */
   def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      m: Int = 8, k: Int = 16, iters: Int = 2): Model = {
+      m: Int = 8, k: Int = 16, iters: Int = 2): Model =
+    Models.memo(df, s"pq|$idCol|$vecCol|$dim|$m|$k|$iters") {
+      trainModel(df, idCol, vecCol, dim, m, k, iters)
+    }
+
+  private def trainModel(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int): Model = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
     val init = df.orderBy(col(idCol)).limit(k)

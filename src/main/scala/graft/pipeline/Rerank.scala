@@ -41,7 +41,11 @@ object Rerank {
     * vectors in `queries`/`corpus`; returns `(query_id, neighbor_id,
     * score_micros, rank)` with `rank ≤ topK`. Extra candidate columns
     * (the first-pass approximate score) are dropped — the exact score
-    * is THE ranking key, so the two passes cannot disagree silently. */
+    * is THE ranking key, so the two passes cannot disagree silently.
+    * Candidate pairs are de-duplicated here (a union of two candidate
+    * sources may nominate the same neighbor twice; without the
+    * distinct, one neighbor would occupy several top-k slots with
+    * distinct ranks — round-15 ADVICE #3). */
   def rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, topK: Int): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
@@ -52,6 +56,7 @@ object Rerank {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micros").desc, col("neighbor_id").asc)
     broadcast(candidates.select(col("query_id"), col("neighbor_id"))
+        .distinct()
         .join(q, Seq("query_id")))
       .join(c, Seq("neighbor_id"))
       .withColumn("score_micros", exactMicros(col("__qv"), col("__cv")))

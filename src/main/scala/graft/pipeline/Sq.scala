@@ -39,8 +39,13 @@ object Sq {
     * driver (exact widenings of the learned float min/max). */
   case class Model(dim: Int, mins: Array[Double], steps: Array[Double])
 
-  /** Learn per-dimension min/max: one scan, one `dim`-row aggregate. */
-  def train(df: DataFrame, vecCol: String, dim: Int): Model = {
+  /** Learn per-dimension min/max: one scan, one `dim`-row aggregate.
+    * Memoized per (corpus plan, params) via [[Models.memo]] — see
+    * [[Similarity.ivfCentroids]] for the contract. */
+  def train(df: DataFrame, vecCol: String, dim: Int): Model =
+    Models.memo(df, s"sq|$vecCol|$dim")(trainModel(df, vecCol, dim))
+
+  private def trainModel(df: DataFrame, vecCol: String, dim: Int): Model = {
     require(dim > 0, s"dim must be positive: $dim")
     val rows = df.select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .groupBy(col("__pos"))

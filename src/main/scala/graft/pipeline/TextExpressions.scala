@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -284,6 +285,14 @@ abstract class TextUnaryExpr extends UnaryExpression with CodegenFallback {
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
+  // Require a string child at ANALYSIS time: without this, a non-string
+  // child stringifies fine interpreted but emits invalid Java (e.g.
+  // `int.toString()`) under codegen — a runtime failure instead of an
+  // analysis error (round-15 ADVICE #2).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_count requires a STRING child, got ${child.dataType.sql}")
   override def nullSafeEval(v: Any): Any =
     TextHash.tokenCount(v.toString)
   override protected def doGenCode(

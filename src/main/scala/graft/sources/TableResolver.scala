@@ -230,6 +230,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // drop + recreate restarts at d1) — drop the memoized duplicate
     // ratios rather than risk a stale statistic mis-picking a path
     graft.pipeline.Dedup.invalidateStats()
+    // same contract for memoized fitted ANN models (Models.memo)
+    graft.pipeline.Models.invalidate()
   }
 
   override def createOrReplace(namespace: String, table: String, df: DataFrame): Unit =
@@ -259,5 +261,6 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // a recreate after this drop writes d1 again at the same path — any
     // duplicate-ratio statistic probed against the old data is stale
     graft.pipeline.Dedup.invalidateStats()
+    graft.pipeline.Models.invalidate()
   }
 }

@@ -141,7 +141,7 @@ class BenchSpec extends AnyFunSuite {
       "corrupt non-trivial ledger must be left untouched")
   }
 
-  test("drift tripwire: monotone >=1.3x ledger windows flag; noise does not") {
+  test("drift tripwire: monotone >=1.25x ledger windows flag; noise does not") {
     // the round-14 live case: doc_jaccard_clusters_star crept
     // 3.19 -> 3.84 -> 4.44 s across three VALIDATED records, each step
     // under the pairwise 2x+0.25 s bar — compounding drift the hot

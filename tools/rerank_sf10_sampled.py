@@ -37,12 +37,18 @@ def committed_oracles():
 
 
 MARKER = "q.vec_id < 10"
-FINAL_MARKER = "WHERE q.vec_id < 10"  # recall's final SELECT
+# Expected marker occurrences per gate: a partial rename of the filter
+# in SOME CTEs but not others would silently produce a partially
+# restricted (wrong) sampled oracle, so the count must match exactly
+# (round-15 ADVICE #4).
+EXPECTED_MARKERS = {"emb_sq_rerank": 1, "emb_sq_rerank_recall": 3}
 
 
-def restrict(sql, k):
+def restrict(sql, k, expected):
     n = sql.count(MARKER)
-    assert n >= 1, "query-restriction marker not found"
+    assert n == expected, (
+        f"query-restriction marker found {n} times, expected {expected} "
+        f"— oracle SQL drifted; update EXPECTED_MARKERS deliberately")
     return sql.replace(MARKER, f"q.vec_id < {k}")
 
 
@@ -57,7 +63,7 @@ def main():
     ok = True
     for name, sql in [("emb_sq_rerank", rerank_sql),
                       ("emb_sq_rerank_recall", recall_sql)]:
-        cur = con.execute(restrict(sql, k))
+        cur = con.execute(restrict(sql, k, EXPECTED_MARKERS[name]))
         names = [d[0] for d in cur.description]
         oracle_rows = cur.fetchall()
         g = duckdb.sql(
