@@ -343,6 +343,25 @@ object Dedup {
     starEdges(repPairs, selfVals, members)
   }
 
+  /** Both minhash output modes from ONE banding/candidate pass with
+    * the rep-level pair list persisted and materialized — the
+    * [[jaccardBothModes]] contract for the seeded-LSH family. */
+  def minhashBothModes(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+      threshold: Double = 0.6): (DataFrame, DataFrame) = {
+    val (repPairs0, selfVals0, members) =
+      minhashContracted(df, idCol, textCol, numHashes, bands, shingle,
+        threshold)
+    val repPairs = Caches.persistTracked(repPairs0)
+    repPairs.count() // materialize ONCE before concurrent legs fork
+    // selfVals joins the corpus back for clique heads (a scan per
+    // consumer if left lazy) — persist it too; clique-head rows only
+    val selfVals = Caches.persistTracked(selfVals0)
+    selfVals.count()
+    (starEdges(repPairs, selfVals, members),
+      expandPairs(repPairs, selfVals, members, "jaccard"))
+  }
+
   /** Shared contracted-path pieces for both minhash output modes:
     * (rep-level pairs, per-eligible-clique self values, member map). */
   private def minhashContracted(df: DataFrame, idCol: String,
@@ -679,6 +698,32 @@ object Dedup {
     val (repPairs, selfVals, members) =
       jaccardContracted(df, idCol, textCol, shingle, threshold)
     starEdges(repPairs, selfVals, members)
+  }
+
+  /** Both output modes — [[jaccardEdges]]'s star edges AND
+    * [[jaccardPairs]]'s expanded pair list — from ONE candidate-
+    * generation pass, with the representative-level pair list persisted
+    * and MATERIALIZED before return (round-15 verdict #2): the dual-leg
+    * CC certificate gates previously re-ran the AllPairs prefix join
+    * per leg, and at sf10 that recomputation was 11.2 s of pure
+    * harness. The legs stay independent strictly ABOVE the pair list —
+    * star edges → distributed large/small-star CC vs expanded pairs →
+    * driver union-find — which is exactly what those gates certify;
+    * contracted-vs-raw pair equality keeps its own full hash oracle
+    * (doc_jaccard_pairs, Contract.Auto vs the expanded DuckDB twin) and
+    * unit proof (PipelineSpec). Contraction is forced ON (the
+    * production path). The persisted pair list is tracked in [[Caches]]
+    * and evicted by the caller's `Caches.release()`. */
+  def jaccardBothModes(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 5, threshold: Double = 0.7)
+      : (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val (repPairs0, selfVals, members) =
+      jaccardContracted(df, idCol, textCol, shingle, threshold)
+    val repPairs = Caches.persistTracked(repPairs0)
+    repPairs.count() // materialize ONCE before concurrent legs fork
+    (starEdges(repPairs, selfVals, members),
+      expandPairs(repPairs, selfVals, members, "jaccard"))
   }
 
   private def jaccardContracted(df: DataFrame, idCol: String,
