@@ -839,6 +839,64 @@ object PipelineQueries {
           max(col("n_tok")).as("max_tokens"))
         .orderBy(col("source"))),
 
+    // Tokenizer-EXACT BPE counting (BpeTokenCountExpr): the committed
+    // byte-level merge table (src/main/resources/graft/bpe_merges.txt,
+    // trained offline by tools/train_bpe.py) applied per document —
+    // budgets in the exact tokens this vocabulary yields. The merge
+    // loop is not SQL-expressible, so the gate is rows-only here; the
+    // differential twin is tools/bpe_oracle.py (an independent Python
+    // reimplementation over the same parquet + merge file), and the
+    // paired _sound gate below carries the SQL-expressible certificate.
+    "doc_tokens_bpe" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tok", bpe_token_count(col("text")))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("total_tokens"),
+          count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_tokens"))
+        .orderBy(col("source"))),
+
+    // BPE-count soundness certificate (full hash oracle): per document,
+    // the BPE count must sit inside the structural byte bounds —
+    // ceil(nonws_utf8_bytes / maxTokenBytes) <= n_tok <= nonws_bytes
+    // (every token is 1..maxTokenBytes bytes and tokens partition the
+    // non-whitespace bytes exactly) — and be 0 iff no non-ws bytes.
+    // Violations counted in-gate from the expression's own output; the
+    // oracle is the closed-form anchor (count + zero violations), the
+    // langid/emb_sq_sound pattern.
+    "doc_tokens_bpe_sound" -> ((s, d) => {
+      val nonws = octet_length(
+        regexp_replace(col("text"), "[ \\t\\n\\f\\r]", ""))
+      val lmax = lit(graft.pipeline.Bpe.maxTokenBytes.toLong)
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .withColumn("__n", bpe_token_count(col("text")))
+        .withColumn("__b", nonws.cast("long"))
+        .withColumn("__viol",
+          when(col("__n") > col("__b") ||
+            col("__n") < ceil(col("__b").cast("double") / lmax) ||
+            (col("__n") === 0L) =!= (col("__b") === 0L), 1L)
+            .otherwise(0L))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__viol")), lit(0L)).cast("long")
+            .as("n_violations"))
+    }),
+
+    // Greedy packing under the BPE budget: the doc_pack_tokens shape
+    // with tokenizer-exact counts — the composition a training pipeline
+    // runs (counts verified by doc_tokens_bpe_sound + bpe_oracle.py;
+    // the greedy walk itself is oracle-proven on doc_pack_tokens).
+    "doc_pack_bpe" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+          Tables.documents(s, d).filter(col("text").isNotNull),
+          col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          bpe_token_count(col("text")).as("n_tokens"))
+      val packed = graft.pipeline.Pack.packGreedy(
+        base, "doc_id", "n_tokens", "source", budget = 2048L)
+      graft.pipeline.Pack.binStats(packed, "doc_id", "n_tokens", "source")
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Greedy packing under the MODEL-token budget (token_count instead
     // of whitespace words) — what a context-window budget actually
     // means in a training pipeline; same recurrence, same oracle shape
@@ -2452,6 +2510,14 @@ object PipelineQueries {
          SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            count(*) AS n_docs, CAST(max(n_tok) AS BIGINT) AS max_tokens
          FROM t GROUP BY 1 ORDER BY source""",
+    // BPE-count certificate: the Spark side re-derives the structural
+    // byte bounds from its OWN expression output and counts violations;
+    // the oracle is the closed-form anchor. (The merge loop itself is
+    // not SQL-expressible — tools/bpe_oracle.py is the differential
+    // twin for the counts.)
+    "doc_tokens_bpe_sound" ->
+      """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+         FROM documents WHERE text IS NOT NULL""",
     // Greedy packing under the model-token budget: the doc_pack
     // recursive CTE with n_tokens swapped for the token-scheme twin.
     "doc_pack_tokens" ->

@@ -482,4 +482,6 @@ object TextFunctions {
     graftbridge.column(DeflateLen(graftbridge.expression(c)))
   def token_count(c: Column): Column =
     graftbridge.column(TokenCountExpr(graftbridge.expression(c)))
+  def bpe_token_count(c: Column): Column =
+    graftbridge.column(BpeTokenCountExpr(graftbridge.expression(c)))
 }
