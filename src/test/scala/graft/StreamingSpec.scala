@@ -99,6 +99,80 @@ class StreamingSpec extends SparkFunSuite {
       s.total_value === 3.0))
   }
 
+  test("sessionize == batch q19_sessions on the fixture (closed sessions)") {
+    // round-15 verdict #4: parity against the BATCH gate, not a toy —
+    // every session the stream closes must match a q19 session exactly
+    // (user, start, n_events); only each user's FINAL session may stay
+    // open in state (NoTimeout: nothing after it ever closes it).
+    val dir = Files.createTempDirectory("sessparity").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(EventStream.eventSchema).parquet(dir)
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(src, gapMs = 1800 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessparity").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000)
+    val streamed = spark.table("sessparity")
+      .select(col("user_id"), col("session_start").cast("long"),
+        col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batchAll = operators.RelationalQueries.queries("q19_sessions")(
+      spark, sf("sf0.001"))
+      .select(col("user_id"), col("start_s"), col("n_events"))
+      .as[(Long, Long, Long)].collect()
+    val batch = batchAll.toSet
+    // each user's last (by start) session is the one the stream may hold
+    val lastPerUser = batchAll.groupBy(_._1).values
+      .map(_.maxBy(_._2)).toSet
+    assert(batch.size > batchAll.map(_._1).distinct.length,
+      "fixture must split at least one user into multiple sessions")
+    assert(streamed.subsetOf(batch),
+      s"stream emitted non-batch sessions: ${(streamed -- batch).take(3)}")
+    assert((batch -- lastPerUser).subsetOf(streamed),
+      "stream failed to close a non-final batch session: " +
+        s"${((batch -- lastPerUser) -- streamed).take(3)}")
+  }
+
+  test("windowed agg handles late data: in-watermark counted, " +
+      "past-watermark dropped") {
+    // round-15 verdict #4's late-data row: two ordered micro-batches.
+    // Batch 1 advances the watermark to 12:00 (max 14:00 − 2 h) which
+    // closes window 10:00; batch 2 then delivers one row at 10:45
+    // (PAST the watermark → dropped from the closed window) and one at
+    // 12:30 (late in arrival order but INSIDE the watermark → its
+    // still-open window counts it), then 17:00 pushes the watermark to
+    // 15:00 closing windows 12:00, 13:00, 14:00.
+    val dir = Files.createTempDirectory("latedata").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def ev(id: Long, hourMin: (Int, Int), typ: String = "view") =
+      EventStream.Event(id, new java.sql.Timestamp(
+        base + (hourMin._1 * 60L + hourMin._2) * 60000L), 1L, typ, 1.0)
+    Seq(ev(1, (10, 0)), ev(2, (10, 30)), ev(3, (14, 0)))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val q = EventStream.windowedCounts(
+        spark.readStream.schema(EventStream.eventSchema).parquet(dir),
+        window_ = "1 hour", watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("latedata").start()
+    q.processAllAvailable()
+    Seq(ev(4, (10, 45)), ev(5, (12, 30)), ev(6, (13, 30)), ev(7, (17, 0)))
+      .toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("latedata")
+      .select(col("win_start").cast("long"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    def winS(hour: Int) = (base + hour * 3600000L) / 1000L
+    assert(got(winS(10)) === 2L,
+      s"late row past the watermark must be dropped, got ${got(winS(10))}")
+    assert(got(winS(12)) === 1L,
+      "late-in-arrival row inside the watermark must be counted")
+    assert(got(winS(13)) === 1L)
+    assert(got(winS(14)) === 1L)
+    assert(!got.contains(winS(17)), "unclosed window must not emit")
+  }
+
   test("stream-stream interval join == batch interval join on the same files") {
     val dir = eventsDir
     val src = EventStream.source(spark, dir)
