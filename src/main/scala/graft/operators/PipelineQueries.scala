@@ -2510,6 +2510,86 @@ object PipelineQueries {
          SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            count(*) AS n_docs, CAST(max(n_tok) AS BIGINT) AS max_tokens
          FROM t GROUP BY 1 ORDER BY source""",
+    // MinHash LSH full replay (round-15 verdict #5): the fixed mix
+    // constants make the seeded signature exactly computable — fnv1a
+    // and splitmix64 are transliterated with HUGEINT mod-2^64
+    // arithmetic (UBIGINT xor/shift; a*b mod 2^64 via 32-bit limb
+    // split), Kirsch-Mitzenmacher row j = h0 + j*h2 with SIGNED
+    // 64-bit min, 8x8 banding as BIGINT-list-slice equality, the
+    // sig-overlap prefilter with the identical double margin, then the
+    // exact shingle-set Jaccard refine (doc_jaccard_pairs form).
+    "doc_minhash_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS g
+           FROM d, unnest(range(1, greatest(length(norm) - 4, 0) + 1)) AS t(i)),
+         hb0 AS (SELECT doc_id, g, CAST(14695981039346656037 AS HUGEINT) AS h FROM sh),
+         hb1 AS (SELECT doc_id, g, ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 1, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (1099511628211) + ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 1, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (1099511628211)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM hb0),
+         hb2 AS (SELECT doc_id, g, ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 2, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (1099511628211) + ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 2, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (1099511628211)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM hb1),
+         hb3 AS (SELECT doc_id, g, ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 3, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (1099511628211) + ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 3, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (1099511628211)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM hb2),
+         hb4 AS (SELECT doc_id, g, ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 4, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (1099511628211) + ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 4, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (1099511628211)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM hb3),
+         hb5 AS (SELECT doc_id, g, ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 5, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (1099511628211) + ((((CAST(xor(CAST((h) AS UBIGINT), CAST((CAST(unicode(substring(g, 5, 1)) AS HUGEINT)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (1099511628211)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM hb4),
+         mz0 AS (SELECT doc_id, g, (((h) + (11400714819323198485)) % 18446744073709551616) AS za,
+           ((((((h) + (11400714819323198485)) % 18446744073709551616)) + (11400714819323198485)) % 18446744073709551616) AS zb FROM hb5),
+         mz1 AS (SELECT doc_id, g, ((((CAST(xor(CAST((za) AS UBIGINT), CAST((((za) // 1073741824)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (13787848793156543929) + ((((CAST(xor(CAST((za) AS UBIGINT), CAST((((za) // 1073741824)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (13787848793156543929)) % 4294967296) * 4294967296) % 18446744073709551616) AS za,
+           ((((CAST(xor(CAST((zb) AS UBIGINT), CAST((((zb) // 1073741824)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (13787848793156543929) + ((((CAST(xor(CAST((zb) AS UBIGINT), CAST((((zb) // 1073741824)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (13787848793156543929)) % 4294967296) * 4294967296) % 18446744073709551616) AS zb FROM mz0),
+         mz2 AS (SELECT doc_id, g, ((((CAST(xor(CAST((za) AS UBIGINT), CAST((((za) // 134217728)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (10723151780598845931) + ((((CAST(xor(CAST((za) AS UBIGINT), CAST((((za) // 134217728)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (10723151780598845931)) % 4294967296) * 4294967296) % 18446744073709551616) AS za,
+           ((((CAST(xor(CAST((zb) AS UBIGINT), CAST((((zb) // 134217728)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (10723151780598845931) + ((((CAST(xor(CAST((zb) AS UBIGINT), CAST((((zb) // 134217728)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (10723151780598845931)) % 4294967296) * 4294967296) % 18446744073709551616) AS zb FROM mz1),
+         hh AS (SELECT doc_id, g, CAST(xor(CAST((za) AS UBIGINT), CAST((((za) // 2147483648)) AS UBIGINT)) AS HUGEINT) AS h0,
+           CAST((CAST((CAST(xor(CAST((zb) AS UBIGINT), CAST((((zb) // 2147483648)) AS UBIGINT)) AS HUGEINT)) AS UBIGINT) | 1) AS HUGEINT)
+             AS h2 FROM mz2),
+         sv AS (
+           SELECT doc_id, j,
+             min(CASE WHEN v >= 9223372036854775808
+               THEN CAST(v - 18446744073709551616 AS BIGINT) ELSE CAST(v AS BIGINT) END) AS s
+           FROM (
+             SELECT doc_id, js.j AS j, (((h0) + (((js.j * h2) % 18446744073709551616))) % 18446744073709551616) AS v
+             FROM hh CROSS JOIN (SELECT CAST(unnest(range(64)) AS HUGEINT) AS j) js)
+           GROUP BY doc_id, j),
+         sigl AS (SELECT doc_id, list(s ORDER BY j) AS sig FROM sv GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id,
+             coalesce(sigl.sig, list_transform(range(64),
+               x -> CAST(9223372036854775807 AS BIGINT))) AS sig
+           FROM d LEFT JOIN sigl USING (doc_id)),
+         bands AS (
+           SELECT doc_id, b.b AS band,
+             sig[CAST(b.b * 8 + 1 AS INT):CAST(b.b * 8 + 8 AS INT)] AS bs
+           FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id),
+         pre AS (
+           SELECT c.id_a, c.id_b
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.id_a
+           JOIN sig sb ON sb.doc_id = c.id_b
+           WHERE CAST(len(list_filter(range(64),
+               j -> sa.sig[CAST(j + 1 AS INT)] = sb.sig[CAST(j + 1 AS INT)]))
+               AS DOUBLE) / 64.0
+             >= 0.7 - 2.5 * sqrt(0.7 * (1.0 - 0.7) / 64.0)),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.id_a, p.id_b,
+             CAST(count(sb.g) AS BIGINT) AS i,
+             CAST(count(sa.g) AS BIGINT) AS present_a
+           FROM pre p
+           LEFT JOIN sh sa ON sa.doc_id = p.id_a
+           LEFT JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+           GROUP BY p.id_a, p.id_b),
+         scored AS (
+           SELECT i.id_a, i.id_b,
+             CASE WHEN coalesce(za.sz, 0) = 0 AND coalesce(zb.sz, 0) = 0 THEN 1.0
+               ELSE i.i * 1.0 / (coalesce(za.sz, 0) + coalesce(zb.sz, 0) - i.i)
+             END AS jac
+           FROM inter i
+           LEFT JOIN szs za ON za.doc_id = i.id_a
+           LEFT JOIN szs zb ON zb.doc_id = i.id_b)
+         SELECT id_a, id_b, round(jac, 6) AS jaccard
+         FROM scored WHERE jac >= 0.7 ORDER BY id_a, id_b""",
     // BPE-count certificate: the Spark side re-derives the structural
     // byte bounds from its OWN expression output and counts violations;
     // the oracle is the closed-form anchor. (The merge loop itself is
@@ -2884,6 +2964,95 @@ object PipelineQueries {
     "emb_sq_sound" ->
       """SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_violations
          FROM embeddings WHERE vec_id < 10""",
+    // IVF-flat full replay (round-15 verdict #5): deterministic
+    // lowest-id init, TWO unrolled Lloyd iterations with the exact
+    // integer-micros assignment scores and micros-sum centroid updates
+    // the Scala trainer now pins (order-free on both engines), then
+    // cell-probed candidates refined with the emb_knn cosine form.
+    "emb_ivf" ->
+      """WITH c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                  embedding AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         s1 AS (
+           SELECT e.vec_id, cl.cluster,
+             CAST(list_sum(list_transform(range(64), j ->
+               CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c0 cl),
+         a1 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s1) t WHERE rn = 1),
+         u1p AS (
+           SELECT a1.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a1 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a1.cluster, i.i),
+         u1 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u1p GROUP BY cluster),
+         c1 AS (
+           SELECT c0.cluster, coalesce(u1.c, c0.c) AS c
+           FROM c0 LEFT JOIN u1 USING (cluster)),
+         s2 AS (
+           SELECT e.vec_id, cl.cluster,
+             CAST(list_sum(list_transform(range(64), j ->
+               CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c1 cl),
+         a2 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s2) t WHERE rn = 1),
+         u2p AS (
+           SELECT a2.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a2 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a2.cluster, i.i),
+         u2 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u2p GROUP BY cluster),
+         c2 AS (
+           SELECT c1.cluster, coalesce(u2.c, c1.c) AS c
+           FROM c1 LEFT JOIN u2 USING (cluster)),
+         sf AS (
+           SELECT e.vec_id, cl.cluster,
+             CAST(list_sum(list_transform(range(64), j ->
+               CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c2 cl),
+         af AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM sf) t WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn
+             FROM sf WHERE vec_id < 10) t WHERE rn <= 4),
+         cand AS (
+           SELECT qp.query_id, af.vec_id AS neighbor_id
+           FROM qp JOIN af USING (cluster) WHERE qp.query_id <> af.vec_id),
+         sims AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                     JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // Model persist/load: the Spark side emits a constant table IFF
     // the parquet round-trip of every fitted artifact is bit-exact —
     // so the oracle is that constant table, and any mismatch (or a

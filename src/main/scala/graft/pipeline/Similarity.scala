@@ -82,7 +82,10 @@ object Similarity {
 
   /** IVF coarse quantizer: `nlist` centroids trained with `iters` Lloyd
     * rounds, fully distributed — assignment is a broadcast argmax over
-    * codegen'd dot products, the update a (cluster, pos) groupBy-avg.
+    * EXACT integer-micros dot scores, the update a (cluster, pos)
+    * groupBy over exact micros sums folded to float once on the driver
+    * (both order-free, so training is bit-identical across
+    * partitionings and replayable in the DuckDB oracle).
     * Deterministic init: the `nlist` lowest-id vectors seed the
     * centroids. A cluster that receives NO vectors in an iteration
     * keeps its previous (seed) centroid unchanged — standard k-means
@@ -109,16 +112,25 @@ object Similarity {
     while (it < iters) {
       val assigned = df.select(col(vecCol).as("__v"))
         .withColumn("__cluster", nearestCentroid(col("__v"), centroids))
+      // EXACT integer-micros update (round-15 verdict #5): a plain
+      // double `avg` is partial-merge-ORDER-dependent — on a real
+      // cluster two runs could disagree in the last bits and flip a
+      // near-tie assignment. `Σ floor(x·1e6 + 0.5)` is an exact BIGINT
+      // (order-free), and the mean folds to float once on the driver —
+      // the same micros discipline SqScoreExpr/ExactDotMicrosExpr pin,
+      // which is what lets the emb_ivf gate carry a FULL hash oracle.
       val updated = assigned
         .select(col("__cluster"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("__cluster"), col("__pos"))
-        .agg(avg(col("__x").cast("double")).as("__m"))
+        .agg(sum(floor(col("__x").cast("double") * 1000000.0 + 0.5)
+            .cast("long")).as("__sm"),
+          count(lit(1)).as("__n"))
         .collect()
-      val dim = centroids(0).length
       val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
       updated.foreach { r =>
         next(r.getAs[Int]("__cluster"))(r.getAs[Int]("__pos")) =
-          r.getAs[Double]("__m").toFloat
+          (r.getAs[Long]("__sm").toDouble / 1000000.0 /
+            r.getAs[Long]("__n")).toFloat
       }
       centroids = next
       it += 1
@@ -126,33 +138,33 @@ object Similarity {
     centroids
   }
 
-  /** Index of the max-dot-product centroid (broadcast literal planes,
-    * codegen'd dot products — runs scan-side). Shared with [[Pq]]'s
-    * IVF-PQ composition. */
+  /** `Σ_d micros(v_d·c_d)` against a centroid literal — the EXACT
+    * integer assignment score shared by [[nearestCentroid]] and
+    * [[probeCells]]: order-free, so routing is bit-stable across
+    * partitionings AND transliterable into the DuckDB oracle twin
+    * (round-15 verdict #5; the [[ExactDotMicrosExpr]] scorer). */
+  private def centroidScore(vec: Column, cen: Array[Float]): Column =
+    org.apache.spark.sql.graftbridge.column(ExactDotMicrosExpr(
+      org.apache.spark.sql.graftbridge.expression(vec),
+      org.apache.spark.sql.graftbridge.expression(
+        array(cen.map(lit(_)): _*))))
+
+  /** Index of the max-score centroid (broadcast literals, integer
+    * scores — ties break to the LOWEST index via first-occurrence
+    * `array_position`). Shared with [[Pq]]'s IVF-PQ composition. */
   private[pipeline] def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val sims = centroids.map { cen =>
-      org.apache.spark.sql.graftbridge.column(DotProduct(
-        org.apache.spark.sql.graftbridge.expression(vec),
-        org.apache.spark.sql.graftbridge.expression(
-          array(cen.map(lit(_)): _*))))
-    }
-    val arr = array(sims: _*)
+    val arr = array(centroids.map(centroidScore(vec, _)): _*)
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
-  /** The `nprobe` max-dot probe cells for a query vector, as an int
+  /** The `nprobe` max-score probe cells for a query vector, as an int
     * array column — shared by [[ivfJoin]] and [[Pq.ivfPqTopK]] so the
     * two IVF paths cannot diverge. DETERMINISTIC ties: sorted by
-    * (−dot, cell index) ascending, so equal-score cells break to the
+    * (−score, cell index) ascending, so equal-score cells break to the
     * LOWEST index (the convention every Pq/Similarity tie follows). */
   private[graft] def probeCells(vec: Column,
       centroids: Array[Array[Float]], nprobe: Int): Column = {
-    val sims = centroids.map { cen =>
-      org.apache.spark.sql.graftbridge.column(DotProduct(
-        org.apache.spark.sql.graftbridge.expression(vec),
-        org.apache.spark.sql.graftbridge.expression(
-          array(cen.map(lit(_)): _*))))
-    }
+    val sims = centroids.map(centroidScore(vec, _))
     val ranked = array_sort(zip_with(
       array(sims: _*), sequence(lit(0), lit(centroids.length - 1)),
       (s2, i) => struct((-s2).as("s"), i.as("i"))))
