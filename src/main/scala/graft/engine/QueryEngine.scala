@@ -46,8 +46,19 @@ object QueryEngine {
 
   /** Stamp `__oid` before any filter so ids are query-independent.
     * Default [[Oid.ById]]: id column as OID when one exists (no window);
-    * tables without an id fall back to the deterministic file-position
-    * window regardless of mode. */
+    * tables without an id fall back to a deterministic file order
+    * regardless of mode.
+    *
+    * Id-less contract (round-15 verdict #6): for FILE-backed tables the
+    * fallback orders by the parquet reader's `_metadata` columns
+    * `(file_path, row_index)` — a TRUE file offset, so OIDs are stable
+    * across partition plans (a `maxPartitionBytes` change that
+    * re-splits a file cannot renumber rows; EngineSpec pins this). For
+    * non-file sources (`_metadata` does not resolve) the order falls
+    * back to `(input_file_name, monotonically_increasing_id)`, which is
+    * deterministic only PER PARTITION PLAN — acceptable there because a
+    * non-file relation has no files to re-split, but it is the weaker
+    * contract and the reason the metadata path is tried first. */
   def numbered(df: DataFrame, schema: FeatureSchema,
       mode: Oid = Oid.ById): DataFrame = {
     if (df.columns.contains(OidCol)) return df
@@ -58,12 +69,28 @@ object QueryEngine {
         df.withColumn(OidCol,
           row_number().over(Window.orderBy(col(id))).cast("long") - 1)
       case None =>
-        // no id column: fall back to a deterministic (file, position) order
-        df.withColumn("__file", input_file_name())
-          .withColumn(OidCol,
-            row_number().over(Window.orderBy(col("__file"),
-              monotonically_increasing_id())).cast("long") - 1)
-          .drop("__file")
+        // no id column: a true (file, offset) order when available
+        val byRowIndex =
+          try {
+            val stamped = df
+              .withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__ridx", col("_metadata.row_index"))
+            stamped.queryExecution.analyzed // force resolution NOW
+            Some(stamped)
+          } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        byRowIndex match {
+          case Some(stamped) =>
+            stamped.withColumn(OidCol,
+              row_number().over(Window.orderBy(col("__file"),
+                col("__ridx"))).cast("long") - 1)
+              .drop("__file", "__ridx")
+          case None =>
+            df.withColumn("__file", input_file_name())
+              .withColumn(OidCol,
+                row_number().over(Window.orderBy(col("__file"),
+                  monotonically_increasing_id())).cast("long") - 1)
+              .drop("__file")
+        }
     }
   }
 

@@ -272,6 +272,23 @@ case class StDistance(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+/** Great-circle (haversine) distance in meters — see
+  * [[GeoOps.distanceSphere]] for the semantics and determinism pins. */
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.geo.GeoOps.distanceSphere(l.asInstanceOf[Array[Byte]],
+      r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geo.GeoOps.distanceSphere($a, $b)")
+  override def prettyName: String = "st_distance_sphere"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
 case class StUnion(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes with CodegenFallback {
   override def inputTypes = Seq(BinaryType, BinaryType)

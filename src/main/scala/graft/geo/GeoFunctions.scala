@@ -62,6 +62,8 @@ object GeoFunctions {
 
   // binary ops
   def st_distance(a: Column, b: Column): Column = c(StDistance(x(a), x(b)))
+  def st_distance_sphere(a: Column, b: Column): Column =
+    c(StDistanceSphere(x(a), x(b)))
   def st_union(a: Column, b: Column): Column = c(StUnion(x(a), x(b)))
   def st_intersection(a: Column, b: Column): Column = c(StIntersection(x(a), x(b)))
   def st_difference(a: Column, b: Column): Column = c(StDifference(x(a), x(b)))
@@ -126,6 +128,7 @@ object GeoRegistry {
     f("st_within") { case Seq(a, b) => StWithin(a, b) }
     f("st_dwithin") { case Seq(a, b, d) => StDWithin(a, b, d) }
     f("st_distance") { case Seq(a, b) => StDistance(a, b) }
+    f("st_distance_sphere") { case Seq(a, b) => StDistanceSphere(a, b) }
     f("st_union") {
       case Seq(a, b) => StUnion(a, b)
       case Seq(a) => StUnionAggr(a).toAggregateExpression()

@@ -64,6 +64,42 @@ object GeoQueries {
         .limit(20)
     }),
 
+    // Geodesic top-k (st_distance_sphere, round-15 verdict #7): the
+    // haversine twin of geo_distance_topk — great-circle METERS instead
+    // of the cookbook's planar degree distance; full hash oracle (the
+    // closed-form haversine replays in SQL op-for-op, mm rounding).
+    "geo_distance_sphere" -> ((s, d) => {
+      val q = G.st_point(lit(-100.0), lit(35.0))
+      GeoSynth.points(s, d)
+        .withColumn("dist_m", Det.r(G.st_distance_sphere(col("geom"), q), 3))
+        .select(col("c_custkey"), col("dist_m"))
+        .orderBy(col("dist_m"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Planar-vs-geodesic ranking divergence: the two top-20 lists rank
+    // by rank — `same=false` rows are exactly where the ×111.32 km
+    // planar approximation re-orders neighbours (it understates
+    // east-west distance by cos(latitude), so ties at different
+    // latitudes flip). Both lists replay in SQL → full hash oracle.
+    "geo_distance_divergence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = G.st_point(lit(-100.0), lit(35.0))
+      val w = Window.orderBy(col("dist"), col("c_custkey"))
+      def top(dist: org.apache.spark.sql.Column, as: String): DataFrame =
+        GeoSynth.points(s, d)
+          .withColumn("dist", dist)
+          .select(col("c_custkey"), col("dist"))
+          .orderBy(col("dist"), col("c_custkey")).limit(20)
+          .withColumn("rank", row_number().over(w))
+          .select(col("rank"), col("c_custkey").as(as))
+      top(Det.r(G.st_distance(col("geom"), q), 6), "planar_id")
+        .join(top(Det.r(G.st_distance_sphere(col("geom"), q), 3),
+          "sphere_id"), Seq("rank"))
+        .withColumn("same", col("planar_id") === col("sphere_id"))
+        .orderBy(col("rank"))
+    }),
+
     // A6: grid-binned centroid aggregation (the webmap LOD query).
     "geo_grid_agg" -> ((s, d) => {
       val res = 0.5
@@ -477,6 +513,36 @@ object GeoQueries {
       s"""$P SELECT c_custkey,
           ${Det.rsql("sqrt((lon - (-100.0)) * (lon - (-100.0)) + (lat - 35.0) * (lat - 35.0))", 6)} AS dist
           FROM pts ORDER BY dist, c_custkey LIMIT 20""",
+    "geo_distance_sphere" ->
+      s"""$P SELECT c_custkey,
+          ${Det.rsql(
+            "2.0 * 6371008.8 * asin(sqrt(least(1.0, " +
+            "sin(radians(35.0 - lat) / 2.0) * sin(radians(35.0 - lat) / 2.0) + " +
+            "cos(radians(lat)) * cos(radians(35.0)) * " +
+            "sin(radians(-100.0 - lon) / 2.0) * sin(radians(-100.0 - lon) / 2.0))))",
+            3)} AS dist_m
+          FROM pts ORDER BY dist_m, c_custkey LIMIT 20""",
+    "geo_distance_divergence" ->
+      s"""$P, pla AS (
+            SELECT c_custkey,
+              ${Det.rsql("sqrt((lon - (-100.0)) * (lon - (-100.0)) + (lat - 35.0) * (lat - 35.0))", 6)} AS dist
+            FROM pts ORDER BY dist, c_custkey LIMIT 20),
+          sph AS (
+            SELECT c_custkey,
+              ${Det.rsql(
+                "2.0 * 6371008.8 * asin(sqrt(least(1.0, " +
+                "sin(radians(35.0 - lat) / 2.0) * sin(radians(35.0 - lat) / 2.0) + " +
+                "cos(radians(lat)) * cos(radians(35.0)) * " +
+                "sin(radians(-100.0 - lon) / 2.0) * sin(radians(-100.0 - lon) / 2.0))))",
+                3)} AS dist
+            FROM pts ORDER BY dist, c_custkey LIMIT 20),
+          pr AS (SELECT CAST(row_number() OVER (ORDER BY dist, c_custkey)
+              AS INT) AS rank, c_custkey AS planar_id FROM pla),
+          sr AS (SELECT CAST(row_number() OVER (ORDER BY dist, c_custkey)
+              AS INT) AS rank, c_custkey AS sphere_id FROM sph)
+          SELECT pr.rank, planar_id, sphere_id,
+            planar_id = sphere_id AS same
+          FROM pr JOIN sr USING (rank) ORDER BY rank""",
     "geo_grid_agg" ->
       s"""$P SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
           CAST(floor(lat / 0.5) AS BIGINT) AS cell_y,

@@ -240,4 +240,45 @@ class EngineSpec extends SparkFunSuite {
       max(G.st_x(col("geometry")))).as[(Double, Double)].collect()(0)
     assert(ext.xmin === r._1 && ext.xmax === r._2)
   }
+
+  test("id-less OID fallback is stable under a changed partition plan") {
+    // round-15 verdict #6: the no-id fallback must order by a TRUE
+    // file offset (_metadata.row_index), so a maxPartitionBytes change
+    // that re-splits a file cannot renumber rows.
+    val dir = java.nio.file.Files.createTempDirectory("noid").toString
+    sensorPoints.drop("objectid").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val noIdSchema = FeatureSchema("test.noid", Some("geometry"),
+      Some("esriGeometryPoint"), 4326, Seq.empty, idField = None, 500)
+    def oidMap(maxPartitionBytes: String): Map[String, Long] = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      try QueryEngine.numbered(spark.read.parquet(dir), noIdSchema)
+        .select(col("sensor_id"), col(QueryEngine.OidCol))
+        .as[(String, Long)].collect().toMap
+      finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    }
+    val coarse = oidMap("128m")
+    val fine = oidMap("4096") // forces many splits of the one file
+    assert(coarse.size === 100)
+    assert(fine === coarse,
+      "re-splitting the file must not renumber id-less OIDs")
+    // and the numbering is the file order: 0..n-1 dense
+    assert(coarse.values.toSeq.sorted === (0L until 100L))
+  }
+
+  test("id-less OID fallback still works for non-file relations") {
+    // _metadata does not resolve on a local relation — the weaker
+    // (input_file_name, monotonic id) order takes over; OIDs stay
+    // dense and deterministic for a fixed plan
+    val local = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("name", "v")
+    val s = FeatureSchema("test.local", None, None, 4326,
+      Seq.empty, idField = None, 500)
+    val oids = QueryEngine.numbered(local, s)
+      .select(col(QueryEngine.OidCol)).as[Long].collect().toSeq.sorted
+    assert(oids === Seq(0L, 1L, 2L))
+  }
 }

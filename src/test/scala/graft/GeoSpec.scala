@@ -249,4 +249,23 @@ class GeoSpec extends SparkFunSuite {
     assert(n1 < n0)
     assert(bufArea > 100 * 2 * 0.9) // ~length*2*d plus caps
   }
+
+  test("st_distance_sphere: haversine meters, symmetric, planar-divergent") {
+    val df = Seq(1).toDF("x")
+    def d(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+      df.select(G.st_distance_sphere(
+        G.st_point(lit(lon1), lit(lat1)),
+        G.st_point(lit(lon2), lit(lat2)))).collect()(0).getDouble(0)
+    // 1 degree of latitude on the 6371008.8 m sphere = R*pi/180
+    val perDeg = 6371008.8 * math.Pi / 180.0
+    assert(math.abs(d(0, 0, 0, 1) - perDeg) < 1e-6)
+    // east-west shrinks by cos(latitude) — the planar formula's error
+    assert(math.abs(d(0, 60, 1, 60) - perDeg * math.cos(math.toRadians(60)))
+      < perDeg * 0.001)
+    // symmetric, zero at identity
+    assert(d(10, 20, 30, 40) === d(30, 40, 10, 20))
+    assert(d(5, 5, 5, 5) === 0.0)
+    // antipodal clamp: half circumference, no NaN from asin(>1)
+    assert(math.abs(d(0, 0, 180, 0) - 6371008.8 * math.Pi) < 1.0)
+  }
 }
