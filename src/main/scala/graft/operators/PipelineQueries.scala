@@ -2590,6 +2590,98 @@ object PipelineQueries {
            LEFT JOIN szs zb ON zb.doc_id = i.id_b)
          SELECT id_a, id_b, round(jac, 6) AS jaccard
          FROM scored WHERE jac >= 0.7 ORDER BY id_a, id_b""",
+    // SimHash full replay (the doc_minhash_dedup HUGEINT toolkit):
+    // per word occurrence, mix(fnv1a(word)) via a list_reduce fold, ±1
+    // per bit, sign-aggregated signature, four 16-bit chunk bands,
+    // bit_count(xor) <= 6 refine.
+    "doc_simhash_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents WHERE text IS NOT NULL),
+         words AS (
+           SELECT doc_id, t.w FROM d, unnest(string_split(norm, ' ')) AS t(w)
+           WHERE t.w <> ''),
+         hb AS (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split_regex(w, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (h, c) -> ((((CAST(xor(CAST((h) AS UBIGINT), CAST((c) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (1099511628211) + ((((CAST(xor(CAST((h) AS UBIGINT), CAST((c) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (1099511628211)) % 4294967296) * 4294967296) % 18446744073709551616)) AS h FROM words),
+         mz0 AS (SELECT doc_id, (((h) + (11400714819323198485)) % 18446744073709551616) AS z FROM hb),
+         mz1 AS (SELECT doc_id, ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (13787848793156543929) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (13787848793156543929)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM mz0),
+         mz2 AS (SELECT doc_id, ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (10723151780598845931) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (10723151780598845931)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM mz1),
+         hh AS (SELECT doc_id, CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT) AS h FROM mz2),
+         bits AS (
+           SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (h // (CASE b.b
+                 WHEN 0 THEN 1 ELSE power(2, b.b)::HUGEINT END)) % 2 = 1
+               THEN 1 ELSE -1 END) AS cnt
+           FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b) b
+           GROUP BY doc_id, b.b),
+         usig AS (
+           SELECT doc_id,
+             sum(CASE WHEN cnt > 0 THEN power(2, b)::HUGEINT ELSE 0 END)::HUGEINT
+               AS u
+           FROM bits GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id, coalesce(usig.u, CAST(0 AS HUGEINT)) AS u
+           FROM d LEFT JOIN usig USING (doc_id)),
+         chunks AS (
+           SELECT doc_id, u, i.i AS band,
+             CAST((u // (CASE i.i WHEN 0 THEN 1 ELSE power(2, i.i * 16)::HUGEINT END))
+               % 65536 AS BIGINT) AS chunk
+           FROM sig CROSS JOIN (SELECT unnest(range(4)) AS i) i),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.u AS ua, b.u AS ub
+           FROM chunks a JOIN chunks b
+             ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) AS INT)
+             AS hamming
+         FROM cand WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 6
+         ORDER BY id_a, id_b""",
+    // Winnowing full replay: per-position mix(fnv1a(12-gram)) signed
+    // hashes, window-16 rolling minima (distinct set == the engine's
+    // consecutive-dedup under the explode+distinct), m<=window global
+    // min, df-cap over DISTINCT content, shared-fp count >= 10.
+    "doc_winnow_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, md5(text) AS ck,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT doc_id, ck, CAST(i AS BIGINT) - 1 AS pos,
+             substring(norm, CAST(i AS INT), 12) AS g,
+             length(norm) - 11 AS m
+           FROM d, unnest(range(1, greatest(length(norm) - 10, 0) + 1)) AS t(i)
+           WHERE length(norm) >= 12),
+         hb AS (SELECT doc_id, ck, pos, m, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split_regex(g, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (h, c) -> ((((CAST(xor(CAST((h) AS UBIGINT), CAST((c) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (1099511628211) + ((((CAST(xor(CAST((h) AS UBIGINT), CAST((c) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (1099511628211)) % 4294967296) * 4294967296) % 18446744073709551616)) AS z FROM sh),
+         mz0 AS (SELECT doc_id, ck, pos, m, (((z) + (11400714819323198485)) % 18446744073709551616) AS z FROM hb),
+         mz1 AS (SELECT doc_id, ck, pos, m,
+           ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (13787848793156543929) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (13787848793156543929)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM mz0),
+         mz2 AS (SELECT doc_id, ck, pos, m,
+           ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (10723151780598845931) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (10723151780598845931)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM mz1),
+         hs AS (
+           SELECT doc_id, ck, pos, m,
+             CASE WHEN CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT) >= 9223372036854775808
+               THEN CAST(CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT) - 18446744073709551616 AS BIGINT)
+               ELSE CAST(CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT) AS BIGINT) END AS h
+           FROM mz2),
+         small AS (
+           SELECT DISTINCT doc_id, ck, min(h) OVER (PARTITION BY doc_id) AS fp
+           FROM hs WHERE m <= 16),
+         wmins AS (
+           SELECT doc_id, ck, pos, m,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+           FROM hs WHERE m > 16),
+         big AS (
+           SELECT DISTINCT doc_id, ck, fp FROM wmins WHERE pos <= m - 16),
+         fps AS (SELECT * FROM small UNION ALL SELECT * FROM big),
+         stop AS (
+           SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT ck) > 20),
+         pruned AS (
+           SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM stop))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+         FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY id_a, id_b""",
     // BPE-count certificate: the Spark side re-derives the structural
     // byte bounds from its OWN expression output and counts violations;
     // the oracle is the closed-form anchor. (The merge loop itself is
