@@ -2682,6 +2682,409 @@ object PipelineQueries {
            CAST(count(*) AS BIGINT) AS shared_fps
          FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY id_a, id_b""",
+    // Hyperplane-LSH ANN full replay (round-15 verdict #5 extended):
+    // the seeded planes are fixed mix constants — planeComponent
+    // replays via the HUGEINT splitmix toolkit, bucket bits via
+    // list_dot_product sign tests (margins are O(0.1), far above any
+    // summation-order ulp), then the emb_knn cosine refine.
+    "emb_ann" ->
+      """WITH pc0 AS (
+           SELECT t.t, pp.p, ij.j,
+             ((((((CAST(42 + t.t * 7919 AS HUGEINT)) + ((CAST(pp.p AS HUGEINT) * 11400714819323198485) % 18446744073709551616)) % 18446744073709551616)) + ((CAST(ij.j AS HUGEINT) * 13787848793156543929) % 18446744073709551616)) % 18446744073709551616) AS z
+           FROM (SELECT unnest(range(4)) AS t) t
+           CROSS JOIN (SELECT unnest(range(10)) AS p) pp
+           CROSS JOIN (SELECT unnest(range(64)) AS j) ij),
+         pc1 AS (SELECT t, p, j, (((z) + (11400714819323198485)) % 18446744073709551616) AS z FROM pc0),
+         pc2 AS (SELECT t, p, j, ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (13787848793156543929) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (13787848793156543929)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM pc1),
+         pc3 AS (SELECT t, p, j, ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (10723151780598845931) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (10723151780598845931)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM pc2),
+         pc4 AS (SELECT t, p, j,
+           CAST(CAST(CASE WHEN (CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT)) >= 9223372036854775808 THEN CAST((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT)) - 18446744073709551616 AS BIGINT) ELSE CAST((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT)) AS BIGINT) END AS DOUBLE)
+             / 9223372036854775808.0 AS REAL) AS comp FROM pc3),
+         planes AS (SELECT t, p, list(comp ORDER BY j) AS plane
+           FROM pc4 GROUP BY t, p),
+         bk AS (
+           SELECT e.vec_id, pl.t,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                 pl.plane::DOUBLE[]) >= 0
+               THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         sims AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                     JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Embedding near-dup LSH full replay: same plane replay at
+    // bits=4/tables=8, NaN-guarded cosine refine at 0.42.
+    "emb_neardup_lsh" ->
+      """WITH pc0 AS (
+           SELECT t.t, pp.p, ij.j,
+             ((((((CAST(42 + t.t * 7919 AS HUGEINT)) + ((CAST(pp.p AS HUGEINT) * 11400714819323198485) % 18446744073709551616)) % 18446744073709551616)) + ((CAST(ij.j AS HUGEINT) * 13787848793156543929) % 18446744073709551616)) % 18446744073709551616) AS z
+           FROM (SELECT unnest(range(8)) AS t) t
+           CROSS JOIN (SELECT unnest(range(4)) AS p) pp
+           CROSS JOIN (SELECT unnest(range(64)) AS j) ij),
+         pc1 AS (SELECT t, p, j, (((z) + (11400714819323198485)) % 18446744073709551616) AS z FROM pc0),
+         pc2 AS (SELECT t, p, j, ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (13787848793156543929) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 1073741824)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (13787848793156543929)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM pc1),
+         pc3 AS (SELECT t, p, j, ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) % 4294967296) * (10723151780598845931) + ((((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 134217728)) AS UBIGINT)) AS HUGEINT)) // 4294967296) * (10723151780598845931)) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM pc2),
+         pc4 AS (SELECT t, p, j,
+           CAST(CAST(CASE WHEN (CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT)) >= 9223372036854775808 THEN CAST((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT)) - 18446744073709551616 AS BIGINT) ELSE CAST((CAST(xor(CAST((z) AS UBIGINT), CAST((((z) // 2147483648)) AS UBIGINT)) AS HUGEINT)) AS BIGINT) END AS DOUBLE)
+             / 9223372036854775808.0 AS REAL) AS comp FROM pc3),
+         planes AS (SELECT t, p, list(comp ORDER BY j) AS plane
+           FROM pc4 GROUP BY t, p),
+         bk AS (
+           SELECT e.vec_id, pl.t,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                 pl.plane::DOUBLE[]) >= 0
+               THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+         sims AS (
+           SELECT cand.id_a, cand.id_b,
+             floor((list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM cand JOIN embeddings x ON x.vec_id = cand.id_a
+                     JOIN embeddings y ON y.vec_id = cand.id_b)
+         SELECT id_a, id_b, sim FROM sims
+         WHERE NOT isnan(sim) AND sim >= 0.42 ORDER BY id_a, id_b""",
+    // SemDeDup full replay: the emb_ivf centroid CTEs at nlist=8 over
+    // the vec_id<200 slice, per-cluster domination with the paper
+    // keep-rule ((centroid_sim, id) ordering) and the 6dp cosine.
+    "emb_semdedup" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                  embedding AS c
+           FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+         s1 AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM emb e CROSS JOIN c0 cl),
+         a1 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s1) t WHERE rn = 1),
+         u1p AS (
+           SELECT a1.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a1 JOIN emb e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a1.cluster, i.i),
+         u1 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u1p GROUP BY cluster),
+         c1 AS (
+           SELECT c0.cluster, coalesce(u1.c, c0.c) AS c
+           FROM c0 LEFT JOIN u1 USING (cluster)),
+         s2 AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM emb e CROSS JOIN c1 cl),
+         a2 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s2) t WHERE rn = 1),
+         u2p AS (
+           SELECT a2.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a2 JOIN emb e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a2.cluster, i.i),
+         u2 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u2p GROUP BY cluster),
+         c2 AS (
+           SELECT c1.cluster, coalesce(u2.c, c1.c) AS c
+           FROM c1 LEFT JOIN u2 USING (cluster)),
+         sf AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM emb e CROSS JOIN c2 cl),
+         af AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM sf) t WHERE rn = 1),
+         base AS (
+           SELECT af.vec_id, af.cluster,
+             floor((list_cosine_similarity(e.embedding::DOUBLE[], c2.c::DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS centroid_sim
+           FROM af JOIN emb e USING (vec_id) JOIN c2 USING (cluster)),
+         dom AS (
+           SELECT DISTINCT x.vec_id
+           FROM base x JOIN base y ON x.cluster = y.cluster
+             AND y.vec_id <> x.vec_id
+           JOIN emb ex ON ex.vec_id = x.vec_id
+           JOIN emb ey ON ey.vec_id = y.vec_id
+           WHERE NOT isnan(list_cosine_similarity(ex.embedding::DOUBLE[],
+               ey.embedding::DOUBLE[]))
+             AND floor((list_cosine_similarity(ex.embedding::DOUBLE[],
+                 ey.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.42
+             AND (y.centroid_sim < x.centroid_sim OR
+               (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id)))
+         SELECT b.vec_id, b.cluster, b.centroid_sim,
+           (dom.vec_id IS NULL) AS kept
+         FROM base b LEFT JOIN dom ON dom.vec_id = b.vec_id
+         ORDER BY b.vec_id""",
+    // IVF-SQ full replay: the emb_ivf centroid CTEs (nlist=16) compose
+    // with the emb_sq affine-code scoring — cell-probed candidates,
+    // integer-micros ADC, top-10.
+    "emb_ivfsq" ->
+      """WITH c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                  embedding AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         s1 AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c0 cl),
+         a1 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s1) t WHERE rn = 1),
+         u1p AS (
+           SELECT a1.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a1 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a1.cluster, i.i),
+         u1 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u1p GROUP BY cluster),
+         c1 AS (
+           SELECT c0.cluster, coalesce(u1.c, c0.c) AS c
+           FROM c0 LEFT JOIN u1 USING (cluster)),
+         s2 AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c1 cl),
+         a2 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s2) t WHERE rn = 1),
+         u2p AS (
+           SELECT a2.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a2 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a2.cluster, i.i),
+         u2 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u2p GROUP BY cluster),
+         c2 AS (
+           SELECT c1.cluster, coalesce(u2.c, c1.c) AS c
+           FROM c1 LEFT JOIN u2 USING (cluster)),
+         sf AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c2 cl),
+         af AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM sf) t WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn
+             FROM sf WHERE vec_id < 10) t WHERE rn <= 4),
+         mm AS (
+           SELECT i.i AS pos,
+             CAST(min(embedding[i.i + 1]) AS DOUBLE) AS mn,
+             CAST(max(embedding[i.i + 1]) AS DOUBLE) AS mx
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY 1),
+         st AS (SELECT pos, mn, (mx - mn) / 255.0 AS step FROM mm),
+         codes AS (
+           SELECT e.vec_id, s.pos, s.mn, s.step,
+             CASE WHEN s.step = 0 THEN 0
+               ELSE least(255, greatest(0, CAST(floor(
+                 (CAST(e.embedding[s.pos + 1] AS DOUBLE) - s.mn)
+                   / s.step + 0.5) AS BIGINT))) END AS c
+           FROM embeddings e CROSS JOIN st s),
+         cand AS (
+           SELECT qp.query_id, af.vec_id AS neighbor_id
+           FROM qp JOIN af USING (cluster)
+           WHERE qp.query_id <> af.vec_id),
+         scores AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(CAST(floor(
+               CAST(q.embedding[c.pos + 1] AS DOUBLE) *
+                 (c.mn + c.step * CAST(c.c AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micros
+           FROM cand
+           JOIN embeddings q ON q.vec_id = cand.query_id
+           JOIN codes c ON c.vec_id = cand.neighbor_id
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, score_micros, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micros DESC, neighbor_id ASC) AS rank
+           FROM scores) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Language-ID full replay FOR THIS CORPUS: the corpus is pure
+    // ASCII (verified), so script short-circuits cannot fire; any
+    // future non-ASCII row classifies as the loud 'NONASCII' sentinel
+    // and fails the hash rather than silently approximating. Latin
+    // path: letters count, normalize, first-400-word stopword voting,
+    // (votes desc, lang asc) winner, und on zero votes.
+    "doc_langid" ->
+      """WITH prof(lang, w) AS (
+           SELECT * FROM (VALUES
+             ('en', 'the'),
+             ('en', 'and'),
+             ('en', 'of'),
+             ('en', 'to'),
+             ('en', 'a'),
+             ('en', 'in'),
+             ('en', 'is'),
+             ('en', 'that'),
+             ('en', 'it'),
+             ('en', 'for'),
+             ('en', 'was'),
+             ('en', 'with'),
+             ('en', 'on'),
+             ('en', 'as'),
+             ('en', 'are'),
+             ('en', 'this'),
+             ('en', 'be'),
+             ('en', 'at'),
+             ('en', 'have'),
+             ('en', 'not'),
+             ('de', 'der'),
+             ('de', 'die'),
+             ('de', 'das'),
+             ('de', 'und'),
+             ('de', 'ist'),
+             ('de', 'nicht'),
+             ('de', 'ein'),
+             ('de', 'eine'),
+             ('de', 'mit'),
+             ('de', 'auf'),
+             ('de', 'sich'),
+             ('de', 'des'),
+             ('de', 'dem'),
+             ('de', 'den'),
+             ('de', 'von'),
+             ('de', 'zu'),
+             ('de', 'im'),
+             ('de', 'für'),
+             ('fr', 'le'),
+             ('fr', 'la'),
+             ('fr', 'les'),
+             ('fr', 'des'),
+             ('fr', 'et'),
+             ('fr', 'est'),
+             ('fr', 'une'),
+             ('fr', 'dans'),
+             ('fr', 'que'),
+             ('fr', 'qui'),
+             ('fr', 'pour'),
+             ('fr', 'pas'),
+             ('fr', 'sur'),
+             ('fr', 'avec'),
+             ('fr', 'au'),
+             ('fr', 'du'),
+             ('fr', 'ce'),
+             ('fr', 'il'),
+             ('es', 'el'),
+             ('es', 'los'),
+             ('es', 'las'),
+             ('es', 'de'),
+             ('es', 'que'),
+             ('es', 'y'),
+             ('es', 'en'),
+             ('es', 'un'),
+             ('es', 'una'),
+             ('es', 'es'),
+             ('es', 'no'),
+             ('es', 'con'),
+             ('es', 'por'),
+             ('es', 'para'),
+             ('es', 'su'),
+             ('es', 'se'),
+             ('es', 'del'),
+             ('es', 'lo'),
+             ('it', 'il'),
+             ('it', 'di'),
+             ('it', 'che'),
+             ('it', 'e'),
+             ('it', 'la'),
+             ('it', 'per'),
+             ('it', 'un'),
+             ('it', 'una'),
+             ('it', 'in'),
+             ('it', 'non'),
+             ('it', 'sono'),
+             ('it', 'con'),
+             ('it', 'del'),
+             ('it', 'si'),
+             ('it', 'da'),
+             ('it', 'come'),
+             ('it', 'anche'),
+             ('pt', 'o'),
+             ('pt', 'a'),
+             ('pt', 'de'),
+             ('pt', 'que'),
+             ('pt', 'e'),
+             ('pt', 'do'),
+             ('pt', 'da'),
+             ('pt', 'em'),
+             ('pt', 'um'),
+             ('pt', 'uma'),
+             ('pt', 'para'),
+             ('pt', 'com'),
+             ('pt', 'não'),
+             ('pt', 'os'),
+             ('pt', 'as'),
+             ('pt', 'no'),
+             ('pt', 'na'),
+             ('pt', 'por'))),
+         d AS (
+           SELECT doc_id, text, substring(text, 1, 4000) AS pre FROM documents),
+         lets AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+               ELSE length(regexp_replace(pre, '[^A-Za-z]', '', 'g')) END AS letters
+           FROM d),
+         wrds AS (
+           SELECT d.doc_id, t.w
+           FROM d, unnest((string_split(trim(regexp_replace(lower(pre),
+             '\s+', ' ', 'g')), ' '))[1:400]) AS t(w)
+           WHERE d.text IS NOT NULL),
+         votes AS (
+           SELECT doc_id, p.lang, count(*) AS v
+           FROM wrds JOIN prof p ON wrds.w = p.w GROUP BY 1, 2),
+         win AS (
+           SELECT doc_id, lang FROM (
+             SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+               ORDER BY v DESC, lang ASC) AS rn FROM votes WHERE v > 0) t
+           WHERE rn = 1),
+         pred AS (
+           SELECT d.doc_id,
+             CASE WHEN d.text IS NULL THEN NULL
+               WHEN regexp_matches(d.text, '[^\x00-\x7F]') THEN 'NONASCII'
+               WHEN lets.letters = 0 THEN 'und'
+               ELSE coalesce(win.lang, 'und') END AS pred
+           FROM d JOIN lets USING (doc_id) LEFT JOIN win USING (doc_id))
+         SELECT pred, count(*) AS n FROM pred GROUP BY 1 ORDER BY pred""",
     // BPE-count certificate: the Spark side re-derives the structural
     // byte bounds from its OWN expression output and counts violations;
     // the oracle is the closed-form anchor. (The merge loop itself is
