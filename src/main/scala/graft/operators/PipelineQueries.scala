@@ -3085,6 +3085,336 @@ object PipelineQueries {
                ELSE coalesce(win.lang, 'und') END AS pred
            FROM d JOIN lets USING (doc_id) LEFT JOIN win USING (doc_id))
          SELECT pred, count(*) AS n FROM pred GROUP BY 1 ORDER BY pred""",
+    // PQ ADC full replay (round-15 verdict #5 extended): two unrolled
+    // per-subspace Lloyd iterations with the integer-micros assignment
+    // scores (`x·c − |c|²/2` per-dim micros) and micros-sum codebook
+    // updates the Scala trainer now pins; ADC score = Σ_s q_s·c lookups
+    // rounded to 6dp, id tie-break.
+    "emb_pq" ->
+      """WITH b0 AS (
+           SELECT s.s, iv.c, p.p, iv.embedding[s.s*8 + p.p + 1] AS y
+           FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+                   embedding
+                 FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)) iv
+           CROSS JOIN (SELECT unnest(range(8)) AS s) s
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p),
+         enc1 AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b0 b GROUP BY 1, 2, 3),
+         asn1 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM enc1) t WHERE rn = 1),
+         upd1 AS (
+           SELECT a.s, a.c, p.p,
+             sum(CAST(floor(CAST(e.embedding[a.s*8 + p.p + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM asn1 a JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p
+           GROUP BY 1, 2, 3),
+         b1 AS (
+           SELECT b.s, b.c, b.p,
+             coalesce(CAST(CAST(u.sm AS DOUBLE) / 1000000.0 / u.n AS REAL), b.y) AS y
+           FROM b0 b LEFT JOIN upd1 u
+             ON b.s = u.s AND b.c = u.c AND b.p = u.p),
+         enc2 AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b1 b GROUP BY 1, 2, 3),
+         asn2 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM enc2) t WHERE rn = 1),
+         upd2 AS (
+           SELECT a.s, a.c, p.p,
+             sum(CAST(floor(CAST(e.embedding[a.s*8 + p.p + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM asn2 a JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p
+           GROUP BY 1, 2, 3),
+         b2 AS (
+           SELECT b.s, b.c, b.p,
+             coalesce(CAST(CAST(u.sm AS DOUBLE) / 1000000.0 / u.n AS REAL), b.y) AS y
+           FROM b1 b LEFT JOIN upd2 u
+             ON b.s = u.s AND b.c = u.c AND b.p = u.p),
+         encF AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b2 b GROUP BY 1, 2, 3),
+         asnF AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM encF) t WHERE rn = 1),
+         sc AS (
+           SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             floor(sum(CAST(q.embedding[a.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+           CROSS JOIN asnF a
+           JOIN b2 b ON b.s = a.s AND b.c = a.c
+           WHERE q.vec_id <> a.vec_id
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // PQ + exact re-rank full replay: the emb_pq CTEs nominate top-30,
+    // then ONLY those pairs re-score with the exact per-dim-micros tree
+    // (the emb_sq_rerank form) and re-rank to top-10.
+    "emb_pq_rerank" ->
+      """WITH b0 AS (
+           SELECT s.s, iv.c, p.p, iv.embedding[s.s*8 + p.p + 1] AS y
+           FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+                   embedding
+                 FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)) iv
+           CROSS JOIN (SELECT unnest(range(8)) AS s) s
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p),
+         enc1 AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b0 b GROUP BY 1, 2, 3),
+         asn1 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM enc1) t WHERE rn = 1),
+         upd1 AS (
+           SELECT a.s, a.c, p.p,
+             sum(CAST(floor(CAST(e.embedding[a.s*8 + p.p + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM asn1 a JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p
+           GROUP BY 1, 2, 3),
+         b1 AS (
+           SELECT b.s, b.c, b.p,
+             coalesce(CAST(CAST(u.sm AS DOUBLE) / 1000000.0 / u.n AS REAL), b.y) AS y
+           FROM b0 b LEFT JOIN upd1 u
+             ON b.s = u.s AND b.c = u.c AND b.p = u.p),
+         enc2 AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b1 b GROUP BY 1, 2, 3),
+         asn2 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM enc2) t WHERE rn = 1),
+         upd2 AS (
+           SELECT a.s, a.c, p.p,
+             sum(CAST(floor(CAST(e.embedding[a.s*8 + p.p + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM asn2 a JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p
+           GROUP BY 1, 2, 3),
+         b2 AS (
+           SELECT b.s, b.c, b.p,
+             coalesce(CAST(CAST(u.sm AS DOUBLE) / 1000000.0 / u.n AS REAL), b.y) AS y
+           FROM b1 b LEFT JOIN upd2 u
+             ON b.s = u.s AND b.c = u.c AND b.p = u.p),
+         encF AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b2 b GROUP BY 1, 2, 3),
+         asnF AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM encF) t WHERE rn = 1),
+         sc AS (
+           SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             floor(sum(CAST(q.embedding[a.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+           CROSS JOIN asnF a
+           JOIN b2 b ON b.s = a.s AND b.c = a.c
+           WHERE q.vec_id <> a.vec_id
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc) t
+           WHERE rank <= 30),
+         rescored AS (
+           SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(64), j ->
+               CAST(floor(CAST(q.embedding[j+1] AS DOUBLE)
+                   * CAST(n.embedding[j+1] AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS score_micros
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         SELECT query_id, neighbor_id, score_micros, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micros DESC, neighbor_id ASC) AS rank
+           FROM rescored) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // IVF-PQ full replay: the emb_ivf centroid CTEs route probes, the
+    // emb_pq codebook CTEs supply codes, ADC scores only the probed
+    // cells — the full production composition, byte-exact.
+    "emb_ivfpq" ->
+      """WITH c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                  embedding AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         s1 AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c0 cl),
+         a1 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s1) t WHERE rn = 1),
+         u1p AS (
+           SELECT a1.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a1 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a1.cluster, i.i),
+         u1 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u1p GROUP BY cluster),
+         c1 AS (
+           SELECT c0.cluster, coalesce(u1.c, c0.c) AS c
+           FROM c0 LEFT JOIN u1 USING (cluster)),
+         s2 AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c1 cl),
+         a2 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s2) t WHERE rn = 1),
+         u2p AS (
+           SELECT a2.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a2 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a2.cluster, i.i),
+         u2 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u2p GROUP BY cluster),
+         c2 AS (
+           SELECT c1.cluster, coalesce(u2.c, c1.c) AS c
+           FROM c1 LEFT JOIN u2 USING (cluster)),
+         sf AS (
+           SELECT e.vec_id, cl.cluster, CAST(list_sum(list_transform(range(64), j -> CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c2 cl),
+         af AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM sf) t WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn
+             FROM sf WHERE vec_id < 10) t WHERE rn <= 4),
+         b0 AS (
+           SELECT s.s, iv.c, p.p, iv.embedding[s.s*8 + p.p + 1] AS y
+           FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+                   embedding
+                 FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)) iv
+           CROSS JOIN (SELECT unnest(range(8)) AS s) s
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p),
+         enc1 AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b0 b GROUP BY 1, 2, 3),
+         asn1 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM enc1) t WHERE rn = 1),
+         upd1 AS (
+           SELECT a.s, a.c, p.p,
+             sum(CAST(floor(CAST(e.embedding[a.s*8 + p.p + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM asn1 a JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p
+           GROUP BY 1, 2, 3),
+         b1 AS (
+           SELECT b.s, b.c, b.p,
+             coalesce(CAST(CAST(u.sm AS DOUBLE) / 1000000.0 / u.n AS REAL), b.y) AS y
+           FROM b0 b LEFT JOIN upd1 u
+             ON b.s = u.s AND b.c = u.c AND b.p = u.p),
+         enc2 AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b1 b GROUP BY 1, 2, 3),
+         asn2 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM enc2) t WHERE rn = 1),
+         upd2 AS (
+           SELECT a.s, a.c, p.p,
+             sum(CAST(floor(CAST(e.embedding[a.s*8 + p.p + 1] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM asn2 a JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(8)) AS p) p
+           GROUP BY 1, 2, 3),
+         b2 AS (
+           SELECT b.s, b.c, b.p,
+             coalesce(CAST(CAST(u.sm AS DOUBLE) / 1000000.0 / u.n AS REAL), b.y) AS y
+           FROM b1 b LEFT JOIN upd2 u
+             ON b.s = u.s AND b.c = u.c AND b.p = u.p),
+         encF AS (
+           SELECT e.vec_id, b.s, b.c,
+             sum(CAST(floor((CAST(e.embedding[b.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)
+               - 0.5 * CAST(b.y AS DOUBLE) * CAST(b.y AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS sc
+           FROM embeddings e CROSS JOIN b2 b GROUP BY 1, 2, 3),
+         asnF AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY sc DESC, c ASC) AS rn FROM encF) t WHERE rn = 1),
+         cand AS (
+           SELECT DISTINCT qp.query_id, af.vec_id AS neighbor_id
+           FROM qp JOIN af USING (cluster)
+           WHERE qp.query_id <> af.vec_id),
+         sc AS (
+           SELECT c.query_id, c.neighbor_id,
+             floor(sum(CAST(q.embedding[a.s*8 + b.p + 1] AS DOUBLE)
+                 * CAST(b.y AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN asnF a ON a.vec_id = c.neighbor_id
+           JOIN b2 b ON b.s = a.s AND b.c = a.c
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // BPE-count certificate: the Spark side re-derives the structural
     // byte bounds from its OWN expression output and counts violations;
     // the oracle is the closed-form anchor. (The merge loop itself is

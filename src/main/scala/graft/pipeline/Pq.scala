@@ -55,15 +55,20 @@ object Pq {
     var s = 0
     while (s < m) {
       val book = books(s)
-      var best = 0; var bestScore = Double.NegativeInfinity
+      var best = 0; var bestScore = Long.MinValue
       var c = 0
       while (c < book.length) {
         val cen = book(c)
-        var acc = 0.0; var i = 0
+        // EXACT integer-micros assignment score (round-15 verdict #5
+        // discipline): per-dim `x·c − |c|²/2` terms round to micros
+        // once, then exact integer sums — order-free and replayable in
+        // the DuckDB oracle, so codebook assignment cannot drift with
+        // summation order on a real cluster.
+        var acc = 0L; var i = 0
         while (i < subDim) {
           val x = v.getFloat(s * subDim + i).toDouble
           val y = cen(i).toDouble
-          acc += x * y - 0.5 * y * y // x·c − |c|²/2 ≡ argmin L2
+          acc += math.floor((x * y - 0.5 * y * y) * 1000000.0 + 0.5).toLong
           i += 1
         }
         if (acc > bestScore) { bestScore = acc; best = c } // ties -> lowest
@@ -144,18 +149,25 @@ object Pq {
         struct(lit(s).as("s"), col("__codes").getItem(s).as("c"),
           subSlice(col(vecCol), s, subDim).as("v"))
       }
+      // EXACT integer-micros update (the trainIvfCentroids discipline):
+      // a double `avg` is partial-merge-order-dependent; `Σ micros(x)`
+      // is an exact BIGINT folded to float once on the driver —
+      // order-free AND replayable in the emb_pq DuckDB oracle.
       val updated = df
         .withColumn("__codes", encodeCol(col(vecCol), books))
         .select(explode(array(entries: _*)).as("e"))
         .select(col("e.s").as("s"), col("e.c").as("c"),
           posexplode(col("e.v")).as(Seq("p", "x")))
         .groupBy(col("s"), col("c"), col("p"))
-        .agg(avg(col("x").cast("double")).as("mu"))
+        .agg(sum(floor(col("x").cast("double") * 1000000.0 + 0.5)
+            .cast("long")).as("sm"),
+          count(lit(1)).as("n"))
         .collect()
       val next = books.map(_.map(_.clone()))
       updated.foreach { r =>
         next(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("p")) =
-          r.getAs[Double]("mu").toFloat
+          (r.getAs[Long]("sm").toDouble / 1000000.0 /
+            r.getAs[Long]("n")).toFloat
       }
       books = next
       it += 1
