@@ -925,6 +925,32 @@ object PipelineQueries {
         query = Seq("spark", "merge", "window"), k = 50)
     }),
 
+    // Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    // (Search.rrfFuse, k0=60): the doc_bm25 top-50 leg and a
+    // brute-cosine top-50 leg (query = vector 0; vec_id ≡ doc_id by
+    // fixture construction) fused score-free. Leg ranks are positions
+    // in each leg's OWN top-50 — the query exemplar (doc 0) is dropped
+    // from the lexical leg AFTER ranking (the cosine leg self-excludes),
+    // so every contribution equals its already-proven gate's ordering.
+    // Both legs are bounded top-n lists: the fusion never re-touches
+    // the corpus at any scale.
+    "doc_hybrid_search" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+        Tables.documents(s, d), col("doc_id"))
+      val lex = graft.pipeline.Search.asLeg(
+        graft.pipeline.Bm25.topK(base, "doc_id", "text",
+          query = Seq("spark", "merge", "window"), k = 50),
+        "doc_id", "score").filter(col("doc_id") =!= 0L)
+      val vec = graft.pipeline.Search.asLeg(
+        Similarity.bruteTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryId = 0L, k = 50)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "sim")
+      graft.pipeline.Search.rrfFuse(Seq(lex, vec), "doc_id",
+          k0 = 60, k = 10)
+        .orderBy(col("rank"))
+    }),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -1768,6 +1794,54 @@ object PipelineQueries {
     val nb = aggregate(bd, lit(0.0), (s, v) => s + v * v)
     dot / (sqrt(na) * sqrt(nb))
   }
+
+  /** The doc_bm25 oracle's CTE pipeline through the scored table `sc`
+    * — shared verbatim by the doc_hybrid_search oracle's lexical leg so
+    * the two entries cannot drift apart. */
+  private val Bm25ScoredCtes: String =
+    """WITH d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+             CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(ws, w -> w = 'merge')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(ws, w -> w = 'window')) AS BIGINT) AS tf2
+           FROM d),
+         s AS (
+           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+           FROM m),
+         sc AS (
+           SELECT doc_id, dl,
+             floor(((
+               ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                 / (CAST(df0 AS DOUBLE) + 0.5))
+                 * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25
+                     + (CAST(dl AS DOUBLE) * 0.75)
+                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+               + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                 / (CAST(df1 AS DOUBLE) + 0.5))
+                 * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25
+                     + (CAST(dl AS DOUBLE) * 0.75)
+                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                 / (CAST(df2 AS DOUBLE) + 0.5))
+                 * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25
+                     + (CAST(dl AS DOUBLE) * 0.75)
+                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM m, s)"""
 
   def oracleSql: Map[String, String] = Map(
     "doc_stats" ->
@@ -3461,51 +3535,47 @@ object PipelineQueries {
     // as the same foldable arithmetic so both engines derive identical
     // doubles before the Det rounding.
     "doc_bm25" ->
-      """WITH d AS (
-           SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text),
-               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
-           FROM documents WHERE text IS NOT NULL),
-         m AS (
-           SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
-             CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
-             CAST(len(list_filter(ws, w -> w = 'merge')) AS BIGINT) AS tf1,
-             CAST(len(list_filter(ws, w -> w = 'window')) AS BIGINT) AS tf2
-           FROM d),
-         s AS (
-           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df2
-           FROM m),
-         sc AS (
-           SELECT doc_id, dl,
-             floor(((
-               ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
-                 / (CAST(df0 AS DOUBLE) + 0.5))
-                 * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
-                 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25
-                     + (CAST(dl AS DOUBLE) * 0.75)
-                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
-               + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
-                 / (CAST(df1 AS DOUBLE) + 0.5))
-                 * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
-                 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25
-                     + (CAST(dl AS DOUBLE) * 0.75)
-                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
-               + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
-                 / (CAST(df2 AS DOUBLE) + 0.5))
-                 * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
-                 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25
-                     + (CAST(dl AS DOUBLE) * 0.75)
-                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
-               * 1000000.0 + 0.5) / 1000000.0 AS score
-           FROM m, s)
+      (Bm25ScoredCtes + """
          SELECT doc_id, dl, score FROM sc WHERE score > 0.0
-         ORDER BY score DESC, doc_id LIMIT 50""",
+         ORDER BY score DESC, doc_id LIMIT 50"""),
+
+    // Hybrid RRF: the doc_bm25 oracle CTEs verbatim for the lexical
+    // leg, the emb_cosine_topk form (k=50) for the vector leg; leg
+    // ranks are positions in each leg's own top-50, contributions
+    // summed lexical-then-vector (the gate's operand order), rounded
+    // at 1e-6 before the fused rank.
+    "doc_hybrid_search" ->
+      (Bm25ScoredCtes + """,
+         bm AS (
+           SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+           ORDER BY score DESC, doc_id LIMIT 50),
+         bmr AS (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             AS rank_0
+           FROM bm),
+         lex AS (SELECT doc_id, rank_0 FROM bmr WHERE doc_id <> 0),
+         q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         cos AS (
+           SELECT vec_id AS doc_id,
+             floor((list_cosine_similarity(embedding::DOUBLE[],
+               qvec::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM embeddings, q WHERE vec_id <> 0
+           ORDER BY sim DESC, vec_id LIMIT 50),
+         vr AS (
+           SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
+             AS rank_1
+           FROM cos),
+         f AS (
+           SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             floor((coalesce(1.0 / (60.0 + CAST(l.rank_0 AS DOUBLE)), 0.0)
+                  + coalesce(1.0 / (60.0 + CAST(v.rank_1 AS DOUBLE)), 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS rrf,
+             l.rank_0 AS rank_0, v.rank_1 AS rank_1
+           FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)
+         SELECT doc_id, rrf, rank_0, rank_1, rank FROM (
+           SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+           FROM f) t
+         WHERE rank <= 10 ORDER BY rank"""),
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->

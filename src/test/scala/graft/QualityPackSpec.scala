@@ -173,6 +173,44 @@ class QualityPackSpec extends SparkFunSuite {
     }
   }
 
+  test("search: RRF fusion — hand-checkable scores, ties, guards") {
+    import graft.pipeline.Search
+    val legA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val legB = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val fused = Search.rrfFuse(Seq(legA, legB), "doc_id", k0 = 60, k = 10)
+      .orderBy(col("rank"))
+      .select(col("doc_id"), col("rrf"), col("rank"))
+      .as[(Long, Double, Int)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // 20 hits both legs (1/62 + 1/61); singles order by their leg rank
+    assert(fused === Seq(
+      (20L, r6(1.0 / 62 + 1.0 / 61), 1),
+      (10L, r6(1.0 / 61), 2),
+      (40L, r6(1.0 / 62), 3),
+      (30L, r6(1.0 / 63), 4)))
+    // equal rounded rrf -> deterministic id tie-break
+    val t = Search.rrfFuse(Seq(Seq((5L, 1)).toDF("doc_id", "rank"),
+        Seq((3L, 1)).toDF("doc_id", "rank")), "doc_id")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(t === Seq(3L, 5L))
+    // k truncates the fused list, not the legs
+    assert(Search.rrfFuse(Seq(legA, legB), "doc_id", k = 2)
+      .count() === 2L)
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq(legA), "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq(legA, legB.withColumnRenamed("rank", "r")),
+        "doc_id")
+    }
+    // asLeg ranks by (score desc, id asc), densely from 1
+    val scored = Seq((7L, 2.0), (9L, 2.0), (8L, 3.0))
+      .toDF("doc_id", "score")
+    assert(Search.asLeg(scored, "doc_id", "score")
+      .orderBy(col("rank")).as[(Long, Int)].collect().toSeq ===
+      Seq((8L, 1), (7L, 2), (9L, 3)))
+  }
+
   test("pipeline e2e gate: bins account for exactly the kept-deduped docs") {
     val out = SparkEntry.queries("doc_pipeline_e2e")(spark, sf("sf0.001"))
       .collect()
