@@ -951,6 +951,39 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // MMR diversification (Rerank.mmr, λ=0.7) of the hybrid fusion's
+    // top-30 pool down to 10: retrieval → fusion → diversify, the full
+    // serving stack. The pool and its |30|² sim matrix are bounded at
+    // any corpus scale; the sims come from the same CosineSim
+    // expression the brute/kNN gates prove.
+    "doc_mmr_diversify" -> ((s, d) => {
+      val base = Decontaminate.spreadSmall(
+        Tables.documents(s, d), col("doc_id"))
+      val lex = graft.pipeline.Search.asLeg(
+        graft.pipeline.Bm25.topK(base, "doc_id", "text",
+          query = Seq("spark", "merge", "window"), k = 50),
+        "doc_id", "score").filter(col("doc_id") =!= 0L)
+      val vec = graft.pipeline.Search.asLeg(
+        Similarity.bruteTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryId = 0L, k = 50)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "sim")
+      // pool = fused top-30 among candidates that HAVE an embedding
+      // (at sf0.1+ the corpus embeds only a prefix of the documents —
+      // the realistic partial-coverage case); k=100 ≥ the ≤99 distinct
+      // ids two 50-deep legs can produce, so fusion itself never cuts.
+      val emb = Tables.embeddings(s, d)
+        .withColumnRenamed("vec_id", "doc_id")
+      val pool = graft.pipeline.Search.rrfFuse(Seq(lex, vec), "doc_id",
+          k0 = 60, k = 100)
+        .join(emb.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(30)
+        .select(col("doc_id"), col("rrf"))
+      graft.pipeline.Rerank.mmr(pool, emb,
+        "doc_id", "rrf", "embedding", lam = 0.7, k = 10)
+        .orderBy(col("rank"))
+    }),
+
     // Approximate-nearest-neighbor join (rows-only gate): seeded
     // hyperplane-LSH buckets -> candidate equi-join -> exact refine.
     "emb_ann" -> ((s, d) => {
@@ -1842,6 +1875,38 @@ object PipelineQueries {
                        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
                * 1000000.0 + 0.5) / 1000000.0 AS score
            FROM m, s)"""
+
+  /** The doc_hybrid_search oracle through the fused table `f` —
+    * shared by the doc_mmr_diversify oracle, which diversifies the
+    * same fusion's top-30 pool. */
+  private val HybridFusedCtes: String =
+    Bm25ScoredCtes + """,
+         bm AS (
+           SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+           ORDER BY score DESC, doc_id LIMIT 50),
+         bmr AS (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             AS rank_0
+           FROM bm),
+         lex AS (SELECT doc_id, rank_0 FROM bmr WHERE doc_id <> 0),
+         q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         cos AS (
+           SELECT vec_id AS doc_id,
+             floor((list_cosine_similarity(embedding::DOUBLE[],
+               qvec::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM embeddings, q WHERE vec_id <> 0
+           ORDER BY sim DESC, vec_id LIMIT 50),
+         vr AS (
+           SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
+             AS rank_1
+           FROM cos),
+         f AS (
+           SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             floor((coalesce(1.0 / (60.0 + CAST(l.rank_0 AS DOUBLE)), 0.0)
+                  + coalesce(1.0 / (60.0 + CAST(v.rank_1 AS DOUBLE)), 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS rrf,
+             l.rank_0 AS rank_0, v.rank_1 AS rank_1
+           FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "doc_stats" ->
@@ -3545,37 +3610,67 @@ object PipelineQueries {
     // summed lexical-then-vector (the gate's operand order), rounded
     // at 1e-6 before the fused rank.
     "doc_hybrid_search" ->
-      (Bm25ScoredCtes + """,
-         bm AS (
-           SELECT doc_id, dl, score FROM sc WHERE score > 0.0
-           ORDER BY score DESC, doc_id LIMIT 50),
-         bmr AS (
-           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-             AS rank_0
-           FROM bm),
-         lex AS (SELECT doc_id, rank_0 FROM bmr WHERE doc_id <> 0),
-         q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-         cos AS (
-           SELECT vec_id AS doc_id,
-             floor((list_cosine_similarity(embedding::DOUBLE[],
-               qvec::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
-           FROM embeddings, q WHERE vec_id <> 0
-           ORDER BY sim DESC, vec_id LIMIT 50),
-         vr AS (
-           SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
-             AS rank_1
-           FROM cos),
-         f AS (
-           SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-             floor((coalesce(1.0 / (60.0 + CAST(l.rank_0 AS DOUBLE)), 0.0)
-                  + coalesce(1.0 / (60.0 + CAST(v.rank_1 AS DOUBLE)), 0.0))
-               * 1000000.0 + 0.5) / 1000000.0 AS rrf,
-             l.rank_0 AS rank_0, v.rank_1 AS rank_1
-           FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)
+      (HybridFusedCtes + """
          SELECT doc_id, rrf, rank_0, rank_1, rank FROM (
            SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
            FROM f) t
          WHERE rank <= 10 ORDER BY rank"""),
+
+    // MMR diversification of the hybrid fusion's top-30 pool: the
+    // greedy walk replayed as a single-row recursive CTE carrying the
+    // selected-id/score lists; each step's argmax is the same IEEE tree
+    // the Scala walk computes (0.7·rel − (1.0−0.7)·max rounded sim,
+    // ties to the lowest id), so step k's appended element IS row k of
+    // the gate output. (1.0 - 0.7) is written unfolded — the pre-folded
+    // constant 0.3 is a DIFFERENT double than 1.0 - 0.7.
+    "doc_mmr_diversify" ->
+      (HybridFusedCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
+         pool AS (
+           SELECT doc_id, rrf FROM (
+             SELECT f.doc_id, f.rrf,
+               row_number() OVER (ORDER BY f.rrf DESC, f.doc_id) AS rank
+             FROM f JOIN embeddings e ON e.vec_id = f.doc_id) t
+           WHERE rank <= 30),
+         cand AS (
+           SELECT p.doc_id AS id, p.rrf AS rel, e.embedding
+           FROM pool p JOIN embeddings e ON e.vec_id = p.doc_id),
+         sims AS (
+           SELECT a.id AS a, b.id AS b,
+             floor((list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS s
+           FROM cand a JOIN cand b ON a.id <> b.id),
+         steps(k, ids, scores) AS (
+           SELECT 1,
+             [(SELECT id FROM cand
+               ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, id LIMIT 1)],
+             [(SELECT 0.7 * rel - (1.0 - 0.7) * 0.0 FROM cand
+               ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, id LIMIT 1)]
+           UNION ALL
+           SELECT k + 1,
+             list_append(ids, (
+               SELECT c.id FROM cand c
+               WHERE NOT list_contains(steps.ids, c.id)
+               ORDER BY 0.7 * c.rel - (1.0 - 0.7) * (
+                   SELECT max(s.s) FROM sims s
+                   WHERE s.a = c.id AND list_contains(steps.ids, s.b))
+                 DESC, c.id
+               LIMIT 1)),
+             list_append(scores, (
+               SELECT 0.7 * c.rel - (1.0 - 0.7) * (
+                   SELECT max(s.s) FROM sims s
+                   WHERE s.a = c.id AND list_contains(steps.ids, s.b))
+               FROM cand c
+               WHERE NOT list_contains(steps.ids, c.id)
+               ORDER BY 0.7 * c.rel - (1.0 - 0.7) * (
+                   SELECT max(s.s) FROM sims s
+                   WHERE s.a = c.id AND list_contains(steps.ids, s.b))
+                 DESC, c.id
+               LIMIT 1))
+           FROM steps WHERE k < 10)
+         SELECT ids[k] AS doc_id,
+           floor((scores[k]) * 1000000.0 + 0.5) / 1000000.0 AS mmr,
+           k AS rank
+         FROM steps ORDER BY rank"""),
     // Duplicated-substring spans: strided 40-char windows, min-doc-id
     // owner per window string, per-doc share of windows owned earlier.
     "doc_substring_dup" ->

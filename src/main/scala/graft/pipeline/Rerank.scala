@@ -66,6 +66,84 @@ object Rerank {
         col("rank"))
   }
 
+  /** Maximal-marginal-relevance diversification (Carbonell & Goldstein,
+    * SIGIR 1998) over a BOUNDED candidate pool: greedily pick `k` items
+    * maximizing `lam·rel − (1−lam)·max_{s∈selected} sim(c, s)`, ties to
+    * the lowest id — the standard third stage after retrieval + fusion
+    * (drop near-duplicate hits before they reach the user/context
+    * window).
+    *
+    * Scale shape: MMR is inherently sequential in `k`, so it is a
+    * serving-side op over the candidate list, never the corpus. The
+    * pairwise similarity matrix is computed DISTRIBUTED by the same
+    * [[CosineSim]] expression every proven gate uses (bit-parity by
+    * construction), then the |pool|² rounded sims — bounded by
+    * `maxCandidates`, independent of corpus size — drive a driver-side
+    * greedy walk. Pools above `maxCandidates` are REFUSED, never
+    * truncated (the localComponents discipline).
+    *
+    * Determinism contract: `rel` must arrive rounded (the caller's
+    * score contract, e.g. [[Search.rrfFuse]]'s 1e-6 `rrf`); sims are
+    * rounded at 1e-6; the greedy score tree is
+    * `lam·rel − (1.0−lam)·maxSim` with `maxSim = 0.0` for the first
+    * pick, so an oracle writing the same IEEE tree (including the
+    * `1.0 − lam` subtraction — NOT a pre-folded constant, whose double
+    * value can differ) replays the walk exactly. Output `mmr` is
+    * floor-rounded at 1e-6; `rank` is the selection order from 1. */
+  def mmr(candidates: DataFrame, vectors: DataFrame, idCol: String,
+      relCol: String, vecCol: String, lam: Double = 0.7, k: Int = 10,
+      maxCandidates: Int = 4096): DataFrame = {
+    require(lam >= 0.0 && lam <= 1.0, s"lam must be in [0, 1]: $lam")
+    require(k >= 1, s"k must be positive: $k")
+    val sp = candidates.sparkSession
+    import sp.implicits._
+    val cand = candidates.select(col(idCol).cast("long").as("__id"),
+      col(relCol).cast("double").as("__rel"))
+    val cv = Caches.persistTracked(cand.join(
+      vectors.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v")), Seq("__id")))
+    val pool = cv.select(col("__id"), col("__rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    require(pool.length <= maxCandidates,
+      s"MMR pool ${pool.length} exceeds $maxCandidates — MMR is a " +
+        "bounded second-stage op; shrink the candidate list (refusing, " +
+        "not truncating)")
+    val relById = pool.toMap
+    require(relById.size == pool.length,
+      "candidate ids must be distinct")
+    require(pool.length == cand.count(),
+      "every candidate needs exactly one vector row")
+    val a = cv.select(col("__id").as("__a"), col("__v").as("__va"))
+    val b = cv.select(col("__id").as("__b"), col("__v").as("__vb"))
+    val sims = a.crossJoin(broadcast(b))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("__a"), col("__b"),
+        graft.Det.r(Similarity.cosine(col("__va"), col("__vb")), 6)
+          .as("__s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val remaining = scala.collection.mutable.SortedSet[Long](
+      relById.keys.toSeq: _*)
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    while (selected.length < k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      // ascending id iteration + strict > keeps the LOWEST id on ties
+      for (c <- remaining) {
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => sims((c, s._1))).max
+        val score = lam * relById(c) - (1.0 - lam) * maxSim
+        if (score > bestScore) { bestScore = score; bestId = c }
+      }
+      selected += ((bestId, bestScore))
+      remaining -= bestId
+    }
+    selected.zipWithIndex.map { case ((id, s), i) =>
+      (id, math.floor(s * 1e6 + 0.5) / 1e6, i + 1)
+    }.toSeq.toDF(idCol, "mmr", "rank")
+  }
+
   /** Exact-MIPS brute-force top-k under the SAME integer metric — the
     * recall reference for the re-rank gates (cosine would measure the
     * wrong thing: re-ranking is judged against the best possible result

@@ -1257,6 +1257,41 @@ class PipelineSpec extends SparkFunSuite {
       s"pq rerank recovers only $pqRerankRecall/50 exact neighbours")
   }
 
+  test("mmr: hand-checkable greedy walk, ties, refuse-not-truncate") {
+    import graft.pipeline.Rerank
+    // 1 and 2 are near-identical vectors; 3 is orthogonal to both.
+    // rel: 1 > 2 > 3, so plain ranking gives (1, 2, 3) but MMR at
+    // λ=0.5 must demote 2 behind the diverse 3.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)),
+      (3L, Array(0.0f, 1.0f))).toDF("id", "v")
+    val cand = Seq((1L, 0.9), (2L, 0.85), (3L, 0.2)).toDF("id", "rel")
+    val out = Rerank.mmr(cand, vecs, "id", "rel", "v",
+        lam = 0.5, k = 3)
+      .orderBy(col("rank")).as[(Long, Double, Int)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 3L, 2L))
+    // scores: λ·rel for the first pick; 3 pays ~0 sim, 2 pays ~1
+    assert(out(0)._2 === 0.45)
+    assert(math.abs(out(1)._2 - 0.1) < 1e-6)
+    assert(out(2)._2 < 0.0) // 0.5*0.85 - 0.5*sim(2,1) ≈ -0.075
+    // k beyond the pool: stops at pool size
+    assert(Rerank.mmr(cand, vecs, "id", "rel", "v", k = 99)
+      .count() === 3L)
+    // guards: λ range, pool cap refuses, duplicate ids, missing vector
+    intercept[IllegalArgumentException] {
+      Rerank.mmr(cand, vecs, "id", "rel", "v", lam = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Rerank.mmr(cand, vecs, "id", "rel", "v", maxCandidates = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Rerank.mmr(cand.union(cand), vecs, "id", "rel", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Rerank.mmr(cand, vecs.filter(col("id") =!= 3L), "id", "rel", "v")
+    }
+  }
+
   test("token_count: run budgets, code points, whitespace class, null") {
     import graft.pipeline.{TextFunctions, TextHash}
     // scheme edges, against hand-computed budgets
