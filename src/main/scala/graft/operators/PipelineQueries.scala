@@ -954,8 +954,9 @@ object PipelineQueries {
     // MMR diversification (Rerank.mmr, λ=0.7) of the hybrid fusion's
     // top-30 pool down to 10: retrieval → fusion → diversify, the full
     // serving stack. The pool and its |30|² sim matrix are bounded at
-    // any corpus scale; the sims come from the same CosineSim
-    // expression the brute/kNN gates prove.
+    // any corpus scale; sims are the micros-cosine (exact integer
+    // dot/norm micros, then one IEEE division) so the oracle replays
+    // them bit-exactly at every scale.
     "doc_mmr_diversify" -> ((s, d) => {
       val base = Decontaminate.spreadSmall(
         Tables.documents(s, d), col("doc_id"))
@@ -3621,8 +3622,10 @@ object PipelineQueries {
     // selected-id/score lists; each step's argmax is the same IEEE tree
     // the Scala walk computes (0.7·rel − (1.0−0.7)·max rounded sim,
     // ties to the lowest id), so step k's appended element IS row k of
-    // the gate output. (1.0 - 0.7) is written unfolded — the pre-folded
-    // constant 0.3 is a DIFFERENT double than 1.0 - 0.7.
+    // the gate output. The (1−λ) factor is written as
+    // CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE): DuckDB folds a bare
+    // (1.0 - 0.7) in DECIMAL to exactly 0.3 — a DIFFERENT double than
+    // the walk's 1.0 - 0.7 (= 0.30000000000000004).
     "doc_mmr_diversify" ->
       (HybridFusedCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
          pool AS (
@@ -3634,34 +3637,52 @@ object PipelineQueries {
          cand AS (
            SELECT p.doc_id AS id, p.rrf AS rel, e.embedding
            FROM pool p JOIN embeddings e ON e.vec_id = p.doc_id),
-         sims AS (
+         pd AS (
+           SELECT c.id, d.pos,
+             CAST(c.embedding[d.pos + 1] AS DOUBLE) AS v
+           FROM cand c
+           CROSS JOIN (SELECT unnest(range(64)) AS pos) d),
+         nrm AS (
+           SELECT id, CAST(sum(CAST(floor(v * v * 1000000.0 + 0.5)
+             AS BIGINT)) AS BIGINT) AS nm
+           FROM pd GROUP BY id),
+         dots AS (
            SELECT a.id AS a, b.id AS b,
-             floor((list_cosine_similarity(a.embedding::DOUBLE[],
-               b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS s
-           FROM cand a JOIN cand b ON a.id <> b.id),
+             CAST(sum(CAST(floor(a.v * b.v * 1000000.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS dm
+           FROM pd a JOIN pd b ON a.pos = b.pos AND a.id <> b.id
+           GROUP BY 1, 2),
+         sims AS (
+           SELECT d.a, d.b,
+             floor((CAST(d.dm AS DOUBLE)
+                 / sqrt(CAST(na.nm AS DOUBLE) * CAST(nb.nm AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+           FROM dots d
+           JOIN nrm na ON na.id = d.a
+           JOIN nrm nb ON nb.id = d.b),
          steps(k, ids, scores) AS (
            SELECT 1,
              [(SELECT id FROM cand
-               ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, id LIMIT 1)],
-             [(SELECT 0.7 * rel - (1.0 - 0.7) * 0.0 FROM cand
-               ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, id LIMIT 1)]
+               ORDER BY 0.7 * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 DESC, id LIMIT 1)],
+             [(SELECT 0.7 * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 FROM cand
+               ORDER BY 0.7 * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 DESC, id LIMIT 1)]
            UNION ALL
            SELECT k + 1,
              list_append(ids, (
                SELECT c.id FROM cand c
                WHERE NOT list_contains(steps.ids, c.id)
-               ORDER BY 0.7 * c.rel - (1.0 - 0.7) * (
+               ORDER BY 0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
                    SELECT max(s.s) FROM sims s
                    WHERE s.a = c.id AND list_contains(steps.ids, s.b))
                  DESC, c.id
                LIMIT 1)),
              list_append(scores, (
-               SELECT 0.7 * c.rel - (1.0 - 0.7) * (
+               SELECT 0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
                    SELECT max(s.s) FROM sims s
                    WHERE s.a = c.id AND list_contains(steps.ids, s.b))
                FROM cand c
                WHERE NOT list_contains(steps.ids, c.id)
-               ORDER BY 0.7 * c.rel - (1.0 - 0.7) * (
+               ORDER BY 0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
                    SELECT max(s.s) FROM sims s
                    WHERE s.a = c.id AND list_contains(steps.ids, s.b))
                  DESC, c.id

@@ -83,13 +83,20 @@ object Rerank {
     * truncated (the localComponents discipline).
     *
     * Determinism contract: `rel` must arrive rounded (the caller's
-    * score contract, e.g. [[Search.rrfFuse]]'s 1e-6 `rrf`); sims are
-    * rounded at 1e-6; the greedy score tree is
-    * `lam·rel − (1.0−lam)·maxSim` with `maxSim = 0.0` for the first
-    * pick, so an oracle writing the same IEEE tree (including the
-    * `1.0 − lam` subtraction — NOT a pre-folded constant, whose double
-    * value can differ) replays the walk exactly. Output `mmr` is
-    * floor-rounded at 1e-6; `rank` is the selection order from 1. */
+    * score contract, e.g. [[Search.rrfFuse]]'s 1e-6 `rrf`). The
+    * diversity sim is the MICROS-COSINE:
+    * `dot_micros / sqrt(na_micros · nb_micros)` where each factor is
+    * an [[exactMicros]] integer (per-dim products rounded to micros,
+    * then exact integer sums) — order-free across partitions and
+    * exactly transliterable, unlike the plain rounded [[CosineSim]],
+    * whose engine-specific accumulation order is 1-ulp exposed and
+    * flips the 1e-6 floor on large pools (observed at sf1). Zero
+    * vectors (norm micros 0) are the caller's bug, not handled. The
+    * greedy score tree is `lam·rel − (1.0−lam)·maxSim` with
+    * `maxSim = 0.0` for the first pick, the `1.0 − lam` subtraction
+    * written unfolded (a pre-folded constant can be a different
+    * double). Output `mmr` is floor-rounded at 1e-6; `rank` is the
+    * selection order from 1. */
   def mmr(candidates: DataFrame, vectors: DataFrame, idCol: String,
       relCol: String, vecCol: String, lam: Double = 0.7, k: Int = 10,
       maxCandidates: Int = 4096): DataFrame = {
@@ -118,7 +125,10 @@ object Rerank {
     val sims = a.crossJoin(broadcast(b))
       .filter(col("__a") =!= col("__b"))
       .select(col("__a"), col("__b"),
-        graft.Det.r(Similarity.cosine(col("__va"), col("__vb")), 6)
+        graft.Det.r(
+          exactMicros(col("__va"), col("__vb")).cast("double") /
+            sqrt(exactMicros(col("__va"), col("__va")).cast("double") *
+              exactMicros(col("__vb"), col("__vb")).cast("double")), 6)
           .as("__s"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
