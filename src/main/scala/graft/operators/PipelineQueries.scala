@@ -925,6 +925,23 @@ object PipelineQueries {
         query = Seq("spark", "merge", "window"), k = 50)
     }),
 
+    // Arbitrary-vocabulary batch BM25 (Bm25.topKMany): a query TABLE
+    // against the corpus in ONE term explode, non-query terms dropped
+    // map-side by the broadcast semi-join, per-term contributions
+    // rounded to integer micros so the cross-term group sum is exact
+    // and order-free (the fixed-query doc_bm25 sums left-associatively
+    // instead — that trick does not survive a groupBy).
+    "doc_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark"), (1L, "join"), (2L, "merge"),
+        (2L, "window"), (2L, "sort"), (3L, "scan"), (3L, "filter"),
+        (3L, "batch"), (3L, "row")).toDF("query_id", "term")
+      graft.pipeline.Bm25.topKMany(
+          Decontaminate.spreadSmall(Tables.documents(s, d), col("doc_id")),
+          "doc_id", "text", qs, topK = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hybrid lexical+vector retrieval via reciprocal-rank fusion
     // (Search.rrfFuse, k0=60): the doc_bm25 top-50 leg and a
     // brute-cosine top-50 leg (query = vector 0; vec_id ≡ doc_id by
@@ -3604,6 +3621,57 @@ object PipelineQueries {
       (Bm25ScoredCtes + """
          SELECT doc_id, dl, score FROM sc WHERE score > 0.0
          ORDER BY score DESC, doc_id LIMIT 50"""),
+
+    // Batch BM25: same per-term IEEE tree as doc_bm25's, but each
+    // contribution is floored to integer micros BEFORE the per-(query,
+    // doc) sum, which is therefore exact integer arithmetic on both
+    // engines regardless of summation order.
+    "doc_bm25_batch" ->
+      """WITH q(query_id, term) AS (VALUES
+             (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
+             (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'window'),
+             (CAST(2 AS BIGINT), 'sort'), (CAST(3 AS BIGINT), 'scan'),
+             (CAST(3 AS BIGINT), 'filter'), (CAST(3 AS BIGINT), 'batch'),
+             (CAST(3 AS BIGINT), 'row')),
+         d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         base AS (
+           SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+         s AS (
+           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+           FROM base),
+         hits AS (
+           SELECT b.doc_id, b.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+           FROM base b, LATERAL unnest(b.ws) AS t(term)
+           WHERE t.term IN (SELECT DISTINCT term FROM q)
+           GROUP BY 1, 2, 3),
+         dfs AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM hits GROUP BY term),
+         contrib AS (
+           SELECT qq.query_id, h.doc_id,
+             CAST(floor((
+               ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                 / (CAST(f.df AS DOUBLE) + 0.5))
+                 * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(h.tf AS DOUBLE) + 1.2 * (0.25
+                     + (CAST(h.dl AS DOUBLE) * 0.75)
+                       / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+               ) * 1000000.0 + 0.5) AS BIGINT) AS c
+           FROM hits h
+           JOIN dfs f USING (term)
+           JOIN q qq USING (term), s),
+         sc2 AS (
+           SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micros
+           FROM contrib GROUP BY 1, 2)
+         SELECT query_id, doc_id, score_micros, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micros DESC, doc_id ASC) AS rank
+           FROM sc2) t
+         WHERE rank <= 20 ORDER BY query_id, rank""",
 
     // Hybrid RRF: the doc_bm25 oracle CTEs verbatim for the lexical
     // leg, the emb_cosine_topk form (k=50) for the vector leg; leg

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 query scoring (Robertson & Zaragoza 2009, "The
@@ -115,4 +116,71 @@ object Bm25 {
       .filter(col("score") > 0.0)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Arbitrary-vocabulary batch scoring — the inverted-index scale path
+    * the fixed-query [[score]] defers to: a query TABLE
+    * `(query_id, term)` runs against the corpus in ONE term explode.
+    *
+    * Shape at any scale (the [[Search.conjunctiveJoin]] discipline):
+    * per-doc terms explode map-side and the broadcast query-term
+    * semi-join discards every non-query term BEFORE the exchange, so
+    * shuffled rows are bounded by (matching doc, query term) hits —
+    * never corpus × vocabulary. Corpus stats are one scalar aggregate
+    * (N, Σdl) plus a per-query-term df aggregate over the already-
+    * pruned hit table; both broadcast back.
+    *
+    * Determinism contract: with MANY terms per (doc, query) group the
+    * fixed-order left-associative double sum of [[scoreExpr]] is not
+    * available (groupBy sum order is partition-dependent), so each
+    * per-term contribution — the same IEEE tree as [[scoreExpr]], all
+    * integer inputs — is rounded to integer MICROS first and the group
+    * sum is exact integer arithmetic, order-free across partitions and
+    * engines (the [[Rerank.exactMicros]] discipline). Returns
+    * `(query_id, idCol, score_micros, rank)` with `rank ≤ topK` per
+    * query, ties to the lowest id; docs sharing no term with a query
+    * never appear. */
+  def topKMany(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, topK: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(queries.columns.toSet == Set("query_id", "term"),
+      "queries must have exactly (query_id, term)")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0, 1]")
+    require(!Set("query_id", "term", "score_micros", "rank", "__tf",
+        "__dl", "__n", "__sumdl", "__df", "__c").contains(idCol),
+      s"idCol '$idCol' clashes with join internals")
+    val qTerms = queries.distinct()
+    val words = split(Decontaminate.normCol(col(textCol)), " ")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), words.as("__ws"))
+      .withColumn("__dl", size(col("__ws")).cast("long"))
+    // (doc, term, tf) for QUERY terms only: explode after the doc-local
+    // projection, semi-join the broadcast term set before the exchange
+    val hits = Caches.persistTracked(base
+      .select(col(idCol), col("__dl"), explode(col("__ws")).as("term"))
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"),
+        "left_semi")
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("__tf")))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    val dfs = hits.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val contrib = hits
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), Seq("term"))
+      .withColumn("__c",
+        floor(scoreExpr(Seq(col("__tf")), col("__dl"), col("__n"),
+          col("__sumdl"), Seq(col("__df")), k1, b) * 1000000.0 + 0.5)
+          .cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col(idCol).asc)
+    contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__c")).as("score_micros"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol), col("score_micros"),
+        col("rank"))
+  }
 }

@@ -97,6 +97,46 @@ class QualityPackSpec extends SparkFunSuite {
     }
   }
 
+  test("bm25: batch topKMany matches the fixed-query scorer in micros") {
+    import graft.pipeline.Bm25
+    val fixture = Seq(
+      (1L, "spark merge window pad pad pad"),
+      (2L, "spark merge scan pad pad pad"),
+      (3L, "spark scan scan pad pad pad"),
+      (4L, "scan scan scan pad pad pad"))
+      .toDF("doc_id", "text")
+    // single-term query: the batch contribution IS micros(scoreExpr),
+    // so ranking and values must match the fixed-query scorer exactly
+    val qs = Seq((7L, "spark")).toDF("query_id", "term")
+    val batch = Bm25.topKMany(fixture, "doc_id", "text", qs, topK = 10)
+      .orderBy(col("rank"))
+      .select(col("doc_id"), col("score_micros"))
+      .as[(Long, Long)].collect().toSeq
+    val fixed = Bm25.score(fixture, "doc_id", "text", Seq("spark"))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), floor(col("score") * 1e6 + 0.5).cast("long"))
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, m) => (-m, id) }.toSeq
+    assert(batch === fixed)
+    // multi-query batch: docs with no query term never appear; each
+    // query ranks independently
+    val many = Seq((1L, "spark"), (1L, "merge"), (2L, "scan"))
+      .toDF("query_id", "term")
+    val out = Bm25.topKMany(fixture, "doc_id", "text", many, topK = 10)
+      .select(col("query_id"), col("doc_id")).as[(Long, Long)]
+      .collect().toSet
+    assert(out.filter(_._1 == 1L).map(_._2) === Set(1L, 2L, 3L))
+    assert(out.filter(_._1 == 2L).map(_._2) === Set(2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      Bm25.topKMany(fixture, "doc_id", "text",
+        many.withColumnRenamed("term", "t"), topK = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.topKMany(fixture.withColumnRenamed("doc_id", "term"),
+        "term", "text", many, topK = 10)
+    }
+  }
+
   test("pack: hand-checkable greedy recurrence incl. oversized docs") {
     import graft.pipeline.Pack
     val fixture = Seq(
