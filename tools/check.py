@@ -69,7 +69,11 @@ def main():
     # oracles (emb_neardup is 20k x 20k = 400M list-cosine pairs at sf1)
     # must spill to disk instead of ballooning the in-process RSS.
     con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-process spill dir: concurrent checkers sharing one spill
+    # directory clobber each other's temp files (observed: IOException
+    # mid-query when a sibling process recreated the dir)
+    import os
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

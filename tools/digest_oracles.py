@@ -27,6 +27,7 @@ Defaults to the four LSH pair gates.
 """
 import glob
 import json
+import re
 import sys
 
 import duckdb
@@ -39,20 +40,111 @@ DEFAULT_GATES = ["doc_minhash_dedup", "doc_simhash_dedup",
                  "doc_winnow_pairs", "emb_neardup_lsh"]
 
 
+def split_ctes(sql):
+    """Split the committed oracle into its top-level CTEs and the final
+    SELECT. Returns ([(name, body), ...], final_select)."""
+    s = sql.strip()
+    assert s.upper().startswith("WITH "), "oracle must start with WITH"
+    i = len("WITH ")
+    ctes = []
+    pat = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(")
+    while True:
+        m = pat.match(s, i)
+        if not m:
+            break
+        name = m.group(1)
+        j = m.end() - 1  # at the opening paren
+        depth = 0
+        for k in range(j, len(s)):
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        ctes.append((name, s[m.end():k]))
+        i = k + 1
+        while i < len(s) and s[i] in " \t\n\r":
+            i += 1
+        if i < len(s) and s[i] == ",":
+            i += 1
+        else:
+            break
+    return ctes, s[i:]
+
+
+def run_staged(con, sql, count_only=False):
+    """Execute the committed oracle STAGE BY STAGE: each top-level CTE
+    becomes a TEMP TABLE (same name — bodies reference predecessors
+    verbatim), then the final SELECT runs over them. Semantically
+    identical to the monolith; physically it pins one materialization
+    per CTE. DuckDB 1.0 otherwise INLINES multi-referenced CTEs — the
+    minhash oracle's signature pipeline (referenced 3-4x) replans as
+    one join tree that spills >160GB at sf1 and dies (and the
+    AS MATERIALIZED hint executes single-threaded, 10x slower than
+    temp-table staging). `--selftest <baseSfDir>` proves the staged
+    evaluation row-identical to the monolith; the DRIVER still runs the
+    committed SQL verbatim at its gate scales."""
+    ctes, final = split_ctes(sql)
+    made = []
+    try:
+        for name, body in ctes:
+            con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+            made.append(name)
+        if count_only:
+            n = con.sql(
+                f"SELECT count(*) FROM ({final})").fetchone()[0]
+            return None, n
+        rel = con.sql(final)
+        return list(rel.columns), rel.fetchall()
+    finally:
+        for name in reversed(made):
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+
+
 def connect(sf_dir):
     con = duckdb.connect()
     # 96GB: the sf1 minhash replay (50k docs x 128 permutations over
     # exploded shingles) spills >70GB under a 24GB cap and runs /tmp out
     # of disk; at 96GB it stays in RAM on the 128GB soak box
     con.execute("SET memory_limit='96GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-process spill dir: concurrent checkers sharing one spill
+    # directory clobber each other's temp files (observed: IOException
+    # mid-query when a sibling process recreated the dir)
+    import os
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     return con
 
 
+def selftest(base_sf):
+    """Staged evaluation must be row-identical to the monolith at a
+    base scale where the monolith is tractable."""
+    import os
+    oracles = None
+    for cand in ["tmp/verify_sf1_r16/oracle_sql.json",
+                 "/tmp/verify_out/oracle_sql.json"]:
+        if os.path.exists(cand):
+            oracles = json.load(open(cand))
+            break
+    assert oracles, "need a Verify output dir for the committed SQL"
+    con = connect(base_sf)
+    ok = True
+    for name in DEFAULT_GATES:
+        mono = con.sql(oracles[name]).fetchall()
+        _, staged = run_staged(con, oracles[name])
+        eq = mono == staged
+        ok &= eq
+        print(f"{'EQUIV' if eq else 'MISMATCH'} {name} "
+              f"(staged vs monolith @ {base_sf}, {len(mono)} rows)")
+    sys.exit(0 if ok else 1)
+
+
 def main():
+    if sys.argv[1] == "--selftest":
+        selftest(sys.argv[2])
     sf_dir, out_dir, corr_path = sys.argv[1], sys.argv[2], sys.argv[3]
     gates = sys.argv[4:] or DEFAULT_GATES
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -72,8 +164,7 @@ def main():
         if sorted(g_names) == ["n_pairs", "pair_digest"]:
             # digest form: count-only differential
             n_spark = g_rows[0][g_names.index("n_pairs")]
-            n_oracle = con.sql(
-                f"SELECT count(*) FROM ({sql})").fetchone()[0]
+            _, n_oracle = run_staged(con, sql, count_only=True)
             ok = n_spark == n_oracle
             report[name] = {
                 "rows_match": ok, "schema_match": True,
@@ -86,9 +177,7 @@ def main():
             status = "PASS" if ok else "FAIL"
             print(f"{status} {name} (digest count {n_spark} vs {n_oracle})")
         else:
-            rel = con.sql(sql)
-            e_names = list(rel.columns)
-            e_rows = rel.fetchall()
+            e_names, e_rows = run_staged(con, sql)
             ok_schema = sorted(g_names) == sorted(e_names)
             ok_rows = len(g_rows) == len(e_rows)
             ok_hash = (table_hash(g_names, g_rows) ==

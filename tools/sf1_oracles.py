@@ -109,7 +109,11 @@ UNION_AREA_SQL = """
 def connect(sf_dir):
     con = duckdb.connect()
     con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-process spill dir: concurrent checkers sharing one spill
+    # directory clobber each other's temp files (observed: IOException
+    # mid-query when a sibling process recreated the dir)
+    import os
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in ["customer", "supplier"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
