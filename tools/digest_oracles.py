@@ -75,21 +75,47 @@ def split_ctes(sql):
 
 def run_staged(con, sql, count_only=False):
     """Execute the committed oracle STAGE BY STAGE: each top-level CTE
-    becomes a TEMP TABLE (same name — bodies reference predecessors
-    verbatim), then the final SELECT runs over them. Semantically
-    identical to the monolith; physically it pins one materialization
-    per CTE. DuckDB 1.0 otherwise INLINES multi-referenced CTEs — the
+    is COPY'd to a parquet stage file and re-registered as a view of
+    the same name (bodies reference predecessors verbatim), then the
+    final SELECT runs over the views. Semantically identical to the
+    monolith; physically it pins one out-of-core materialization per
+    CTE. DuckDB 1.0 otherwise INLINES multi-referenced CTEs — the
     minhash oracle's signature pipeline (referenced 3-4x) replans as
-    one join tree that spills >160GB at sf1 and dies (and the
-    AS MATERIALIZED hint executes single-threaded, 10x slower than
-    temp-table staging). `--selftest <baseSfDir>` proves the staged
-    evaluation row-identical to the monolith; the DRIVER still runs the
-    committed SQL verbatim at its gate scales."""
+    one join tree that spills >160GB at sf1 and dies; the
+    AS MATERIALIZED hint executes single-threaded (10x slower), and
+    in-memory TEMP TABLE staging exhausts the allocator at sf10.
+    `--selftest <baseSfDir>` proves the staged evaluation
+    row-identical to the monolith; the DRIVER still runs the committed
+    SQL verbatim at its gate scales."""
+    import os
+    import shutil
     ctes, final = split_ctes(sql)
+    stage_dir = f"/tmp/duckdb_stage_{os.getpid()}"
+    os.makedirs(stage_dir, exist_ok=True)
     made = []
     try:
         for name, body in ctes:
-            con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+            path = f"{stage_dir}/{name}.parquet"
+            # parquet has no 128-bit int: HUGEINT silently degrades to
+            # DOUBLE (lossy — breaks the 64-bit hash chains). Cast it
+            # through DECIMAL(38,0) (exact for the mod-2^64 values these
+            # oracles carry; overflow would error loudly) and back.
+            desc = con.sql(f"DESCRIBE SELECT * FROM ({body})").fetchall()
+            cols_out, cols_in = [], []
+            for cname, ctype, *_ in desc:
+                q = '"' + cname + '"'
+                if ctype == "HUGEINT":
+                    cols_out.append(
+                        f"CAST({q} AS DECIMAL(38,0)) AS {q}")
+                    cols_in.append(f"CAST({q} AS HUGEINT) AS {q}")
+                else:
+                    cols_out.append(q)
+                    cols_in.append(q)
+            con.execute(f"COPY (SELECT {', '.join(cols_out)} "
+                        f"FROM ({body})) TO '{path}' (FORMAT PARQUET)")
+            con.execute(f'CREATE VIEW "{name}" AS '
+                        f"SELECT {', '.join(cols_in)} "
+                        f"FROM read_parquet('{path}')")
             made.append(name)
         if count_only:
             n = con.sql(
@@ -99,7 +125,8 @@ def run_staged(con, sql, count_only=False):
         return list(rel.columns), rel.fetchall()
     finally:
         for name in reversed(made):
-            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+            con.execute(f'DROP VIEW IF EXISTS "{name}"')
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def connect(sf_dir):
