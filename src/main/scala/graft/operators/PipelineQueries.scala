@@ -1020,6 +1020,57 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Filtered vector search, exact pre-filter path: metadata predicate
+    // (label = 3, ~10% selectivity) pushed into the corpus scan, brute
+    // top-k over the survivors — full hash oracle (plain SQL WHERE).
+    "emb_filtered_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.filteredKnnJoin(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", col("label") === 3, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Filtered vector search, IVF post-filter path: the full-corpus
+    // coarse quantizer (shared memo key with emb_ivf — ONE training
+    // pass for the whole emb_ivf* family) routes probes; only
+    // predicate survivors inside probed cells are refined. The whole
+    // chain is the emb_ivf closed-form replay + one label equi-filter,
+    // so this carries a FULL hash oracle.
+    "emb_ivf_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.filteredIvfJoin(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", col("label") === 3, k = 5,
+        nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Filtered-ANN recall vs the exact filtered top-k, per query — the
+    // measurement that makes the post-filter recall cliff visible (and
+    // the emb_sq_rerank_recall discipline: both legs closed-form, so
+    // the recall numbers themselves carry a full hash oracle).
+    "emb_filtered_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = Caches.persistTracked(emb.filter(col("vec_id") < 10))
+      val pred = col("label") === 3
+      val ivf = Similarity.filteredIvfJoin(qs, emb, "vec_id", "embedding",
+        pred, k = 5, nlist = 16, nprobe = 4)
+      val exact = Caches.persistTracked(Similarity.filteredKnnJoin(
+        qs, emb, "vec_id", "embedding", pred, k = 5))
+      val hits = ivf.select(col("query_id"), col("neighbor_id"))
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits_ivf"))
+      val nExact = exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(nExact, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits_ivf"), lit(0L)).as("n_hits_ivf"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy(col("query_id"))
+    }),
+
     // Brute-force cosine top-10 for one query vector (exact ANN baseline).
     "emb_cosine_topk" -> ((s, d) => {
       Similarity.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1845,6 +1896,86 @@ object PipelineQueries {
     val nb = aggregate(bd, lit(0.0), (s, v) => s + v * v)
     dot / (sqrt(na) * sqrt(nb))
   }
+
+  /** The emb_ivf oracle's Lloyd-replay CTE chain (nlist=16, two
+    * unrolled iterations, exact integer-micros assignment scores and
+    * micros-sum centroid updates) through the final assignment `af`
+    * and the nprobe=4 probe table `qp` for the vec_id<10 query slice —
+    * shared by the emb_ivf_filtered / emb_filtered_recall oracles so
+    * the filtered-search twins cannot drift from the trainer replay.
+    * (The emb_ivf / emb_ivfsq / emb_semdedup entries predate this
+    * constant and carry the same chain inline; their hashes are
+    * validated at three scales, so they stay byte-frozen.) */
+  private val IvfLloydCtes16: String =
+    """WITH c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                  embedding AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         s1 AS (
+           SELECT e.vec_id, cl.cluster,
+             CAST(list_sum(list_transform(range(64), j ->
+               CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c0 cl),
+         a1 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s1) t WHERE rn = 1),
+         u1p AS (
+           SELECT a1.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a1 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a1.cluster, i.i),
+         u1 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u1p GROUP BY cluster),
+         c1 AS (
+           SELECT c0.cluster, coalesce(u1.c, c0.c) AS c
+           FROM c0 LEFT JOIN u1 USING (cluster)),
+         s2 AS (
+           SELECT e.vec_id, cl.cluster,
+             CAST(list_sum(list_transform(range(64), j ->
+               CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c1 cl),
+         a2 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM s2) t WHERE rn = 1),
+         u2p AS (
+           SELECT a2.cluster, i.i AS pos,
+             sum(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM a2 JOIN embeddings e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(64)) AS i) i
+           GROUP BY a2.cluster, i.i),
+         u2 AS (
+           SELECT cluster,
+             list(CAST(CAST(sm AS DOUBLE) / 1000000.0 / n AS REAL) ORDER BY pos) AS c
+           FROM u2p GROUP BY cluster),
+         c2 AS (
+           SELECT c1.cluster, coalesce(u2.c, c1.c) AS c
+           FROM c1 LEFT JOIN u2 USING (cluster)),
+         sf AS (
+           SELECT e.vec_id, cl.cluster,
+             CAST(list_sum(list_transform(range(64), j ->
+               CAST(floor(CAST(e.embedding[j+1] AS DOUBLE) * CAST(cl.c[j+1] AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS sc
+           FROM embeddings e CROSS JOIN c2 cl),
+         af AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn FROM sf) t WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, cluster FROM (
+             SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cluster ASC) AS rn
+             FROM sf WHERE vec_id < 10) t WHERE rn <= 4)"""
 
   /** The doc_bm25 oracle's CTE pipeline through the scored table `sc`
     * — shared verbatim by the doc_hybrid_search oracle's lexical leg so
@@ -4132,6 +4263,91 @@ object PipelineQueries {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Filtered search, exact pre-filter path: the emb_knn form with the
+    // metadata predicate in the pair generator (plain SQL WHERE — the
+    // whole point of the pre-filter path is that it IS the brute oracle).
+    "emb_filtered_topk" ->
+      """WITH pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10 AND c.label = 3)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM pairs) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Filtered search, IVF post-filter path: the shared Lloyd-replay
+    // chain routes probes exactly as emb_ivf; the candidate set is then
+    // the label survivors inside probed cells.
+    "emb_ivf_filtered" -> (IvfLloydCtes16 +
+      """,
+         cand AS (
+           SELECT qp.query_id, af.vec_id AS neighbor_id
+           FROM qp JOIN af USING (cluster)
+           JOIN embeddings lb ON lb.vec_id = af.vec_id
+           WHERE qp.query_id <> af.vec_id AND lb.label = 3),
+         sims AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                     JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+    // Filtered-ANN recall: both legs (IVF post-filter, exact
+    // pre-filter) replayed in full, per-query overlap counted — the
+    // emb_sq_rerank_recall discipline.
+    "emb_filtered_recall" -> (IvfLloydCtes16 +
+      """,
+         cand AS (
+           SELECT qp.query_id, af.vec_id AS neighbor_id
+           FROM qp JOIN af USING (cluster)
+           JOIN embeddings lb ON lb.vec_id = af.vec_id
+           WHERE qp.query_id <> af.vec_id AND lb.label = 3),
+         isims AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                     JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+         ivf AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id ASC) AS rank FROM isims) t
+           WHERE rank <= 5),
+         epairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10 AND c.label = 3),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id ASC) AS rank FROM epairs) t
+           WHERE rank <= 5),
+         hits AS (
+           SELECT i.query_id, count(*) AS n_hits_ivf
+           FROM ivf i JOIN exact e ON i.query_id = e.query_id
+             AND i.neighbor_id = e.neighbor_id
+           GROUP BY 1),
+         nex AS (
+           SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+         SELECT q.vec_id AS query_id,
+           coalesce(hits.n_hits_ivf, CAST(0 AS BIGINT)) AS n_hits_ivf,
+           coalesce(nex.n_exact, CAST(0 AS BIGINT)) AS n_exact
+         FROM embeddings q
+         LEFT JOIN hits ON hits.query_id = q.vec_id
+         LEFT JOIN nex ON nex.query_id = q.vec_id
+         WHERE q.vec_id < 10 ORDER BY query_id"""),
     // Model persist/load: the Spark side emits a constant table IFF
     // the parquet round-trip of every fitted artifact is bit-exact —
     // so the oracle is that constant table, and any mismatch (or a

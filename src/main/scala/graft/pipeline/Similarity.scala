@@ -199,6 +199,105 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Exact top-k under a row predicate — the PRE-FILTER path of
+    * filtered vector search (the "metadata filter + ANN" serving shape:
+    * FAISS IDSelector / the selective-search literature). The predicate
+    * lands on the corpus scan (Catalyst pushes a column predicate into
+    * the parquet reader), so at 100 TB the scan reads only the
+    * surviving row groups; the brute refine then costs
+    * O(survivors · |queries|) — the right plan when the filter is
+    * SELECTIVE (few survivors), where an IVF probe would crater recall
+    * (its probed cells may hold almost no survivors). Same output
+    * contract as [[knnJoin]]; may return fewer than `k` rows per query
+    * when fewer than `k` corpus rows satisfy the predicate. */
+  def filteredKnnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, pred: Column, k: Int): DataFrame =
+    knnJoin(queries, corpus.filter(pred), idCol, vecCol, k)
+
+  /** IVF probe path under a row predicate — the POST-FILTER side of
+    * filtered vector search. The coarse quantizer is trained on the
+    * FULL corpus (the production shape: the index is built once by a
+    * scheduled job; predicates arrive per query and must not retrain
+    * it — and it shares [[ivfCentroids]]' memo key with the unfiltered
+    * paths, so a serving mix of filtered and unfiltered queries trains
+    * ONCE). The predicate is applied to the corpus scan BEFORE cell
+    * assignment — per-row assignment commutes with filtering, so this
+    * equals assign-then-filter while letting the predicate push into
+    * the parquet scan and skipping the centroid dot products for
+    * non-survivors. Candidates are then the survivors in each query's
+    * `nprobe` nearest cells, exact-refined as in [[ivfJoin]].
+    *
+    * Recall caveat (the known filtered-ANN cliff): as selectivity
+    * drops, probed cells hold fewer survivors and recall falls —
+    * production systems raise `nprobe` or switch to the pre-filter
+    * exact path below a selectivity threshold, which is exactly what
+    * [[filteredTopKAuto]] automates. */
+  def filteredIvfJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, pred: Column, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus.filter(pred)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .withColumn("__cluster", nearestCentroid(col("__cvec"), centroids))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__probe", probeCells(col("__qvec"), centroids, nprobe))
+      .select(col("query_id"), col("__qvec"),
+        explode(col("__probe")).as("__cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probed.join(c, Seq("__cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Det.r(cosine(col("__qvec"), col("__cvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Fraction of `df` rows satisfying `pred` — ONE count aggregate,
+    * memoized per (canonicalized plan, predicate) via [[Models.memo]]
+    * exactly like [[Dedup.distinctRatio]]'s probe (same snapshot-keyed
+    * invalidation story: a new snapshot is a new path is a new key). */
+  private[graft] def selectivity(df: DataFrame, pred: Column): Double =
+    Models.memo(df, s"selectivity|$pred") {
+      val r = df.agg(count(lit(1)).as("n"),
+        count(when(pred, lit(1))).as("s")).head()
+      val n = r.getLong(0)
+      java.lang.Double.valueOf(
+        if (n == 0L) 0.0 else r.getLong(1).toDouble / n)
+    }.doubleValue()
+
+  /** Selectivity-adaptive filtered top-k — the dispatcher production
+    * vector stores ship (Milvus/LanceDB-style): one memoized
+    * selectivity probe, then
+    *
+    *  - selectivity < `minSelectivity` → [[filteredKnnJoin]] (exact
+    *    brute over the survivors: with few survivors the exact scan is
+    *    CHEAP — cost ∝ survivors — and the IVF path's recall would
+    *    crater because probed cells hold ~selectivity·(n/nlist)
+    *    survivors each);
+    *  - otherwise → [[filteredIvfJoin]] (the index amortizes: the
+    *    probe visits nprobe/nlist of the survivors, and dense
+    *    survivors keep per-cell candidate counts ≥ k).
+    *
+    * Both branches share the output contract, so callers never see the
+    * dispatch. The threshold trades exactness for cost at the
+    * boundary; 5% matches the gate corpus' label granularity (10
+    * labels → one label ≈ 10% routes to the index, a label∧id-stripe
+    * conjunction ≈ 1% routes exact). */
+  def filteredTopKAuto(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, pred: Column, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, iters: Int = 2,
+      minSelectivity: Double = 0.05): DataFrame = {
+    require(minSelectivity >= 0.0 && minSelectivity <= 1.0,
+      s"minSelectivity must be in [0, 1]: $minSelectivity")
+    if (selectivity(corpus, pred) < minSelectivity)
+      filteredKnnJoin(queries, corpus, idCol, vecCol, pred, k)
+    else
+      filteredIvfJoin(queries, corpus, idCol, vecCol, pred, k, nlist,
+        nprobe, iters)
+  }
+
   /** Exact embedding-cosine near-duplicate pairs — brute all-pairs
     * baseline (O(n²); the test oracle and small-corpus path, like
     * [[knnJoin]] for ANN). Returns (id_a, id_b, sim) with id_a < id_b and

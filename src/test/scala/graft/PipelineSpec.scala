@@ -573,6 +573,50 @@ class PipelineSpec extends SparkFunSuite {
     assert(hits >= 18, s"IVF top-1 recall $hits/20")
   }
 
+  test("filteredIvfJoin: hits satisfy the predicate; true-predicate ≡ ivfJoin") {
+    val qs = emb.filter(col("vec_id") < 10)
+    val pred = col("label") === 3
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val hits = Similarity.filteredIvfJoin(qs, emb, "vec_id", "embedding",
+      pred, k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { case (q, n) =>
+      assert(labels(n) == 3, s"neighbor $n of query $q violates the predicate")
+    }
+    // a vacuous predicate must reproduce the unfiltered probe path exactly
+    val unf = Similarity.ivfJoin(qs, emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val vac = Similarity.filteredIvfJoin(qs, emb, "vec_id", "embedding",
+      lit(true), k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(vac == unf)
+  }
+
+  test("filteredTopKAuto dispatches by the memoized selectivity probe") {
+    val qs = emb.filter(col("vec_id") < 5)
+    // exact fraction of label=3 rows drives both assertions below
+    val n = emb.count()
+    val n3 = emb.filter(col("label") === 3).count()
+    val sel = Similarity.selectivity(emb, col("label") === 3)
+    assert(sel == n3.toDouble / n)
+    // broad predicate (~10% > 5% default) -> the IVF post-filter path
+    val auto = Similarity.filteredTopKAuto(qs, emb, "vec_id", "embedding",
+      col("label") === 3, k = 3).orderBy("query_id", "rank").collect().toSeq
+    val ivf = Similarity.filteredIvfJoin(qs, emb, "vec_id", "embedding",
+      col("label") === 3, k = 3).orderBy("query_id", "rank").collect().toSeq
+    assert(auto == ivf)
+    // selective conjunction (~1%) -> the exact pre-filter path
+    val narrow = col("label") === 3 && col("vec_id") % 11 === 0
+    val auto2 = Similarity.filteredTopKAuto(qs, emb, "vec_id", "embedding",
+      narrow, k = 3).orderBy("query_id", "rank").collect().toSeq
+    val exact = Similarity.filteredKnnJoin(qs, emb, "vec_id", "embedding",
+      narrow, k = 3).orderBy("query_id", "rank").collect().toSeq
+    assert(auto2 == exact)
+    assert(Similarity.selectivity(emb, narrow) < 0.05)
+  }
+
   test("cosine HOF matches scala computation") {
     val rows = emb.limit(3).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
