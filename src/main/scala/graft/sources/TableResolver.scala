@@ -244,6 +244,96 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     commit(namespace, table, df, carryForward = true)
   }
 
+  /** Copy-on-write row delete — the Iceberg `DELETE FROM` COW shape
+    * (the other Iceberg mode, merge-on-read delete files, trades write
+    * amplification for read cost; COW is the right default for a
+    * batch-maintained analytics table). Rewrites the current
+    * snapshot's SURVIVORS into one new data dir and commits it as a
+    * replace-style snapshot, so every prior snapshot stays readable
+    * (time travel over the delete). Returns the number of rows
+    * deleted. At scale the predicate is a Catalyst column: it pushes
+    * into the parquet scan of the rewrite, and files whose row groups
+    * are entirely survivors are still rewritten — directory-granular
+    * manifests can't splice file lists; real Iceberg keeps untouched
+    * FILES, which is exactly the metadata granularity the offline
+    * image can't express (see the class scaladoc). */
+  def deleteWhere(namespace: String, table: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // SQL DELETE semantics: a NULL predicate row is NOT deleted. The
+    // naive survivor filter `!pred` is also NULL there — the row would
+    // vanish from BOTH the delete count and the survivors. Three-valued
+    // logic is collapsed once, and both legs use the same collapsed
+    // column, so matched + survivors is always the full row count.
+    val deleted = coalesce(pred, lit(false))
+    val cur = load(namespace, table)
+    val matched = cur.filter(deleted).count()
+    if (matched == 0L) return 0L // no-op deletes must not burn a snapshot
+    commit(namespace, table, cur.filter(not(deleted)), carryForward = false)
+    matched
+  }
+
+  /** Small-file compaction — the Iceberg `rewrite_data_files`
+    * bin-pack analogue, THE table-maintenance operation at 100 TB
+    * (streaming appends leave thousands of KB-sized files per
+    * partition; scan tasks then pay per-file open/footer costs and
+    * the driver pays per-file planning memory). Rewrites the current
+    * snapshot into ~`ceil(bytes / targetFileBytes)` files via
+    * `coalesce` (a partition-merge NARROW dependency — no shuffle: at
+    * 100 TB a compaction that shuffles every byte would double its own
+    * cost; `repartition` would also break any within-file ordering a
+    * writer established). Rows are unchanged; prior snapshots stay
+    * readable. Returns the new file count. No-ops (returns the
+    * current count) when the table is already at or below the target
+    * file count — compaction must never make MORE files. */
+  def compactFiles(namespace: String, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    val files = filesTable(namespace, table).collect()
+    val totalBytes = files.map(_.getLong(1)).sum
+    val target = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    if (files.length <= target) return files.length
+    commit(namespace, table, load(namespace, table).coalesce(target),
+      carryForward = false)
+    filesTable(namespace, table).count().toInt
+  }
+
+  /** Snapshot expiry — the Iceberg `expire_snapshots` analogue:
+    * drops every snapshot except the newest `keepLast`, then deletes
+    * the data dirs no surviving manifest references (orphan cleanup —
+    * a time-travel window must be bounded or COW deletes/compactions
+    * retain every byte ever written). The legacy flat layout (`.`)
+    * is never deleted: it IS the table dir. Returns the expired
+    * snapshot ids. */
+  def expireSnapshots(namespace: String, table: String,
+      keepLast: Int = 1): Seq[Long] = synchronized {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val dir = tblDir(namespace, table)
+    val all = snapshots(namespace, table)
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    if (expired.isEmpty) return Seq.empty
+    def dirsOf(v: Long): Set[String] = {
+      val mf = new java.io.File(dir, s"v$v.manifest")
+      if (mf.exists())
+        java.nio.file.Files.readAllLines(mf.toPath)
+          .toArray(Array.empty[String]).toSet.filter(_.nonEmpty)
+      else Set(".")
+    }
+    val keptDirs = kept.flatMap(dirsOf).toSet
+    val orphaned = expired.flatMap(dirsOf).toSet -- keptDirs - "."
+    expired.foreach { v =>
+      new java.io.File(dir, s"v$v.manifest").delete()
+      registry.remove((namespace, table, v)).foreach(_.unpersist(false))
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    orphaned.foreach(d => rm(new java.io.File(dir, d)))
+    expired
+  }
+
   override def dropNamespace(namespace: String): Unit = {
     synchronized {
       registry.keys.filter { case (n, _, _) =>

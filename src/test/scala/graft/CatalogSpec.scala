@@ -158,6 +158,78 @@ class CatalogSpec extends SparkFunSuite {
     assert(v2Files > curFiles.length, "append snapshot spans more files")
   }
 
+  test("deleteWhere: COW delete, time travel intact, NULL rows survive") {
+    val root = Files.createTempDirectory("del").toString
+    val cat = new ParquetCatalog(spark, root)
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "name")
+    cat.createOrReplace("ns", "t", df)
+    // delete by predicate: matched count returned, survivors committed
+    assert(cat.deleteWhere("ns", "t", col("name") === "a") === 2L)
+    assert(cat.snapshots("ns", "t") === Seq(1L, 2L))
+    // NULL-predicate rows are NOT deleted (SQL DELETE three-valued logic)
+    assert(cat.load("ns", "t").select("id").as[Long].collect().sorted
+      === Array(2L, 3L))
+    // time travel: the pre-delete snapshot still reads in full
+    assert(cat.loadAt("ns", "t", 1L).count() === 4)
+    // a no-match delete returns 0 and burns no snapshot
+    assert(cat.deleteWhere("ns", "t", col("id") === 99L) === 0L)
+    assert(cat.snapshots("ns", "t") === Seq(1L, 2L))
+    // the delete snapshot reads as a replace in .snapshots
+    val ops = cat.snapshotsTable("ns", "t")
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(ops(2L) === "replace")
+  }
+
+  test("compactFiles: bin-packs small files, rows unchanged, history kept") {
+    val root = Files.createTempDirectory("cmp").toString
+    val cat = new ParquetCatalog(spark, root)
+    // 8 appends of 1 file each -> a 9-file table (streaming-append shape)
+    cat.createOrReplace("ns", "t",
+      Seq((0L, "r0")).toDF("id", "name").coalesce(1))
+    (1 to 8).foreach(i => cat.append("ns", "t",
+      Seq((i.toLong, s"r$i")).toDF("id", "name").coalesce(1)))
+    val before = cat.filesTable("ns", "t").count()
+    assert(before >= 9, s"expected >=9 files, got $before")
+    val rowsBefore = cat.load("ns", "t").as[(Long, String)].collect().toSet
+    // huge target -> everything bin-packs into one file
+    val after = cat.compactFiles("ns", "t")
+    assert(after === 1, s"expected 1 file after compaction, got $after")
+    assert(cat.load("ns", "t").as[(Long, String)].collect().toSet
+      === rowsBefore)
+    // the pre-compaction snapshot still reads (time travel)
+    assert(cat.loadAt("ns", "t", 9L).count() === 9)
+    // already-compact tables no-op: same count, no new snapshot
+    val snaps = cat.snapshots("ns", "t")
+    assert(cat.compactFiles("ns", "t") === 1)
+    assert(cat.snapshots("ns", "t") === snaps)
+  }
+
+  test("expireSnapshots: bounds time travel, cleans orphaned data dirs") {
+    val root = Files.createTempDirectory("exp").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("ns", "t", Seq((1L, "a")).toDF("id", "name"))
+    cat.append("ns", "t", Seq((2L, "b")).toDF("id", "name"))
+    cat.createOrReplace("ns", "t", Seq((9L, "z")).toDF("id", "name"))
+    cat.append("ns", "t", Seq((10L, "y")).toDF("id", "name"))
+    assert(cat.snapshots("ns", "t") === Seq(1L, 2L, 3L, 4L))
+    assert(cat.expireSnapshots("ns", "t", keepLast = 1) === Seq(1L, 2L, 3L))
+    assert(cat.snapshots("ns", "t") === Seq(4L))
+    // current still reads in full; expired versions reject
+    assert(cat.load("ns", "t").select("id").as[Long].collect().sorted
+      === Array(9L, 10L))
+    assertThrows[IllegalArgumentException](cat.loadAt("ns", "t", 2L))
+    // d1/d2 fed only snapshots 1-2 (replaced at v3) -> orphaned + removed;
+    // d3/d4 are referenced by the kept v4 manifest -> retained
+    val tdir = new java.io.File(root, "ns/t")
+    assert(!new java.io.File(tdir, "d1").exists())
+    assert(!new java.io.File(tdir, "d2").exists())
+    assert(new java.io.File(tdir, "d3").exists())
+    assert(new java.io.File(tdir, "d4").exists())
+    // expiring when nothing is expirable returns empty
+    assert(cat.expireSnapshots("ns", "t", keepLast = 3) === Seq.empty)
+  }
+
   test("partitioned writes prune partitions at the scan") {
     val dir = Files.createTempDirectory("part").toString
     val ev = Tables.events(spark, sf())
