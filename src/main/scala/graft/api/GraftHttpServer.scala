@@ -128,6 +128,9 @@ final class GraftHttpServer(
               |<input type="file" name="files" multiple>
               |<button type="submit">Upload</button></form>
               |</body></html>""".stripMargin)
+        case Array("api", "maintenance", ns, table, op)
+            if ex.getRequestMethod == "POST" =>
+          maintenance(ex, ns, table, op)
         case Array("api", "events") =>
           events(ex)
         case Array("api", "health") =>
@@ -696,6 +699,61 @@ final class GraftHttpServer(
         controlPlane.connect(sid)
         try body finally controlPlane.disconnect(sid)
     }
+
+  /** POST /api/maintenance/{ns}/{table}/{compact|expire|delete} — the
+    * Iceberg maintenance triple over the wire (control-plane POSTs, so
+    * a scheduler can drive table upkeep without library access):
+    *
+    *  - `compact?targetFileBytes=N` → `{"files": n}` (bin-pack toward N)
+    *  - `expire?keepLast=K` → `{"expired": [ids…]}` (bound time travel)
+    *  - `delete?where=<expr>` → `{"deleted": n}` — the predicate runs
+    *    through the SAME [[WhereSanitizer]] parse-tree allowlist as the
+    *    query surface (P2): a mutating route accepting weaker input
+    *    than the read route would be the obvious injection target.
+    *
+    * Catalogs that don't implement [[graft.sources.TableMaintenance]]
+    * (read-only REST bindings) answer 501. */
+  private def maintenance(ex: HttpExchange, ns: String, table: String,
+      op: String): Unit = {
+    FeatureServer.validateName(ns)
+    FeatureServer.validateName(table)
+    val cat = resolver match {
+      case m: graft.sources.TableMaintenance => m
+      case _ => throw HttpError(501, "catalog does not support maintenance")
+    }
+    if (!resolver.listTables(ns).contains(table))
+      throw HttpError(404, s"no such table: $ns.$table")
+    val params = requestParams(ex)
+    val body = op match {
+      case "compact" =>
+        val target = params.get("targetFileBytes")
+          .map(s => s.toLongOption.filter(_ > 0).getOrElse(
+            throw HttpError(400, s"invalid targetFileBytes: $s")))
+          .getOrElse(128L * 1024 * 1024)
+        s"""{"files":${cat.compactFiles(ns, table, target)}}"""
+      case "expire" =>
+        val keep = params.get("keepLast")
+          .map(s => s.toIntOption.filter(_ >= 1).getOrElse(
+            throw HttpError(400, s"invalid keepLast: $s")))
+          .getOrElse(1)
+        val ids = cat.expireSnapshots(ns, table, keep)
+        s"""{"expired":[${ids.mkString(",")}]}"""
+      case "delete" =>
+        val where = params.getOrElse("where",
+          throw HttpError(400, "delete requires a where parameter"))
+        val cond =
+          try org.apache.spark.sql.functions.expr(
+            graft.engine.WhereSanitizer.sanitize(spark, where))
+          catch {
+            case e: graft.engine.WhereSanitizer.SanitizeException =>
+              throw HttpError(400, e.getMessage)
+          }
+        s"""{"deleted":${cat.deleteWhere(ns, table, cond)}}"""
+      case other =>
+        throw HttpError(404, s"unknown maintenance operation: $other")
+    }
+    respond(ex, 200, "application/json", body)
+  }
 
   /** URL query + form body merged (ArcPro sends both; form wins). */
   private def requestParams(ex: HttpExchange): Map[String, String] = {

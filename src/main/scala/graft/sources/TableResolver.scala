@@ -32,6 +32,26 @@ trait TableResolver {
   def dropNamespace(namespace: String): Unit
 }
 
+/** Table-maintenance surface (the Iceberg `DELETE FROM` /
+  * `rewrite_data_files` / `expire_snapshots` triple) — split from
+  * [[TableResolver]] because read-only resolvers (a production
+  * REST-catalog binding without write credentials) legitimately don't
+  * have it; the HTTP maintenance routes probe for this trait and
+  * answer 501 when the catalog can't. */
+trait TableMaintenance {
+  /** Copy-on-write row delete; returns rows deleted. */
+  def deleteWhere(namespace: String, table: String,
+      pred: org.apache.spark.sql.Column): Long
+  /** Bin-pack the current snapshot toward `targetFileBytes`; returns
+    * the resulting file count. */
+  def compactFiles(namespace: String, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int
+  /** Expire all but the newest `keepLast` snapshots; returns the
+    * expired snapshot ids. */
+  def expireSnapshots(namespace: String, table: String,
+      keepLast: Int = 1): Seq[Long]
+}
+
 /** Directory-backed implementation with Iceberg-like snapshot semantics:
   *
   * {{{
@@ -56,7 +76,8 @@ trait TableResolver {
   * 0x1F separator maps to '/' here).
   */
 final class ParquetCatalog(spark: SparkSession, root: String,
-    cacheSnapshots: Boolean = true) extends TableResolver {
+    cacheSnapshots: Boolean = true) extends TableResolver
+    with TableMaintenance {
 
   private def nsDir(ns: String) = new java.io.File(root, ns.replace('.', '/'))
   private def tblDir(ns: String, t: String) = new java.io.File(nsDir(ns), t)
@@ -257,7 +278,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * manifests can't splice file lists; real Iceberg keeps untouched
     * FILES, which is exactly the metadata granularity the offline
     * image can't express (see the class scaladoc). */
-  def deleteWhere(namespace: String, table: String,
+  override def deleteWhere(namespace: String, table: String,
       pred: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     // SQL DELETE semantics: a NULL predicate row is NOT deleted. The
@@ -286,7 +307,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * readable. Returns the new file count. No-ops (returns the
     * current count) when the table is already at or below the target
     * file count — compaction must never make MORE files. */
-  def compactFiles(namespace: String, table: String,
+  override def compactFiles(namespace: String, table: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val files = filesTable(namespace, table).collect()
@@ -306,7 +327,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * retain every byte ever written). The legacy flat layout (`.`)
     * is never deleted: it IS the table dir. Returns the expired
     * snapshot ids. */
-  def expireSnapshots(namespace: String, table: String,
+  override def expireSnapshots(namespace: String, table: String,
       keepLast: Int = 1): Seq[Long] = synchronized {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val dir = tblDir(namespace, table)

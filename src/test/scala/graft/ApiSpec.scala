@@ -399,6 +399,95 @@ class ApiSpec extends SparkFunSuite {
     assert(seen.size === 2, "unsubscribed listener still notified")
   }
 
+  test("maintenance routes: delete/compact/expire over HTTP; sanitizer + 501") {
+    import java.nio.file.Files
+    import graft.api.GraftHttpServer
+    import graft.sources.ParquetCatalog
+    val root = Files.createTempDirectory("maint").toString
+    val cat = new ParquetCatalog(spark, root)
+    import spark.implicits._
+    cat.createOrReplace("ns", "t",
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "name").coalesce(1))
+    (4 to 8).foreach(i => cat.append("ns", "t",
+      Seq((i.toLong, "c")).toDF("id", "name").coalesce(1)))
+    val srv = new GraftHttpServer(spark, cat, maxConcurrent = 2, port = 0,
+      pollIntervalMillis = 3600000L)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def post(path: String): (Int, String) = {
+      val conn = new java.net.URL(base + path).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), "UTF-8"); is.close()
+      (code, body)
+    }
+    try {
+      // delete through the query-surface sanitizer
+      val (cd, bd) = post("/api/maintenance/ns/t/delete?where=name%3D%27a%27")
+      assert(cd === 200 && bd === """{"deleted":2}""", bd)
+      assert(cat.load("ns", "t").count() === 6)
+      // the sanitizer rejection vectors apply to the mutating route too
+      val (cs, bs) = post(
+        "/api/maintenance/ns/t/delete?where=id%3D1%3B%20DROP%20TABLE%20x")
+      assert(cs === 400, bs)
+      assert(post("/api/maintenance/ns/t/delete")._1 === 400) // where required
+      // compact the append-accumulated small files into one
+      val (cc, bc) = post("/api/maintenance/ns/t/compact")
+      assert(cc === 200 && bc === """{"files":1}""", bc)
+      assert(cat.load("ns", "t").count() === 6)
+      // expire everything but the compacted snapshot
+      val (ce, be) = post("/api/maintenance/ns/t/expire?keepLast=1")
+      assert(ce === 200 && be.startsWith("""{"expired":["""), be)
+      assert(cat.snapshots("ns", "t").size === 1)
+      // unknown op, bad params, missing table, invalid name
+      assert(post("/api/maintenance/ns/t/vacuum")._1 === 404)
+      assert(post("/api/maintenance/ns/t/compact?targetFileBytes=0")._1 === 400)
+      assert(post("/api/maintenance/ns/t/expire?keepLast=0")._1 === 400)
+      assert(post("/api/maintenance/ns/nope/compact")._1 === 404)
+      // an encoded traversal splits into extra path segments -> unrouted
+      assert(post("/api/maintenance/ns/..%2Fevil/compact")._1 === 404)
+      // a non-path-shaped invalid name is rejected by validateName
+      assert(post("/api/maintenance/ns/bad%24name/compact")._1 === 400)
+      // GET on a maintenance path is not routed (control-plane POST only)
+      val conn = new java.net.URL(base + "/api/maintenance/ns/t/compact")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 404)
+    } finally srv.stop()
+
+    // a resolver WITHOUT the maintenance trait answers 501
+    val ro = new graft.sources.TableResolver {
+      def load(ns: String, t: String) = cat.load(ns, t)
+      def loadAt(ns: String, t: String, v: Long) = cat.loadAt(ns, t, v)
+      def snapshots(ns: String, t: String) = cat.snapshots(ns, t)
+      def listNamespaces() = cat.listNamespaces()
+      def listTables(ns: String) = cat.listTables(ns)
+      def createOrReplace(ns: String, t: String,
+          df: org.apache.spark.sql.DataFrame) = ()
+      def append(ns: String, t: String,
+          df: org.apache.spark.sql.DataFrame) = ()
+      def dropNamespace(ns: String) = ()
+    }
+    val srv2 = new GraftHttpServer(spark, ro, maxConcurrent = 2, port = 0,
+      pollIntervalMillis = 3600000L)
+    srv2.start()
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${srv2.boundPort}/api/maintenance/ns/t/compact")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode === 501)
+    } finally {
+      srv2.stop()
+      // unpersist the catalog's snapshot registry (the JVM-wide
+      // zero-persist invariant is asserted by PipelineSpec)
+      cat.dropNamespace("ns")
+    }
+  }
+
   test("HTTP listener end-to-end: metadata, query formats byte-equal to in-process, lifecycle") {
     import java.nio.file.Files
     import graft.api.GraftHttpServer

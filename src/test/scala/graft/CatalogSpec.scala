@@ -28,6 +28,7 @@ class CatalogSpec extends SparkFunSuite {
     cat.dropNamespace("colorado.parks")
     assert(cat.listTables("colorado").contains("lines"))
     assert(!cat.listNamespaces().contains("colorado.parks"))
+    cat.dropNamespace("colorado") // unpersist (zero-persist invariant)
   }
 
   test("snapshot pinning: loadAt reads the pinned version; replace keeps history") {
@@ -46,6 +47,7 @@ class CatalogSpec extends SparkFunSuite {
     assert(cat.load("ns", "t").count() === 1)
     assert(cat.loadAt("ns", "t", 2L).count() === 3)
     assertThrows[IllegalArgumentException](cat.loadAt("ns", "t", 4L))
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("snapshot cache: same-version load reuses the plan; new version evicts") {
@@ -62,6 +64,7 @@ class CatalogSpec extends SparkFunSuite {
     assert(d2.count() === 2)
     assert(d1.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
       "stale snapshot must be evicted from the cache registry")
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("snapshot cache: repeated pinned reads stay cached while current is unchanged") {
@@ -82,6 +85,7 @@ class CatalogSpec extends SparkFunSuite {
     cat.load("ns", "t")
     assert(pinned.storageLevel ===
       org.apache.spark.storage.StorageLevel.NONE)
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("schema cache: TTL hit, version-aware revalidation, invalidate") {
@@ -124,6 +128,7 @@ class CatalogSpec extends SparkFunSuite {
     sc.invalidate("ns", "t")
     sc.describe("ns", "t")
     assert(loads === 3)
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("IcebergSqlCatalog emits injection-safe, runtime-correct SQL") {
@@ -156,6 +161,7 @@ class CatalogSpec extends SparkFunSuite {
     assert(curFiles.nonEmpty && curFiles.forall(_._2 > 0))
     val v2Files = cat.filesTable("ns", "t", Some(2L)).count()
     assert(v2Files > curFiles.length, "append snapshot spans more files")
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("deleteWhere: COW delete, time travel intact, NULL rows survive") {
@@ -179,6 +185,7 @@ class CatalogSpec extends SparkFunSuite {
     val ops = cat.snapshotsTable("ns", "t")
       .select("version", "operation").as[(Long, String)].collect().toMap
     assert(ops(2L) === "replace")
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("compactFiles: bin-packs small files, rows unchanged, history kept") {
@@ -203,6 +210,7 @@ class CatalogSpec extends SparkFunSuite {
     val snaps = cat.snapshots("ns", "t")
     assert(cat.compactFiles("ns", "t") === 1)
     assert(cat.snapshots("ns", "t") === snaps)
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("expireSnapshots: bounds time travel, cleans orphaned data dirs") {
@@ -228,6 +236,7 @@ class CatalogSpec extends SparkFunSuite {
     assert(new java.io.File(tdir, "d4").exists())
     // expiring when nothing is expirable returns empty
     assert(cat.expireSnapshots("ns", "t", keepLast = 3) === Seq.empty)
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
   test("partitioned writes prune partitions at the scan") {
