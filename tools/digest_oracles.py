@@ -135,6 +135,21 @@ def connect(sf_dir):
     # exploded shingles) spills >70GB under a 24GB cap and runs /tmp out
     # of disk; at 96GB it stays in RAM on the 128GB soak box
     con.execute("SET memory_limit='96GB'")
+    # Insertion order is meaningless to every check this tool performs
+    # (digest COUNTS, and table_hash sorts rows before hashing; stage
+    # files are re-read through views, so their file order is opaque) —
+    # dropping it lets DuckDB stream large COPY/aggregate pipelines
+    # instead of buffering them for order, which is the difference
+    # between the sf10 minhash replay finishing and the allocator dying
+    # at the 96GB cap (observed: OOM inside the sig-pipeline COPY).
+    con.execute("SET preserve_insertion_order=false")
+    # 8 threads: per-thread operator buffering is what actually kills
+    # the sf10 minhash replay — at 32 threads the 102M-row shingle
+    # pipeline OOMs the 96GB cap inside a stage COPY even with
+    # insertion order dropped; at 8 it completes with ~14GB RSS
+    # (measured; stages stream at 0.5-3 min each). Wall cost at the
+    # small scales is noise next to the correctness of finishing.
+    con.execute("SET threads=8")
     # per-process spill dir: concurrent checkers sharing one spill
     # directory clobber each other's temp files (observed: IOException
     # mid-query when a sibling process recreated the dir)
