@@ -81,6 +81,116 @@ object Models {
     v
   }
 
+  // ---- artifact store: train-once ACROSS snapshots (r16 verdict #5) --
+  // The plan-keyed memo deliberately misses after an append (new data
+  // dir → new leaf paths → new key): that is correct for STATISTICS,
+  // but retraining an ANN codebook on every appended batch is not how
+  // production serves — coarse quantizers are scheduled jobs, and
+  // serving ASSIGNS new rows against the fitted model until the next
+  // retrain. With a store enabled, trainers consult it under a STABLE
+  // key (snapshot data-dir segments stripped from the leaf paths, so
+  // the key names the logical table + the query shape + params, not
+  // the snapshot) and load the persisted artifact instead of
+  // retraining.
+  //
+  // Staleness contract: an APPEND serves the stored model unchanged
+  // (new rows are assigned, never retrained-for — bounded recall drift
+  // until the next scheduled retrain, the Milvus/FAISS-segment
+  // production shape); a REPLACE or a row DELETE drops the table's
+  // stored artifacts ([[dropStored]], wired in the catalog's write
+  // paths) because the corpus the model summarizes is gone; COMPACTION
+  // preserves rows bit-for-bit and keeps artifacts valid. Retraining
+  // is explicit: delete the artifact (or call [[dropStored]]) and the
+  // next query trains + persists fresh.
+  @volatile private var storeRoot: Option[String] = scala.None
+
+  /** Enable (Some(dir)) / disable (None) the artifact store. */
+  def setStore(path: Option[String]): Unit = { storeRoot = path }
+  def storeEnabled: Boolean = storeRoot.isDefined
+
+  /** Stable artifact key: canonicalized plan STRING (filters and
+    * projections print; leaf relations print schema-only, never paths)
+    * + leaf root paths with the per-snapshot segments stripped — a
+    * `part-*.parquet` file name, then a `d<N>` write-dir name — so
+    * every snapshot of one catalog table folds to the same key. The
+    * plain parquet-directory case (no `d<N>` segment) passes through
+    * unchanged. semanticHash is deliberately EXCLUDED: it hashes the
+    * relation objects and would re-split the key per snapshot. */
+  private[graft] def stableKey(df: DataFrame,
+      extra: String): (String, Seq[String]) = {
+    val plan = df.queryExecution.analyzed
+    val roots = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map { p =>
+              var segs = p.toUri.getPath.split('/').toSeq
+              if (segs.nonEmpty && segs.last.startsWith("part-") &&
+                segs.last.endsWith(".parquet")) segs = segs.dropRight(1)
+              if (segs.nonEmpty && segs.last.matches("d\\d+"))
+                segs = segs.dropRight(1)
+              segs.mkString("/")
+            }.toSeq
+          case other => Seq(other.toString)
+        }
+    }.flatten.distinct.sorted
+    val material = Seq(plan.canonicalized.toString,
+      roots.mkString(";"), extra).mkString("\n--\n")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(material.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(digest),
+      roots)
+  }
+
+  /** Drop every stored artifact whose table root starts with `prefix`
+    * (canonical path of a table or namespace dir). Called by the
+    * catalog's replace/delete/drop paths — see the staleness contract
+    * above. */
+  def dropStored(prefix: String): Unit = storeRoot.foreach { root =>
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach { d =>
+        val meta = new java.io.File(d, "_roots.txt")
+        val hit = meta.exists() &&
+          java.nio.file.Files.readAllLines(meta.toPath)
+            .toArray(Array.empty[String])
+            .exists(r => r == prefix || r.startsWith(prefix + "/"))
+        if (hit) rm(d)
+      }
+  }
+
+  /** [[memo]] with the artifact store behind it: JVM memo → stored
+    * artifact (loaded, then memoized) → train + persist + memoize. */
+  private[pipeline] def memoStored[T <: AnyRef](df: DataFrame,
+      extra: String,
+      save: (SparkSession, String, T) => Unit,
+      load: (SparkSession, String) => T)(train: => T): T = {
+    val root = storeRoot.getOrElse { return memo(df, extra)(train) }
+    val pk = planKey(df, extra)
+    val hit = cache.get(pk)
+    if (hit != null) return hit.asInstanceOf[T]
+    val (sk, roots) = stableKey(df, extra)
+    val dir = new java.io.File(root, sk)
+    val model = new java.io.File(dir, "model")
+    val spark = df.sparkSession
+    val v =
+      if (new java.io.File(model, "_SUCCESS").exists())
+        load(spark, model.getPath)
+      else {
+        val trained = train
+        save(spark, model.getPath, trained)
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, "_roots.txt").toPath,
+          roots.mkString("", "\n", "\n"))
+        trained
+      }
+    if (cache.size >= 256) cache.clear()
+    cache.put(pk, v)
+    v
+  }
+
   // ---- persist/load: models as small parquet tables ----------------
   // Each save writes a single-partition parquet table (the artifact is
   // KB-scale by construction); each load sorts by the key columns so

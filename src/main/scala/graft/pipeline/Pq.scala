@@ -125,7 +125,8 @@ object Pq {
     * [[Similarity.ivfCentroids]] for the contract. */
   def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int = 8, k: Int = 16, iters: Int = 2): Model =
-    Models.memo(df, s"pq|$idCol|$vecCol|$dim|$m|$k|$iters") {
+    Models.memoStored(df, s"pq|$idCol|$vecCol|$dim|$m|$k|$iters",
+      Models.savePq, Models.loadPq) {
       trainModel(df, idCol, vecCol, dim, m, k, iters)
     }
 

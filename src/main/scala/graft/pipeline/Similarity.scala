@@ -95,10 +95,15 @@ object Similarity {
     * Memoized per (corpus plan, params) via [[Models.memo]]
     * (round-15 verdict #1): repeated ANN queries — or the emb_ivf /
     * emb_ivfsq / emb_ivfpq gate family in one suite run — train once
-    * and share the codebook; a new snapshot misses naturally. */
+    * and share the codebook; a new snapshot misses naturally. With the
+    * [[Models]] artifact store enabled, the codebook additionally
+    * persists under a snapshot-stable key, so an APPEND serves the
+    * fitted model instead of retraining (round-16 verdict #5 — see the
+    * staleness contract in [[Models]]). */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): Array[Array[Float]] =
-    Models.memo(df, s"ivf|$idCol|$vecCol|$nlist|$iters") {
+    Models.memoStored(df, s"ivf|$idCol|$vecCol|$nlist|$iters",
+      Models.saveIvf, Models.loadIvf) {
       trainIvfCentroids(df, idCol, vecCol, nlist, iters)
     }
 

@@ -43,7 +43,8 @@ object Sq {
     * Memoized per (corpus plan, params) via [[Models.memo]] — see
     * [[Similarity.ivfCentroids]] for the contract. */
   def train(df: DataFrame, vecCol: String, dim: Int): Model =
-    Models.memo(df, s"sq|$vecCol|$dim")(trainModel(df, vecCol, dim))
+    Models.memoStored(df, s"sq|$vecCol|$dim", Models.saveSq, Models.loadSq)(
+      trainModel(df, vecCol, dim))
 
   private def trainModel(df: DataFrame, vecCol: String, dim: Int): Model = {
     require(dim > 0, s"dim must be positive: $dim")
