@@ -724,7 +724,13 @@ final class GraftHttpServer(
     if (!resolver.listTables(ns).contains(table))
       throw HttpError(404, s"no such table: $ns.$table")
     val params = requestParams(ex)
-    val body = op match {
+    // ALL Spark work inside a gate slot, like every other Spark-executing
+    // route (query/bbox/upload): maintenance ops run real jobs (survivor
+    // rewrites, compaction scans), and dispatching them on the bare
+    // handler thread would let unbounded concurrent POSTs drive Spark
+    // past maxConcurrent — the admission semaphore, not socket accept,
+    // is what the fixed thread pool is sized against.
+    val body = gate.run(spark, params.getOrElse("pool", "ingest")) { op match {
       case "compact" =>
         val target = params.get("targetFileBytes")
           .map(s => s.toLongOption.filter(_ > 0).getOrElse(
@@ -748,10 +754,18 @@ final class GraftHttpServer(
             case e: graft.engine.WhereSanitizer.SanitizeException =>
               throw HttpError(400, e.getMessage)
           }
-        s"""{"deleted":${cat.deleteWhere(ns, table, cond)}}"""
+        // a sanitizer-clean predicate can still reference a column the
+        // table doesn't have — that's caller input, not a server fault
+        val n =
+          try cat.deleteWhere(ns, table, cond)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw HttpError(400, s"invalid where predicate: ${e.getMessage}")
+          }
+        s"""{"deleted":$n}"""
       case other =>
         throw HttpError(404, s"unknown maintenance operation: $other")
-    }
+    } }
     respond(ex, 200, "application/json", body)
   }
 

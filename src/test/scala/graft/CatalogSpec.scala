@@ -213,6 +213,137 @@ class CatalogSpec extends SparkFunSuite {
     cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
   }
 
+  test("deleteWhere: file-granular COW rewrites ONLY files containing matches") {
+    val root = Files.createTempDirectory("fdel").toString
+    val cat = new ParquetCatalog(spark, root)
+    // two single-file commits -> a 2-file table with known row->file mapping
+    cat.createOrReplace("ns", "t",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1))
+    cat.append("ns", "t",
+      Seq((3L, "c"), (4L, "d")).toDF("id", "name").coalesce(1))
+    val before = cat.filesTable("ns", "t").as[(String, Long)].collect()
+    assert(before.length === 2)
+    val untouchedPath = before.map(_._1).find(_.contains("/d1/")).get
+    val untouchedMtime = new java.io.File(untouchedPath).lastModified()
+    // warm the snapshot registry (the serving-path steady state): the
+    // delete's schema lookup must not count as a job
+    assert(cat.load("ns", "t").count() === 4)
+    // count Spark jobs: discovery + survivor rewrite only — the separate
+    // count job is gone (the deleted count is an observe() metric on the
+    // rewrite job itself), and the accumulator-based discovery is one
+    // shuffle-free job.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(j.stageInfos.map(s => s.name).mkString("|"))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try {
+        val n = cat.deleteWhere("ns", "t", col("id") === 3L)
+        // listener events post asynchronously; wait for stability
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 20) {
+          last = jobs.get(); Thread.sleep(100); spins += 1
+        }
+        n
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(n === 1L)
+    assert(jobs.get() <= 2, s"delete ran ${jobs.get()} jobs — separate " +
+      s"count job? [${java.util.Arrays.toString(descs.toArray)}]")
+    // the d1 file was clean: it must carry into the new snapshot VERBATIM
+    // (same path, same bytes on disk — never rewritten). This is the
+    // 100 TB property: write amplification proportional to matched files.
+    val after = cat.filesTable("ns", "t").as[(String, Long)].collect()
+    assert(after.map(_._1).contains(untouchedPath),
+      "untouched file must be referenced by the post-delete manifest")
+    assert(new java.io.File(untouchedPath).lastModified() === untouchedMtime,
+      "untouched file must not be rewritten")
+    assert(after.forall(f => !f._1.contains("/d2/")),
+      "the touched file must be replaced, not carried")
+    assert(cat.load("ns", "t").select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 4L))
+    // time travel across the file-spliced delete
+    assert(cat.loadAt("ns", "t", 2L).count() === 4)
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
+  }
+
+  test("compactFiles: merges only the small-file tail; large files carry") {
+    val root = Files.createTempDirectory("tail").toString
+    val cat = new ParquetCatalog(spark, root)
+    // one well-formed file (500 rows, comfortably over the target) plus
+    // four 1-row stragglers — the streaming-append tail shape
+    cat.createOrReplace("ns", "t",
+      (0L until 500L).map(i => (i, s"row$i")).toDF("id", "name").coalesce(1))
+    (1 to 4).foreach(i => cat.append("ns", "t",
+      Seq((1000L + i, s"tail$i")).toDF("id", "name").coalesce(1)))
+    val before = cat.filesTable("ns", "t").as[(String, Long)].collect()
+    assert(before.length === 5)
+    val target = 1500L
+    val bigPath = before.maxBy(_._2)._1
+    assert(new java.io.File(bigPath).length() >= target,
+      "test premise: the 500-row file must exceed the target")
+    val bigMtime = new java.io.File(bigPath).lastModified()
+    val rowsBefore = cat.load("ns", "t").as[(Long, String)].collect().toSet
+    val after = cat.compactFiles("ns", "t", targetFileBytes = target)
+    assert(after < before.length, "the tail must have merged")
+    val files = cat.filesTable("ns", "t").as[(String, Long)].collect()
+    assert(files.map(_._1).contains(bigPath),
+      "the large file must carry into the compacted snapshot")
+    assert(new java.io.File(bigPath).lastModified() === bigMtime,
+      "the large file must not be rewritten")
+    assert(cat.load("ns", "t").as[(Long, String)].collect().toSet
+      === rowsBefore)
+    // merge-only bin-packing converges: a pass may leave half-full
+    // files another pass can still merge (coalesce can produce fewer
+    // output files than the byte target when tiny inputs collapse into
+    // one read partition), but once the tail is a single file no pass
+    // can shrink it further — drive to the fixpoint, then assert the
+    // next call is a true no-op (same count, no burned snapshot)
+    var prev = after
+    var cur = cat.compactFiles("ns", "t", targetFileBytes = target)
+    var rounds = 0
+    while (cur != prev && rounds < 3) {
+      prev = cur; cur = cat.compactFiles("ns", "t", targetFileBytes = target)
+      rounds += 1
+    }
+    val snaps = cat.snapshots("ns", "t")
+    assert(cat.compactFiles("ns", "t", targetFileBytes = target) === cur)
+    assert(cat.snapshots("ns", "t") === snaps)
+    assert(cat.load("ns", "t").as[(Long, String)].collect().toSet
+      === rowsBefore)
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
+  }
+
+  test("expireSnapshots: reclaims the file a delete replaced, keeps siblings") {
+    val root = Files.createTempDirectory("fexp").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.createOrReplace("ns", "t",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1))
+    cat.append("ns", "t",
+      Seq((3L, "c"), (4L, "d")).toDF("id", "name").coalesce(1))
+    val files = cat.filesTable("ns", "t").as[(String, Long)].collect()
+    val d1File = new java.io.File(files.map(_._1).find(_.contains("/d1/")).get)
+    val d2File = new java.io.File(files.map(_._1).find(_.contains("/d2/")).get)
+    cat.deleteWhere("ns", "t", col("id") === 3L)
+    // both files still on disk: v1/v2 time travel needs d2's original
+    assert(d2File.exists())
+    assert(cat.expireSnapshots("ns", "t", keepLast = 1) === Seq(1L, 2L))
+    // d2's replaced file is orphaned -> reclaimed; d1's clean file is
+    // referenced by the delete snapshot -> kept
+    assert(!d2File.exists(), "replaced file must be reclaimed by expiry")
+    assert(d1File.exists(), "carried file must survive expiry")
+    assert(cat.load("ns", "t").select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 4L))
+    cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
+  }
+
   test("expireSnapshots: bounds time travel, cleans orphaned data dirs") {
     val root = Files.createTempDirectory("exp").toString
     val cat = new ParquetCatalog(spark, root)
@@ -237,6 +368,40 @@ class CatalogSpec extends SparkFunSuite {
     // expiring when nothing is expirable returns empty
     assert(cat.expireSnapshots("ns", "t", keepLast = 3) === Seq.empty)
     cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
+  }
+
+  test("model artifact store: append reuses the artifact, replace drops it") {
+    val tmp = Files.createTempDirectory("mstore")
+    val cat = new ParquetCatalog(spark, new java.io.File(tmp.toFile, "cat").getPath)
+    def vecs(seed: Int): org.apache.spark.sql.DataFrame =
+      (0 until 32).map(i => (i.toLong,
+        Seq.tabulate(4)(j => (seed + i * 7 + j).toFloat)))
+        .toDF("vec_id", "embedding")
+    cat.createOrReplace("ns", "emb", vecs(0))
+    graft.pipeline.Models.setStore(
+      Some(new java.io.File(tmp.toFile, "store").getPath))
+    try {
+      val m1 = graft.pipeline.Similarity.ivfCentroids(
+        cat.load("ns", "emb"), "vec_id", "embedding", 4)
+      cat.append("ns", "emb",
+        Seq((999L, Seq.fill(4)(500.0f))).toDF("vec_id", "embedding"))
+      val m2 = graft.pipeline.Similarity.ivfCentroids(
+        cat.load("ns", "emb"), "vec_id", "embedding", 4)
+      assert(m1.flatten.map(java.lang.Float.floatToRawIntBits).toSeq
+        === m2.flatten.map(java.lang.Float.floatToRawIntBits).toSeq,
+        "append must serve the stored artifact bit-for-bit")
+      // REPLACE discards the corpus: the artifact must drop and the
+      // next query retrain on the new data
+      cat.createOrReplace("ns", "emb", vecs(1000))
+      val m3 = graft.pipeline.Similarity.ivfCentroids(
+        cat.load("ns", "emb"), "vec_id", "embedding", 4)
+      assert(m1.flatten.map(java.lang.Float.floatToRawIntBits).toSeq
+        !== m3.flatten.map(java.lang.Float.floatToRawIntBits).toSeq,
+        "replace must drop the stored artifact and retrain")
+    } finally {
+      graft.pipeline.Models.setStore(scala.None)
+      cat.dropNamespace("ns") // unpersist (JVM-wide zero-persist invariant)
+    }
   }
 
   test("partitioned writes prune partitions at the scan") {
