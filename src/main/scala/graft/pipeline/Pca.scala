@@ -136,6 +136,38 @@ object Pca {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** The COMMITTED fitted rotation (integer micros), trained by
+    * `tools/train_pca.py` on the fixture corpus and stored as
+    * `src/main/resources/graft/pca_rotation.txt` — the model-as-data
+    * provenance pattern of [[Bpe]]'s merge table. Returns
+    * `(mu_micros[dim], q_micros[k][dim])`. The emb_pca gate projects
+    * against THIS artifact in exact bigint micros so its DuckDB oracle
+    * replays the identical arithmetic (the live [[fit]] keeps its own
+    * gate: emb_pca_sound re-measures orthonormality, Bessel, and the
+    * spectrum against the corpus at every SF). */
+  lazy val committedRotationMicros: (Array[Long], Array[Array[Long]]) = {
+    val in = getClass.getResourceAsStream("/graft/pca_rotation.txt")
+    require(in != null, "pca_rotation.txt missing from resources")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      finally in.close()
+    val mu = scala.collection.mutable.Map.empty[Int, Long]
+    val q = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    lines.filterNot(l => l.isEmpty || l.startsWith("#")).foreach { l =>
+      l.split(' ') match {
+        case Array("mu", pos, v) => mu(pos.toInt) = v.toLong
+        case Array("q", axis, pos, v) => q((axis.toInt, pos.toInt)) = v.toLong
+        case other => throw new IllegalArgumentException(
+          s"bad pca_rotation line: ${other.mkString(" ")}")
+      }
+    }
+    val dim = mu.size
+    val k = q.keys.map(_._1).max + 1
+    require(q.size == k * dim, s"ragged rotation: ${q.size} != $k*$dim")
+    (Array.tabulate(dim)(mu(_)),
+      Array.tabulate(k, dim)((j, i) => q((j, i))))
+  }
+
   private def meanLit(model: Model): Column =
     array(model.mean.map(lit(_)): _*)
 
