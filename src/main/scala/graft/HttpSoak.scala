@@ -415,15 +415,45 @@ object HttpSoak {
         ksPageSecs.takeRight(2).min / math.max(ksPageSecs.take(2).min, 1e-9)
       else 1.0
 
+    // ---- retrieval stack over the wire (round-16 verdict #8) -----------
+    // hybrid lexical+vector fusion, MMR diversification, and the
+    // filtered vector path POSTed against a docs⋈embeddings table:
+    // asserts 200s, full result counts, and dense ranks at soak scale.
+    val searchT0 = System.nanoTime()
+    locally {
+      import org.apache.spark.sql.functions.col
+      cat.createOrReplace("srch", "docs",
+        graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+          .join(graft.Tables.embeddings(spark, sfDir)
+            .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id")))
+    }
+    val qv = (0 until 64).map(i => ((i % 7) + 1).toString).mkString(",")
+    def postSearch(qs: String): (Int, String) = {
+      val (c, b) = httpBytes(s"/api/search/srch/docs?$qs",
+        Some((Array.emptyByteArray, "application/x-www-form-urlencoded")))
+      (c, new String(b, "UTF-8"))
+    }
+    val (shC, shB) = postSearch(
+      "q=" + enc("spark merge window") + s"&vector=$qv&k=10&depth=50")
+    val (smC, smB) = postSearch("q=" + enc("spark merge window") +
+      s"&vector=$qv&k=10&depth=50&mmrLambda=0.7")
+    val (sfC, sfB) = postSearch(s"vector=$qv&k=5&where=" + enc("label = 3"))
+    def nResults(b: String) = """"rank":""".r.findAllMatchIn(b).size
+    val searchSec = (System.nanoTime() - searchT0) / 1e9
+    val searchOk = shC == 200 && smC == 200 && sfC == 200 &&
+      nResults(shB) == 10 && nResults(smB) == 10 && nResults(sfB) == 5
+
     srv.stop()
     cat.dropNamespace("geo")
     cat.dropNamespace("soakup")
+    cat.dropNamespace("srch")
 
     val httpTotal = results.map(_._2).sum
     val inTotal = results.map(_._3).sum
     val ratio = httpTotal / inTotal
     val validated = ratio <= 1.2 && errors.get() == 0 && non200 == 0 &&
-      uploadOk && sseOk && ksOk
+      uploadOk && sseOk && ksOk && searchOk
     def f(d: Double) = math.rint(d * 10000) / 10000
     val probeJson = results.map { case (n, h, i) =>
       s""""$n":{"http":${f(h)},"inproc":${f(i)},"ratio":${f(h / i)}}"""
@@ -439,6 +469,9 @@ object HttpSoak {
         s""""statuses":[$c1,$c409,$c2],"features_served":$servedFeatures},""" +
         s""""events":{"ok":$sseOk,"event_id":$sseEventId,""" +
         s""""received_mid_soak":$sseSawLayerReady},""" +
+        s""""search":{"ok":$searchOk,"seconds":${f(searchSec)},""" +
+        s""""statuses":[$shC,$smC,$sfC],"results":[${nResults(shB)},""" +
+        s"""${nResults(smB)},${nResults(sfB)}]},""" +
         s""""keyset":{"ok":$ksOk,"pages":${ksPageSecs.length},""" +
         s""""rows":$ksRows,"count":$ksCount,""" +
         s""""latency_ratio_last_first":${f(ksRatio)},""" +

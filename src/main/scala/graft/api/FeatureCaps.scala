@@ -54,6 +54,31 @@ object FeatureCaps {
     case Some(n) => math.min(n, OgcMaxItems)
   }
 
+  /** Retrieval route caps (POST /api/search) — the ogcLimit discipline:
+    * interactive defaults, hard server-side maxima so a client cannot
+    * pull an unbounded ranked extract, non-positive = client error.
+    * The MMR pool cap sits well under [[graft.pipeline.Rerank.mmr]]'s
+    * own 4096 admission refusal: the route must never build a pool the
+    * library will refuse (and the pool is |pool|² sims — 256 is ~65k
+    * pairs, interactive-cheap). */
+  val SearchDefaultK: Int = 10
+  val SearchMaxK: Int = 1000
+  val SearchDefaultDepth: Int = 50
+  val SearchMaxDepth: Int = 1000
+  val SearchMaxMmrPool: Int = 256
+  def searchK(requested: Option[Int]): Int = requested match {
+    case None => SearchDefaultK
+    case Some(n) if n <= 0 =>
+      throw new IllegalArgumentException(s"k must be positive, got $n")
+    case Some(n) => math.min(n, SearchMaxK)
+  }
+  def searchDepth(requested: Option[Int]): Int = requested match {
+    case None => SearchDefaultDepth
+    case Some(n) if n <= 0 =>
+      throw new IllegalArgumentException(s"depth must be positive, got $n")
+    case Some(n) => math.min(n, SearchMaxDepth)
+  }
+
   /** Guard a serialized response against the byte cap — throws the same
     * Esri-style error shape the WKID contract uses, so servers can relay
     * it verbatim. */

@@ -131,6 +131,9 @@ final class GraftHttpServer(
         case Array("api", "maintenance", ns, table, op)
             if ex.getRequestMethod == "POST" =>
           maintenance(ex, ns, table, op)
+        case Array("api", "search", ns, table)
+            if ex.getRequestMethod == "POST" =>
+          search(ex, ns, table)
         case Array("api", "events") =>
           events(ex)
         case Array("api", "health") =>
@@ -767,6 +770,151 @@ final class GraftHttpServer(
         throw HttpError(404, s"unknown maintenance operation: $other")
     } }
     respond(ex, 200, "application/json", body)
+  }
+
+  /** POST /api/search/{ns}/{table} — the retrieval stack over the wire
+    * (round-16 verdict #8), reusing the SAME library operators the
+    * gates certify:
+    *
+    *  - `q=<terms>` → lexical BM25 top-k ([[graft.pipeline.Bm25.topK]]);
+    *  - `vector=<f,f,…>` → vector top-k with selectivity-adaptive
+    *    filtered dispatch ([[graft.pipeline.Similarity.filteredTopKAuto]]
+    *    — `where` pushes into the corpus scan);
+    *  - both → hybrid reciprocal-rank fusion
+    *    ([[graft.pipeline.Search.rrfFuse]], leg depth `depth`, constant
+    *    `k0`);
+    *  - `mmrLambda=<0..1>` → MMR diversification of the scored pool
+    *    ([[graft.pipeline.Rerank.mmr]], pool capped server-side under
+    *    the library's own admission bound).
+    *
+    * `where` runs through the SAME [[WhereSanitizer]] parse-tree
+    * allowlist as the query surface; `k`/`depth` clamp through
+    * [[FeatureCaps]]; unresolvable column bindings
+    * (`idField`/`textField`/`vecField`) surface as 400, not 500. POST
+    * only — search bodies carry query text. */
+  private def search(ex: HttpExchange, ns: String, table: String): Unit = {
+    FeatureServer.validateName(ns)
+    FeatureServer.validateName(table)
+    if (!resolver.listTables(ns).contains(table))
+      throw HttpError(404, s"no such table: $ns.$table")
+    val params = requestParams(ex)
+    def intParam(name: String): Option[Int] = params.get(name).map(s =>
+      s.toIntOption.getOrElse(throw HttpError(400, s"invalid $name: $s")))
+    val idField = params.getOrElse("idField", "doc_id")
+    val textField = params.getOrElse("textField", "text")
+    val vecField = params.getOrElse("vecField", "embedding")
+    val k =
+      try FeatureCaps.searchK(intParam("k"))
+      catch { case e: IllegalArgumentException => throw HttpError(400, e.getMessage) }
+    val depth =
+      try FeatureCaps.searchDepth(intParam("depth"))
+      catch { case e: IllegalArgumentException => throw HttpError(400, e.getMessage) }
+    val k0 = intParam("k0").getOrElse(60)
+    if (k0 < 1) throw HttpError(400, s"k0 must be positive, got $k0")
+    val terms = params.get("q")
+      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq)
+      .filter(_.nonEmpty)
+    val qvec = params.get("vector").map { s =>
+      try s.split(",").map(_.trim.toFloat).toSeq
+      catch { case _: NumberFormatException =>
+        throw HttpError(400, "vector must be comma-separated floats") }
+    }
+    if (terms.isEmpty && qvec.isEmpty)
+      throw HttpError(400, "search requires q (terms) and/or vector")
+    val mmrLambda = params.get("mmrLambda").map { s =>
+      s.toDoubleOption.filter(l => l >= 0.0 && l <= 1.0).getOrElse(
+        throw HttpError(400, s"mmrLambda must be in [0,1]: $s"))
+    }
+    val whereOpt = params.get("where").map { w =>
+      try org.apache.spark.sql.functions.expr(
+        graft.engine.WhereSanitizer.sanitize(spark, w))
+      catch {
+        case e: graft.engine.WhereSanitizer.SanitizeException =>
+          throw HttpError(400, e.getMessage)
+      }
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val json = gate.run(spark, params.getOrElse("pool", "interactive")) {
+      try {
+        val base = resolver.load(ns, table)
+        val docs = whereOpt.fold(base)(base.filter)
+        def lexTop(n: Int) = graft.pipeline.Bm25.topK(
+          docs, idField, textField, terms.get, n)
+        def vecTop(n: Int) = {
+          import spark.implicits._
+          val q = Seq((-1L, qvec.get)).toDF(idField, vecField)
+          graft.pipeline.Similarity.filteredTopKAuto(q, base, idField,
+              vecField, whereOpt.getOrElse(lit(true)), n)
+            .select(col("neighbor_id").as(idField), col("sim"))
+        }
+        // mmr pool size: deep enough to diversify from, under both the
+        // server cap and the library's own admission bound
+        val poolN =
+          math.min(FeatureCaps.SearchMaxMmrPool, math.max(k, depth))
+        // candidates must HAVE a vector to be diversifiable (partial-
+        // coverage corpora: the vector column may be null off-prefix)
+        def withVectors(cand: org.apache.spark.sql.DataFrame) =
+          cand.join(base.filter(col(vecField).isNotNull)
+              .select(col(idField)), Seq(idField), "left_semi")
+        def diversify(scored: org.apache.spark.sql.DataFrame,
+            relCol: String) = graft.pipeline.Rerank.mmr(
+            withVectors(scored)
+              .orderBy(col(relCol).desc, col(idField).asc).limit(poolN),
+            base, idField, relCol, vecField, lam = mmrLambda.get, k = k)
+          .select(col(idField), col("mmr"))
+        val (rows, scoreCol) = (terms, qvec) match {
+          case (Some(_), scala.None) =>
+            mmrLambda match {
+              case Some(_) =>
+                (diversify(lexTop(poolN).select(col(idField), col("score")),
+                  "score"), "mmr")
+              case scala.None =>
+                (lexTop(k).select(col(idField), col("score")), "score")
+            }
+          case (scala.None, Some(_)) =>
+            mmrLambda match {
+              case Some(_) => (diversify(vecTop(poolN), "sim"), "mmr")
+              case scala.None => (vecTop(k), "sim")
+            }
+          case _ =>
+            val lex = graft.pipeline.Search.asLeg(
+              lexTop(depth), idField, "score")
+            val vec = graft.pipeline.Search.asLeg(
+              vecTop(depth), idField, "sim")
+            mmrLambda match {
+              case Some(_) =>
+                (diversify(graft.pipeline.Search.rrfFuse(Seq(lex, vec),
+                    idField, k0, k = poolN)
+                  .select(col(idField), col("rrf")), "rrf"), "mmr")
+              case scala.None =>
+                (graft.pipeline.Search.rrfFuse(Seq(lex, vec), idField,
+                  k0, k).select(col(idField), col("rrf")), "rrf")
+            }
+        }
+        val collected = rows
+          .select(col(idField).cast("long"), col(scoreCol).cast("double"))
+          .collect()
+        val body = mapper.createObjectNode()
+        body.put("namespace", ns)
+        body.put("table", table)
+        body.put("score", scoreCol)
+        body.put("k", k)
+        val arr = mapper.createArrayNode()
+        collected.zipWithIndex.foreach { case (r, i) =>
+          val o = mapper.createObjectNode()
+          o.put("id", r.getLong(0))
+          o.put(scoreCol, r.getDouble(1))
+          o.put("rank", i + 1)
+          arr.add(o)
+        }
+        body.set[com.fasterxml.jackson.databind.node.ObjectNode]("results", arr)
+        mapper.writeValueAsString(body)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw HttpError(400, s"invalid search binding: ${e.getMessage}")
+      }
+    }
+    respond(ex, 200, "application/json", json)
   }
 
   /** URL query + form body merged (ArcPro sends both; form wins). */

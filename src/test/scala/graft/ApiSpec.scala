@@ -939,4 +939,117 @@ class ApiSpec extends SparkFunSuite {
     val g = OgcProvider.translateGetById("objectid", "7")
     assert(g.where.contains("objectid = '7'") && g.limit.contains(1))
   }
+
+  test("search route: lexical/vector/hybrid/mmr equal the library ops") {
+    import java.nio.file.Files
+    import graft.api.GraftHttpServer
+    import graft.sources.ParquetCatalog
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("srch").toString
+    val cat = new ParquetCatalog(spark, root)
+    import spark.implicits._
+    val vocab = Seq("spark", "join", "merge", "window", "sort", "scan",
+      "filter", "batch", "row")
+    val docs = (0 until 40).map { i =>
+      val text = (0 until 3 + i % 4).map(j => vocab((i + j) % vocab.size))
+        .mkString(" ")
+      val emb = Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11 + 1).toFloat)
+      (i.toLong, text, emb, i % 2)
+    }.toDF("doc_id", "text", "embedding", "label")
+    cat.createOrReplace("ns", "docs", docs)
+    val srv = new GraftHttpServer(spark, cat, maxConcurrent = 2, port = 0,
+      pollIntervalMillis = 3600000L)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    val om = new ObjectMapper()
+    def post(path: String): (Int, String) = {
+      val conn = new java.net.URL(base + path).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), "UTF-8"); is.close()
+      (code, body)
+    }
+    // (id, score) pairs from the route's JSON, rank order asserted dense
+    def results(body: String): Seq[(Long, Double)] = {
+      val tree = om.readTree(body)
+      val scoreName = tree.get("score").asText()
+      val node = tree.get("results")
+      (0 until node.size()).map { i =>
+        assert(node.get(i).get("rank").asInt() === i + 1)
+        (node.get(i).get("id").asLong(),
+          node.get(i).get(scoreName).asDouble())
+      }
+    }
+    def expect(df: org.apache.spark.sql.DataFrame, idCol: String,
+        scoreCol: String): Seq[(Long, Double)] =
+      df.select(col(idCol).cast("long"), col(scoreCol).cast("double"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      val corpus = cat.load("ns", "docs")
+      val qv = "8,3,5,2"
+      val qdf = Seq((-1L, Seq(8.0f, 3.0f, 5.0f, 2.0f)))
+        .toDF("doc_id", "embedding")
+      // lexical == Bm25.topK
+      val (cl, bl) = post("/api/search/ns/docs?q=spark%20merge&k=5")
+      assert(cl === 200, bl)
+      assert(results(bl) === expect(graft.pipeline.Bm25.topK(
+        corpus, "doc_id", "text", Seq("spark", "merge"), 5),
+        "doc_id", "score"))
+      // vector + where == filteredTopKAuto under the sanitized predicate
+      val (cv, bv) = post(
+        s"/api/search/ns/docs?vector=$qv&where=label%3D0&k=5")
+      assert(cv === 200, bv)
+      assert(results(bv) === expect(
+        graft.pipeline.Similarity.filteredTopKAuto(qdf, corpus, "doc_id",
+          "embedding", col("label") === 0, 5)
+          .select(col("neighbor_id").as("doc_id"), col("sim")),
+        "doc_id", "sim"))
+      // hybrid == rrfFuse over the two asLeg legs
+      val (ch, bh) = post(
+        s"/api/search/ns/docs?q=spark%20merge&vector=$qv&k=5&depth=20")
+      assert(ch === 200, bh)
+      val lex = graft.pipeline.Search.asLeg(graft.pipeline.Bm25.topK(
+        corpus, "doc_id", "text", Seq("spark", "merge"), 20),
+        "doc_id", "score")
+      val vec = graft.pipeline.Search.asLeg(
+        graft.pipeline.Similarity.filteredTopKAuto(qdf, corpus, "doc_id",
+          "embedding", lit(true), 20)
+          .select(col("neighbor_id").as("doc_id"), col("sim")),
+        "doc_id", "sim")
+      assert(results(bh) === expect(graft.pipeline.Search.rrfFuse(
+        Seq(lex, vec), "doc_id", 60, 5), "doc_id", "rrf"))
+      // + mmr diversification == Rerank.mmr over the fused pool
+      val (cm, bm) = post(s"/api/search/ns/docs?q=spark%20merge&" +
+        s"vector=$qv&k=5&depth=20&mmrLambda=0.7")
+      assert(cm === 200, bm)
+      val pool = graft.pipeline.Search.rrfFuse(Seq(lex, vec), "doc_id",
+          60, k = 20)
+        .join(corpus.filter(col("embedding").isNotNull)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), col("rrf"))
+      assert(results(bm) === expect(graft.pipeline.Rerank.mmr(
+        pool, corpus, "doc_id", "rrf", "embedding", lam = 0.7, k = 5),
+        "doc_id", "mmr"))
+      // error contract: 400s for bad input, 404 for missing table
+      assert(post("/api/search/ns/docs")._1 === 400) // q or vector required
+      assert(post("/api/search/ns/docs?vector=a,b")._1 === 400)
+      assert(post("/api/search/ns/docs?q=x&k=0")._1 === 400)
+      assert(post("/api/search/ns/docs?q=x&k=5&mmrLambda=2")._1 === 400)
+      assert(post(
+        "/api/search/ns/docs?q=x&where=1%3D1%3B%20DROP%20TABLE%20x")._1 === 400)
+      assert(post("/api/search/ns/docs?q=x&idField=nope")._1 === 400)
+      assert(post("/api/search/ns/missing?q=x")._1 === 404)
+      // GET is not routed
+      val conn = new java.net.URL(base + "/api/search/ns/docs?q=x")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 404)
+    } finally {
+      srv.stop()
+      cat.dropNamespace("ns")
+    }
+  }
 }
