@@ -39,6 +39,21 @@ from check import table_hash, TABLES
 DEFAULT_GATES = ["doc_minhash_dedup", "doc_simhash_dedup",
                  "doc_winnow_pairs", "emb_neardup_lsh"]
 
+# Residue sharding (round-16 verdict #7): at sf10 the clone-heavy corpus
+# makes the candidate SELF-JOIN's output quadratic in clique size — the
+# three gates below exceeded the allocator even parquet-staged. Every
+# pair is OWNED by its id_a, so injecting `AND a.<id> % m = r` at the
+# pair join and summing counts over r = 0..m-1 is an EXACT full-cover
+# decomposition (pairs partition by id_a residue; each shard's join
+# output is ~1/m of the whole). The signature pipeline CTEs above the
+# join stage ONCE and are re-read per shard. --selftest proves the
+# sharded evaluation row-identical to the monolith at a base scale.
+SHARD_MARKERS = {
+    "doc_simhash_dedup": "AND a.doc_id < b.doc_id",
+    "doc_winnow_pairs": "AND a.doc_id < b.doc_id",
+    "emb_neardup_lsh": "AND a.vec_id < b.vec_id",
+}
+
 
 def split_ctes(sql):
     """Split the committed oracle into its top-level CTEs and the final
@@ -73,7 +88,30 @@ def split_ctes(sql):
     return ctes, s[i:]
 
 
-def run_staged(con, sql, count_only=False):
+def shard_suffix_sql(ctes, final, marker, m, r):
+    """The oracle's tail (from the CTE containing `marker` onward) with
+    the pair-owning residue filter injected, as standalone SQL over the
+    already-staged prefix views. Returns (sql, prefix_count)."""
+    idref = marker.split(" < ")[0].replace("AND ", "")  # e.g. a.doc_id
+    inj = f"{marker} AND {idref} % {m} = {r}"
+    split_at = len(ctes)
+    for idx, (_, body) in enumerate(ctes):
+        if marker in body:
+            split_at = idx
+            break
+    suffix = [(n, b.replace(marker, inj)) for n, b in ctes[split_at:]]
+    fin = final.replace(marker, inj)
+    assert (sum(b.count(inj) for _, b in suffix) + fin.count(inj)) == 1, \
+        f"marker must inject exactly once: {marker}"
+    if suffix:
+        sql = ("WITH " + ", ".join(f"{n} AS ({b})" for n, b in suffix) +
+               " " + fin)
+    else:
+        sql = fin
+    return sql, split_at
+
+
+def run_staged(con, sql, count_only=False, shard=None):
     """Execute the committed oracle STAGE BY STAGE: each top-level CTE
     is COPY'd to a parquet stage file and re-registered as a view of
     the same name (bodies reference predecessors verbatim), then the
@@ -86,15 +124,24 @@ def run_staged(con, sql, count_only=False):
     in-memory TEMP TABLE staging exhausts the allocator at sf10.
     `--selftest <baseSfDir>` proves the staged evaluation
     row-identical to the monolith; the DRIVER still runs the committed
-    SQL verbatim at its gate scales."""
+    SQL verbatim at its gate scales.
+
+    With `shard=(marker, m)`, CTEs from the one containing the pair-join
+    marker onward are NOT staged; the tail runs once per id_a residue
+    class over the staged prefix views and results concatenate (exact
+    full cover — see SHARD_MARKERS), bounding each pass's join output
+    to ~1/m of the whole."""
     import os
     import shutil
     ctes, final = split_ctes(sql)
+    n_stage = len(ctes)
+    if shard is not None:
+        _, n_stage = shard_suffix_sql(ctes, final, shard[0], shard[1], 0)
     stage_dir = f"/tmp/duckdb_stage_{os.getpid()}"
     os.makedirs(stage_dir, exist_ok=True)
     made = []
     try:
-        for name, body in ctes:
+        for name, body in ctes[:n_stage]:
             path = f"{stage_dir}/{name}.parquet"
             # parquet has no 128-bit int: HUGEINT silently degrades to
             # DOUBLE (lossy — breaks the 64-bit hash chains). Cast it
@@ -117,12 +164,28 @@ def run_staged(con, sql, count_only=False):
                         f"SELECT {', '.join(cols_in)} "
                         f"FROM read_parquet('{path}')")
             made.append(name)
+        if shard is None:
+            if count_only:
+                n = con.sql(
+                    f"SELECT count(*) FROM ({final})").fetchone()[0]
+                return None, n
+            rel = con.sql(final)
+            return list(rel.columns), rel.fetchall()
+        marker, m = shard
         if count_only:
-            n = con.sql(
-                f"SELECT count(*) FROM ({final})").fetchone()[0]
-            return None, n
-        rel = con.sql(final)
-        return list(rel.columns), rel.fetchall()
+            total = 0
+            for r in range(m):
+                s, _ = shard_suffix_sql(ctes, final, marker, m, r)
+                total += con.sql(
+                    f"SELECT count(*) FROM ({s})").fetchone()[0]
+            return None, total
+        names, rows = None, []
+        for r in range(m):
+            s, _ = shard_suffix_sql(ctes, final, marker, m, r)
+            rel = con.sql(s)
+            names = list(rel.columns)
+            rows.extend(rel.fetchall())
+        return names, rows
     finally:
         for name in reversed(made):
             con.execute(f'DROP VIEW IF EXISTS "{name}"')
@@ -181,14 +244,29 @@ def selftest(base_sf):
         ok &= eq
         print(f"{'EQUIV' if eq else 'MISMATCH'} {name} "
               f"(staged vs monolith @ {base_sf}, {len(mono)} rows)")
+        if name in SHARD_MARKERS:
+            # the residue decomposition must be row-identical too (order
+            # differs by construction: shards concatenate)
+            _, sharded = run_staged(con, oracles[name],
+                                    shard=(SHARD_MARKERS[name], 4))
+            eq = sorted(mono) == sorted(sharded)
+            ok &= eq
+            print(f"{'EQUIV' if eq else 'MISMATCH'} {name} "
+                  f"(sharded m=4 vs monolith, {len(sharded)} rows)")
     sys.exit(0 if ok else 1)
 
 
 def main():
     if sys.argv[1] == "--selftest":
         selftest(sys.argv[2])
-    sf_dir, out_dir, corr_path = sys.argv[1], sys.argv[2], sys.argv[3]
-    gates = sys.argv[4:] or DEFAULT_GATES
+    args = list(sys.argv[1:])
+    shards = 1
+    if "--shards" in args:
+        i = args.index("--shards")
+        shards = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir, corr_path = args[0], args[1], args[2]
+    gates = args[3:] or DEFAULT_GATES
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     report = json.load(open(corr_path))
     con = connect(sf_dir)
@@ -203,11 +281,15 @@ def main():
         g_rows = [tuple(c[i].as_py() for c in got.columns)
                   for i in range(got.num_rows)]
         sql = oracles[name]
+        shard = (SHARD_MARKERS[name], shards) \
+            if shards > 1 and name in SHARD_MARKERS else None
         if sorted(g_names) == ["n_pairs", "pair_digest"]:
             # digest form: count-only differential
             n_spark = g_rows[0][g_names.index("n_pairs")]
-            _, n_oracle = run_staged(con, sql, count_only=True)
+            _, n_oracle = run_staged(con, sql, count_only=True, shard=shard)
             ok = n_spark == n_oracle
+            note = (f"; pair join evaluated in {shards} exact id_a-"
+                    f"residue shards" if shard else "")
             report[name] = {
                 "rows_match": ok, "schema_match": True,
                 "hash_match": None, "spark_rows": int(n_spark),
@@ -215,11 +297,14 @@ def main():
                 "err": ("scale oracle: digest form — committed-oracle "
                         "pair COUNT compared (xxhash64 digest not "
                         "replayable in DuckDB); value hash pinned at "
-                        "sf0.01/sf0.1 (tools/digest_oracles.py)")}
+                        "sf0.01/sf0.1 (tools/digest_oracles.py)" + note)}
             status = "PASS" if ok else "FAIL"
             print(f"{status} {name} (digest count {n_spark} vs {n_oracle})")
         else:
-            e_names, e_rows = run_staged(con, sql)
+            e_names, e_rows = run_staged(con, sql, shard=shard)
+            if shard:  # shards concatenate; the committed final ORDERs
+                e_rows = sorted(e_rows)
+                g_rows = sorted(g_rows)
             ok_schema = sorted(g_names) == sorted(e_names)
             ok_rows = len(g_rows) == len(e_rows)
             ok_hash = (table_hash(g_names, g_rows) ==
