@@ -836,6 +836,29 @@ class PipelineSpec extends SparkFunSuite {
       s"leaked caches after release: ${persisted.values.map(_.name)}")
   }
 
+  test("winnowPairsShared: memo survives release; invalidateStats evicts") {
+    graft.pipeline.Dedup.invalidateStats() // hermetic
+    val p1 = Dedup.winnowPairsShared(docs, "doc_id", "text")
+    assert(Dedup.winnowPairsShared(docs, "doc_id", "text") eq p1,
+      "same plan+params must return the SAME persisted pair list")
+    // the memo deliberately outlives the per-query cache release — that
+    // is what lets the pairs gate and the _sound certificate share one
+    // fingerprint pass across separate queries
+    graft.pipeline.Caches.release()
+    assert(Dedup.winnowPairsShared(docs, "doc_id", "text") eq p1)
+    assert(p1.storageLevel.useMemory || p1.storageLevel.useDisk)
+    // rows equal the unshared operator's
+    assert(p1.collect().toSet ===
+      Dedup.winnowPairs(docs, "doc_id", "text").collect().toSet)
+    graft.pipeline.Dedup.invalidateStats()
+    assert(p1.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "invalidateStats must unpersist memoized pair lists")
+    assert(!(Dedup.winnowPairsShared(docs, "doc_id", "text") eq p1))
+    graft.pipeline.Dedup.invalidateStats()
+    graft.pipeline.Caches.release()
+  }
+
   test("spreadSmall: repartitions unsplittable scans, no-op at full parallelism") {
     import graft.pipeline.Decontaminate
     val oneTask = docs // single parquet file, one row group -> one task
