@@ -64,6 +64,53 @@ final class IcebergSqlCatalog(spark: SparkSession, catalog: String)
   }
 }
 
+/** [[TableMaintenance]] over the same public SQL surface — the
+  * statement shapes real Iceberg executes natively (COW/MOR delete,
+  * `rewrite_data_files` bin-pack, `expire_snapshots`), so the HTTP
+  * maintenance routes serve unchanged against a production catalog.
+  * Split from [[IcebergSqlCatalog]] so a read-only binding (no write
+  * credentials) can instantiate the resolver alone and the routes
+  * answer 501, exactly the [[ParquetCatalog]] contract. */
+final class IcebergSqlMaintenance(spark: SparkSession, catalog: String)
+    extends TableMaintenance {
+  import IcebergSqlCatalog._
+
+  require(validIdent(catalog), s"invalid catalog name: $catalog")
+
+  /** `DELETE FROM` — Iceberg splices untouched files at the manifest
+    * level natively; the predicate arrives pre-sanitized (the HTTP
+    * route runs WhereSanitizer before building the Column). */
+  override def deleteWhere(namespace: String, table: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val t = fqn(catalog, namespace, table)
+    val before = spark.table(t).count()
+    spark.table(t).filter(pred).limit(1) // resolve pred against the schema
+    spark.sql(s"DELETE FROM $t WHERE " +
+      org.apache.spark.sql.graftbridge.expression(pred).sql)
+    before - spark.table(t).count()
+  }
+
+  override def compactFiles(namespace: String, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    spark.sql(IcebergSqlCatalog.compactSql(catalog, namespace, table,
+      targetFileBytes))
+    spark.table(fqn(catalog, namespace, table) + ".files").count().toInt
+  }
+
+  override def expireSnapshots(namespace: String, table: String,
+      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val ids = spark
+      .sql(IcebergSqlCatalog.snapshotsSql(catalog, namespace, table))
+      .collect().map(_.getLong(0)).toSeq
+    val expired = ids.dropRight(keepLast)
+    spark.sql(IcebergSqlCatalog.expireSql(catalog, namespace, table,
+      keepLast))
+    expired
+  }
+}
+
 object IcebergSqlCatalog {
   private val IdentRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
@@ -88,4 +135,21 @@ object IcebergSqlCatalog {
   def snapshotsSql(catalog: String, ns: String, table: String): String =
     s"SELECT snapshot_id FROM ${fqn(catalog, ns, table)}.snapshots " +
       "ORDER BY committed_at"
+
+  /** Iceberg `rewrite_data_files` bin-pack (the stored-procedure form;
+    * identifiers validated by [[fqn]] before interpolation). */
+  def compactSql(catalog: String, ns: String, table: String,
+      targetFileBytes: Long): String = {
+    fqn(catalog, ns, table) // validation side effect
+    s"CALL $catalog.system.rewrite_data_files(table => '$ns.$table', " +
+      s"options => map('target-file-size-bytes', '$targetFileBytes'))"
+  }
+
+  /** Iceberg `expire_snapshots` bounded to the newest `retainLast`. */
+  def expireSql(catalog: String, ns: String, table: String,
+      retainLast: Int): String = {
+    fqn(catalog, ns, table)
+    s"CALL $catalog.system.expire_snapshots(table => '$ns.$table', " +
+      s"retain_last => $retainLast)"
+  }
 }

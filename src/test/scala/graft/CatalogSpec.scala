@@ -143,6 +143,16 @@ class CatalogSpec extends SparkFunSuite {
     assertThrows[IllegalArgumentException](fqn("lake", "ns", "t--"))
     assertThrows[IllegalArgumentException](
       new graft.sources.IcebergSqlCatalog(spark, "bad catalog"))
+    // maintenance procedures: the statement shapes real Iceberg executes
+    assert(compactSql("lake", "ns", "t", 134217728L) ===
+      "CALL lake.system.rewrite_data_files(table => 'ns.t', " +
+        "options => map('target-file-size-bytes', '134217728'))")
+    assert(expireSql("lake", "ns", "t", 3) ===
+      "CALL lake.system.expire_snapshots(table => 'ns.t', retain_last => 3)")
+    assertThrows[IllegalArgumentException](
+      compactSql("lake", "ns'); DROP TABLE x; --", "t", 1L))
+    assertThrows[IllegalArgumentException](
+      new graft.sources.IcebergSqlMaintenance(spark, "bad catalog"))
   }
 
   test("metadata tables: .snapshots operations and .files per snapshot") {
