@@ -825,6 +825,12 @@ final class GraftHttpServer(
       s.toDoubleOption.filter(l => l >= 0.0 && l <= 1.0).getOrElse(
         throw HttpError(400, s"mmrLambda must be in [0,1]: $s"))
     }
+    // MMR diversifies from a bounded candidate pool; a k above the pool
+    // bound would silently truncate the result set — reject explicitly
+    if (mmrLambda.isDefined && k > FeatureCaps.SearchMaxMmrPool)
+      throw HttpError(400, s"k (=$k) exceeds the MMR candidate pool " +
+        s"bound (${FeatureCaps.SearchMaxMmrPool}); lower k or omit " +
+        "mmrLambda")
     val whereOpt = params.get("where").map { w =>
       try org.apache.spark.sql.functions.expr(
         graft.engine.WhereSanitizer.sanitize(spark, w))
@@ -894,6 +900,11 @@ final class GraftHttpServer(
         val collected = rows
           .select(col(idField).cast("long"), col(scoreCol).cast("double"))
           .collect()
+        // a non-numeric id column casts to null — that's a binding
+        // error (400 per the route contract), not a server fault
+        if (collected.exists(_.isNullAt(0)))
+          throw HttpError(400, s"invalid search binding: idField " +
+            s"'$idField' must be castable to long")
         val body = mapper.createObjectNode()
         body.put("namespace", ns)
         body.put("table", table)

@@ -79,16 +79,34 @@ final class IcebergSqlMaintenance(spark: SparkSession, catalog: String)
 
   /** `DELETE FROM` — Iceberg splices untouched files at the manifest
     * level natively; the predicate arrives pre-sanitized (the HTTP
-    * route runs WhereSanitizer before building the Column). */
+    * route runs WhereSanitizer before building the Column). The
+    * deleted-row count comes from the DELETE commit's own snapshot
+    * summary (`deleted-records`) — O(metadata), and atomic against
+    * concurrent writers, where before/after `count()` scans are two
+    * full table reads whose difference misreports under concurrency. */
   override def deleteWhere(namespace: String, table: String,
       pred: org.apache.spark.sql.Column): Long = {
     val t = fqn(catalog, namespace, table)
-    val before = spark.table(t).count()
     spark.table(t).filter(pred).limit(1) // resolve pred against the schema
+    val prevLatest = latestSnapshotId(t)
     spark.sql(s"DELETE FROM $t WHERE " +
       org.apache.spark.sql.graftbridge.expression(pred).sql)
-    before - spark.table(t).count()
+    val latest = spark.sql(
+      s"SELECT snapshot_id, summary['deleted-records'] AS d " +
+        s"FROM $t.snapshots ORDER BY committed_at DESC LIMIT 1")
+      .collect().headOption
+    latest match {
+      // a DELETE matching nothing commits no new snapshot -> 0
+      case Some(r) if !prevLatest.contains(r.getLong(0)) && !r.isNullAt(1) =>
+        r.getString(1).toLong
+      case _ => 0L
+    }
   }
+
+  private def latestSnapshotId(t: String): Option[Long] =
+    spark.sql(s"SELECT snapshot_id FROM $t.snapshots " +
+        "ORDER BY committed_at DESC LIMIT 1")
+      .collect().headOption.map(_.getLong(0))
 
   override def compactFiles(namespace: String, table: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -98,16 +116,31 @@ final class IcebergSqlMaintenance(spark: SparkSession, catalog: String)
     spark.table(fqn(catalog, namespace, table) + ".files").count().toInt
   }
 
+  /** Expire every snapshot but the newest `keepLast`, NOW — matching
+    * the [[ParquetCatalog]] contract, which reclaims immediately.
+    * `older_than` is passed explicitly (one hour ahead, session time
+    * zone): without it the procedure applies Iceberg's 5-day default
+    * retention and silently expires nothing on a recently-written
+    * table; `retain_last` still protects the newest `keepLast`. The
+    * returned ids are derived from the actual before/after `.snapshots`
+    * state, not precomputed, so the method reports what the procedure
+    * really expired. */
   override def expireSnapshots(namespace: String, table: String,
       keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
-    val ids = spark
+    def ids: Seq[Long] = spark
       .sql(IcebergSqlCatalog.snapshotsSql(catalog, namespace, table))
       .collect().map(_.getLong(0)).toSeq
-    val expired = ids.dropRight(keepLast)
+    val before = ids
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val olderThan = java.time.ZonedDateTime.now(zone).plusHours(1)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     spark.sql(IcebergSqlCatalog.expireSql(catalog, namespace, table,
-      keepLast))
-    expired
+      keepLast, olderThan))
+    val after = ids.toSet
+    before.filterNot(after)
   }
 }
 
@@ -145,11 +178,18 @@ object IcebergSqlCatalog {
       s"options => map('target-file-size-bytes', '$targetFileBytes'))"
   }
 
-  /** Iceberg `expire_snapshots` bounded to the newest `retainLast`. */
+  private val TsLiteralRe =
+    "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{3}$".r
+
+  /** Iceberg `expire_snapshots` bounded to the newest `retainLast`,
+    * with an explicit `older_than` cutoff (a `yyyy-MM-dd HH:mm:ss.SSS`
+    * literal, validated before interpolation). */
   def expireSql(catalog: String, ns: String, table: String,
-      retainLast: Int): String = {
+      retainLast: Int, olderThan: String): String = {
     fqn(catalog, ns, table)
+    require(TsLiteralRe.findFirstIn(olderThan).isDefined,
+      s"invalid timestamp literal: $olderThan")
     s"CALL $catalog.system.expire_snapshots(table => '$ns.$table', " +
-      s"retain_last => $retainLast)"
+      s"older_than => TIMESTAMP '$olderThan', retain_last => $retainLast)"
   }
 }

@@ -259,8 +259,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         (hasFlatParquet(d) || manifestVersions(d).nonEmpty))
       .map(_.getName).sorted.toSeq
 
+  /** Synchronized end-to-end: the carried-lines read and the manifest
+    * write must be one atomic section, or two concurrent appends can
+    * both carry the same previous manifest and the second silently
+    * drops the first's files (and an append racing deleteWhere can
+    * resurrect deleted rows). The monitor is reentrant, so the nested
+    * `commitWith` lock is free. */
   private def commit(ns: String, t: String, df: DataFrame,
-      carryForward: Boolean): Unit = {
+      carryForward: Boolean): Unit = synchronized {
     val dir = tblDir(ns, t)
     val carried =
       if (!carryForward || snapshots(ns, t).isEmpty) Seq.empty[String]
