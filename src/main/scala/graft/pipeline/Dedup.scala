@@ -787,6 +787,42 @@ object Dedup {
       expandPairs(repPairs, selfVals, members, "jaccard"))
   }
 
+  /** [[jaccardBothModes]] with BOTH output modes memoized per (corpus
+    * plan, params) — the [[pairListShared]] pattern over a pair of
+    * lists. The pairs gate and the dual-leg CC certificate consume the
+    * IDENTICAL exact AllPairs slice but run as separate queries with a
+    * `Caches.release()` between them (round-17 verdict #2: the pairs
+    * gate recomputed the candidate join the clusters gate had just
+    * built); with the memo whichever runs first builds once and the
+    * other reads the persisted lists. Consumers stay independent
+    * strictly ABOVE the pair lists. */
+  def jaccardBothModesShared(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 5, threshold: Double = 0.7)
+      : (DataFrame, DataFrame) = {
+    val extra = s"jaccard|$idCol|$textCol|$shingle|$threshold"
+    val keyE = Models.planKey(df, "edges|" + extra)
+    val keyP = Models.planKey(df, "pairs|" + extra)
+    val hitE = pairListMemo.get(keyE)
+    val hitP = pairListMemo.get(keyP)
+    if (hitE != null && hitP != null) return (hitE, hitP)
+    val (edges0, pairs0) =
+      jaccardBothModes(df, idCol, textCol, shingle, threshold)
+    val edges = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairs0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count(); pairs.count() // materialize before caches release
+    if (pairListMemo.size >= 7) { // both entries must fit under the cap
+      val it = pairListMemo.values().iterator()
+      while (it.hasNext) it.next().unpersist(false)
+      pairListMemo.clear()
+    }
+    val prevE = pairListMemo.putIfAbsent(keyE, edges)
+    val prevP = pairListMemo.putIfAbsent(keyP, pairs)
+    (if (prevE != null) { edges.unpersist(false); prevE } else edges,
+      if (prevP != null) { pairs.unpersist(false); prevP } else pairs)
+  }
+
   private def jaccardContracted(df: DataFrame, idCol: String,
       textCol: String, shingle: Int,
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {

@@ -859,6 +859,36 @@ class PipelineSpec extends SparkFunSuite {
     graft.pipeline.Caches.release()
   }
 
+  test("jaccardBothModesShared: one build feeds both gates; memo lifecycle") {
+    graft.pipeline.Dedup.invalidateStats() // hermetic
+    val slice = docs.select(col("doc_id"), col("text"))
+    val (e1, p1) = Dedup.jaccardBothModesShared(slice, "doc_id", "text")
+    val (e2, p2) = Dedup.jaccardBothModesShared(slice, "doc_id", "text")
+    assert((e2 eq e1) && (p2 eq p1),
+      "same plan+params must return the SAME persisted lists")
+    // the memo deliberately outlives the per-query cache release — that
+    // is what lets doc_jaccard_pairs and doc_jaccard_clusters_star
+    // share one AllPairs candidate pass across separate queries
+    graft.pipeline.Caches.release()
+    val (e3, p3) = Dedup.jaccardBothModesShared(slice, "doc_id", "text")
+    assert((e3 eq e1) && (p3 eq p1))
+    assert(p1.storageLevel.useMemory || p1.storageLevel.useDisk)
+    assert(e1.storageLevel.useMemory || e1.storageLevel.useDisk)
+    // the memoized pair list equals the unshared operator's
+    assert(p1.select("id_a", "id_b").collect().toSet ===
+      Dedup.jaccardPairs(slice, "doc_id", "text")
+        .select("id_a", "id_b").collect().toSet)
+    graft.pipeline.Dedup.invalidateStats()
+    assert(p1.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "invalidateStats must unpersist memoized pair lists")
+    assert(e1.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(!(Dedup.jaccardBothModesShared(slice, "doc_id", "text")._2 eq p1))
+    graft.pipeline.Dedup.invalidateStats()
+    graft.pipeline.Caches.release()
+  }
+
   test("spreadSmall: repartitions unsplittable scans, no-op at full parallelism") {
     import graft.pipeline.Decontaminate
     val oneTask = docs // single parquet file, one row group -> one task
