@@ -858,10 +858,12 @@ object PipelineQueries {
     // byte-level merge table (src/main/resources/graft/bpe_merges.txt,
     // trained offline by tools/train_bpe.py) applied per document —
     // budgets in the exact tokens this vocabulary yields. The merge
-    // loop is not SQL-expressible, so the gate is rows-only here; the
-    // differential twin is tools/bpe_oracle.py (an independent Python
-    // reimplementation over the same parquet + merge file), and the
-    // paired _sound gate below carries the SQL-expressible certificate.
+    // loop is not SQL-expressible, so the FULL hash oracle replays the
+    // committed per-text counts (gen_bpe_counts.py — the emb_pca
+    // model-as-data pattern, round-17 verdict #4); the live expression
+    // stays independently pinned by tools/bpe_oracle.py (a Python
+    // tokenizer reimplementation over the same parquet + merge file)
+    // and the paired _sound certificate below.
     "doc_tokens_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("n_tok", bpe_token_count(col("text")))
@@ -2146,6 +2148,68 @@ object PipelineQueries {
                * 1000000.0 + 0.5) / 1000000.0 AS rrf,
              l.rank_0 AS rank_0, v.rank_1 AS rank_1
            FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)"""
+
+  /** The committed per-text BPE token counts as a VALUES list (round-17
+    * verdict #4 — the emb_pca model-as-data pattern): derived offline by
+    * the committed tools/gen_bpe_counts.py from the committed merge
+    * table via the twin's independent tokenizer, keyed by a 64-bit
+    * md5(text) prefix so the key survives the key-shifted scale corpora
+    * (texts are copied verbatim; tools/scale_testdata.py). An unmatched
+    * text nulls the joined count and FAILS the gate — coverage gaps
+    * cannot silently pass. */
+  private lazy val bpeCountsValues: String = {
+    val in = getClass.getResourceAsStream("/graft/bpe_counts.tsv")
+    require(in != null, "missing committed BPE count table " +
+      "(src/main/resources/graft/bpe_counts.tsv; tools/gen_bpe_counts.py)")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { l =>
+      val t = l.split("\t")
+      require(t.length == 2 && t(0).matches("[0-9a-f]{16}"),
+        s"malformed bpe_counts line: $l")
+      s"('${t(0)}',${t(1).toLong})"
+    }.mkString(",")
+    finally src.close()
+  }
+
+  /** doc_tokens_bpe oracle: per-source aggregates replayed over the
+    * committed counts. LEFT JOIN so null texts aggregate exactly as the
+    * live expression's null (counted in n_docs, skipped by sum/max). */
+  private def docTokensBpeOracleSql: String =
+    s"""WITH c(h, n) AS (VALUES $bpeCountsValues)
+       SELECT source,
+         CAST(sum(c.n) AS BIGINT) AS total_tokens,
+         count(*) AS n_docs,
+         CAST(max(c.n) AS BIGINT) AS max_tokens
+       FROM documents d LEFT JOIN c ON substr(md5(d.text), 1, 16) = c.h
+       GROUP BY source ORDER BY source"""
+
+  /** doc_pack_bpe oracle: the doc_pack_tokens greedy-packing recursive
+    * CTE, with per-doc counts read from the committed table instead of
+    * recomputed (the merge loop is not SQL-expressible), budget 2048. */
+  private def docPackBpeOracleSql: String =
+    s"""WITH RECURSIVE c(h, n) AS (VALUES $bpeCountsValues),
+         d AS (
+           SELECT doc_id, source, CAST(c.n AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+           FROM documents JOIN c ON substr(md5(text), 1, 16) = c.h
+           WHERE text IS NOT NULL),
+         p AS (
+           SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens > 2048 THEN p.bin + 1
+                  ELSE p.bin END AS bin,
+             CASE WHEN p.fill + d.n_tokens > 2048 THEN d.n_tokens
+                  ELSE p.fill + d.n_tokens END AS fill
+           FROM p JOIN d ON d.source IS NOT DISTINCT FROM p.source
+             AND d.rn = p.rn + 1)
+         SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM p GROUP BY 1, 2 ORDER BY source, bin"""
 
   /** emb_pca oracle, generated from the SAME committed rotation resource
     * the gate loads (tools/train_pca.py provenance): mu/q inlined as
@@ -3824,6 +3888,13 @@ object PipelineQueries {
     "doc_tokens_bpe_sound" ->
       """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
          FROM documents WHERE text IS NOT NULL""",
+    // Tokenizer-exact BPE aggregates: FULL hash oracle via the
+    // committed per-text count table (round-17 verdict #4 — the
+    // emb_pca model-as-data pattern; tools/gen_bpe_counts.py).
+    "doc_tokens_bpe" -> docTokensBpeOracleSql,
+    // Greedy packing under the BPE budget: the packing recurrence
+    // replayed over the same committed counts.
+    "doc_pack_bpe" -> docPackBpeOracleSql,
     // Greedy packing under the model-token budget: the doc_pack
     // recursive CTE with n_tokens swapped for the token-scheme twin.
     "doc_pack_tokens" ->
