@@ -218,6 +218,20 @@ final class GraftHttpServer(
     val f = params.getOrElse("f", "json").toLowerCase
     val pool = params.getOrElse("pool", "interactive")
 
+    // Deep-offset steering (SURVEY §7 made normative, round-17 verdict
+    // #8): OFFSET n re-sorts and discards n rows on EVERY page, so past
+    // ~10 pages the keyset walk — `__oid > <last seen>` in `where` plus
+    // `orderByFields=__oid` — is the documented 100 TB path (a pushable
+    // range scan + TakeOrdered per page). Surfaced as a hint header in
+    // the exceededTransferLimit style: non-breaking, machine-readable.
+    val pageSz = qp.limit.getOrElse(schema.maxRecordCount).toLong
+    if (qp.offset > 10L * pageSz)
+      ex.getResponseHeaders.set("X-Pagination-Hint",
+        // ASCII only: the JDK server rejects non-ASCII header values
+        "deep resultOffset: prefer keyset pagination (where=__oid " +
+          "> last seen __oid, orderByFields=__oid) for flat per-page " +
+          "cost at any depth")
+
     withSession(params) {
       // collect INSIDE the gate: the admission bound covers the Spark
       // work, not just the plan build

@@ -564,6 +564,28 @@ class ApiSpec extends SparkFunSuite {
       assert(mapper.readTree(new String(cnt, "UTF-8"))
         .get("count").asLong === wantCount)
 
+      // deep-offset steering (round-17 verdict #8): past ~10 pages the
+      // route surfaces the keyset hint header; shallow offsets stay
+      // clean (non-breaking, exceededTransferLimit-style)
+      def hintOf(path: String): Option[String] = {
+        val c = new java.net.URL(base + path).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        if (code != 200) {
+          val es = Option(c.getErrorStream).getOrElse(c.getInputStream)
+          val body = new String(es.readAllBytes(), "UTF-8"); es.close()
+          fail(s"HTTP $code for $path: $body")
+        }
+        val h = Option(c.getHeaderField("X-Pagination-Hint"))
+        val is = c.getInputStream; is.readAllBytes(); is.close()
+        h
+      }
+      val deepQs = "resultRecordCount=5&f=json"
+      assert(hintOf(s"/rest/services/geo/FeatureServer/0/query?$deepQs" +
+        "&resultOffset=51").exists(_.contains("__oid")))
+      assert(hintOf(s"/rest/services/geo/FeatureServer/0/query?$deepQs" +
+        "&resultOffset=50").isEmpty)
+
       // Esri error contract: unsupported outSR -> HTTP 200 + error body
       val (ce, err, _) = get(
         s"/rest/services/geo/FeatureServer/0/query?$qs&outSR=27700")
