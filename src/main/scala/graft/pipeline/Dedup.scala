@@ -416,10 +416,15 @@ object Dedup {
     val c = contractExact(df, idCol, md5(col(textCol)))
     val repPairs = minhashPairsRaw(c.reps, idCol, textCol, numHashes, bands,
       shingle, threshold)
-    val selfVals = c.reps
-      .join(cliques(c.members), col(idCol) === col("__rep"))
-      .withColumn("jaccard",
-        jaccard_shingle(col(textCol), col(textCol), shingle))
+    // A clique member's Jaccard with its identical clone is IDENTICALLY
+    // 1.0 — including the degenerate empty-shingle-set case (the 1.0
+    // empty-set convention; same argument as jaccardContracted, which
+    // got this fold first). Earlier rounds joined `reps` back just to
+    // run jaccard_shingle(text, text) per clique head: a whole join
+    // plus a per-rep normalize+shingle pass to compute a constant. The
+    // literal filter keeps threshold > 1 semantics and folds to nothing.
+    val selfVals = cliques(c.members)
+      .withColumn("jaccard", lit(1.0))
       .filter(col("jaccard") >= threshold)
       .select(col("__rep"), col("jaccard"))
     (repPairs, selfVals, c.members)
