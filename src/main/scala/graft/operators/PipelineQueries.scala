@@ -324,13 +324,12 @@ object PipelineQueries {
     // doc_id < 1000 as in doc_jaccard_pairs — slice-constant cost at
     // every SF of the key-shifted corpora.
     "doc_jaccard_clusters_star" -> ((s, d) => {
-      // persist + materialize the slice once before the legs fork,
-      // projected to the two columns the legs read (same rationale as
-      // doc_neardup_clusters_star)
-      val slice = graft.pipeline.Caches.persistTracked(
-        Tables.documents(s, d).select(col("doc_id"), col("text"))
-          .filter(col("doc_id") < 1000))
-      slice.count()
+      // the slice plan is built EXACTLY as doc_jaccard_pairs builds it
+      // (shared memo key); jaccardBothModesShared persists it for the
+      // build — a memo hit never scans the corpus at all
+      val slice = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
       // ONE AllPairs candidate pass feeds both legs (round-15 verdict
       // #2; pair list persisted + materialized in jaccardBothModes);
       // legs evaluate CONCURRENTLY and independently ABOVE the pairs —

@@ -810,8 +810,12 @@ object Dedup {
     val hitE = pairListMemo.get(keyE)
     val hitP = pairListMemo.get(keyP)
     if (hitE != null && hitP != null) return (hitE, hitP)
+    // persist the corpus slice for the BUILD only (contractExact and the
+    // AllPairs raw pass both scan it); a memo hit never touches it
+    val src = Caches.persistTracked(df)
+    src.count()
     val (edges0, pairs0) =
-      jaccardBothModes(df, idCol, textCol, shingle, threshold)
+      jaccardBothModes(src, idCol, textCol, shingle, threshold)
     val edges = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = pairs0
