@@ -1064,6 +1064,11 @@ class ApiSpec extends SparkFunSuite {
       assert(post(
         "/api/search/ns/docs?q=x&where=1%3D1%3B%20DROP%20TABLE%20x")._1 === 400)
       assert(post("/api/search/ns/docs?q=x&idField=nope")._1 === 400)
+      // k above the MMR pool bound is rejected, not silently truncated
+      val (mc, mb) = post("/api/search/ns/docs?q=spark&k=500&mmrLambda=0.7")
+      assert(mc === 400 && mb.contains("MMR"))
+      // a non-numeric idField is a 400 binding error, not a 500
+      assert(post("/api/search/ns/docs?q=spark&idField=text")._1 === 400)
       assert(post("/api/search/ns/missing?q=x")._1 === 404)
       // GET is not routed
       val conn = new java.net.URL(base + "/api/search/ns/docs?q=x")
