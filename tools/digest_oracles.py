@@ -52,6 +52,10 @@ SHARD_MARKERS = {
     "doc_simhash_dedup": "AND a.doc_id < b.doc_id",
     "doc_winnow_pairs": "AND a.doc_id < b.doc_id",
     "emb_neardup_lsh": "AND a.vec_id < b.vec_id",
+    # round-18: the round-17 sf10 attempt OOM'd on the UNSHARDED staged
+    # minhash count (tools log, 02:41 round-17 close) — same ownership
+    # argument, different join aliases in the committed SQL
+    "doc_minhash_dedup": "AND x.doc_id < y.doc_id",
 }
 
 
