@@ -270,16 +270,13 @@ object PipelineQueries {
     // scale. The n_docs anchor stays the FULL corpus count.
     "doc_neardup_clusters_star" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // persist + materialize the slice ONCE before the legs fork: both
-      // legs scan it, and at sf10 the slice filter's corpus scan was the
-      // growing term in the gate's cost (round-12 verdict #2). Project to
-      // the two columns the legs read BEFORE slicing so the one wide scan
-      // this gate cannot avoid (a modulo slice hits every row group)
-      // reads only (doc_id, text), not the whole row.
-      val cert = graft.pipeline.Caches.persistTracked(
-        Dedup.slicedById(docs.select(col("doc_id"), col("text")),
-          "doc_id", maxRows = 5000L))
-      cert.count()
+      // project to the two columns the legs read BEFORE slicing so the
+      // one wide scan this gate cannot avoid (a modulo slice hits every
+      // row group) reads only (doc_id, text), not the whole row; the
+      // slice persist lives INSIDE the shared edge builder now (a memo
+      // hit never scans the corpus at all)
+      val cert = Dedup.slicedById(docs.select(col("doc_id"), col("text")),
+        "doc_id", maxRows = 5000L)
       // ONE banding/candidate pass feeds both legs (round-15 verdict
       // #2), which stay independent strictly ABOVE the persisted edge
       // list: distributed large/small-star CC vs driver union-find (an
@@ -296,18 +293,25 @@ object PipelineQueries {
       val edges = Dedup.minhashStarEdgesShared(cert, "doc_id", "text",
         numHashes = 64, bands = 8, shingle = 5, threshold = 0.7)
       val (star, expanded) = legs(
-        Dedup.connectedComponents(edges),
-        Dedup.localComponents(edges))
-      val joined = star
-        .select(col("id").as("__id"), col("comp").as("__cs"))
-        .join(expanded.select(col("id").as("__id"), col("comp").as("__ce")),
-          Seq("__id"), "full_outer")
-        .withColumn("__viol",
-          when(col("__cs").isNull || col("__ce").isNull ||
-            col("__cs") =!= col("__ce"), 1L).otherwise(0L))
-      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
-        joined.agg(coalesce(sum(col("__viol")), lit(0L))
-          .cast("long").as("n_violations")))
+        Dedup.connectedComponents(edges)
+          .select(col("id"), col("comp")).collect(),
+        Dedup.localComponents(edges)
+          .select(col("id"), col("comp")).collect())
+      // full-outer label equality counted in the DRIVER over the two
+      // collected maps: both sides are bounded by the certificate slice
+      // (≤ 5000 ids by construction — localComponents already collects
+      // its side), and the comparison is harness, not engine path —
+      // dropping the full-outer-join job cuts a fixed per-gate Spark
+      // round-trip without weakening what the legs certify (round-17
+      // verdict #3). The label-producing algorithms stay exactly as
+      // before: distributed large/small-star CC vs driver union-find.
+      val starMap = star.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expMap = expanded.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nViol = (starMap.keySet ++ expMap.keySet).count { id =>
+        starMap.get(id) != expMap.get(id) // None != Some also violates
+      }.toLong
+      docs.agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_violations", lit(nViol))
     }),
 
     // Jaccard-family cluster resolution through STAR edges (round-11

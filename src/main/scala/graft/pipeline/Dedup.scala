@@ -398,15 +398,21 @@ object Dedup {
     * for the seeded minhash family, including star ≡ expanded). */
   def minhashStarEdgesShared(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
-      threshold: Double = 0.6): DataFrame = {
-    val (repPairs, selfVals, members) =
-      minhashContracted(df, idCol, textCol, numHashes, bands, shingle,
-        threshold)
-    val edges = Caches.persistTracked(
-      starEdges(repPairs, selfVals, members))
-    edges.count() // materialize ONCE before concurrent legs fork
-    edges
-  }
+      threshold: Double = 0.6): DataFrame =
+    pairListShared(df,
+      s"minhash-star|$idCol|$textCol|$numHashes|$bands|$shingle|$threshold") {
+      // persist the corpus for the BUILD only (contractExact and the
+      // banding pass both scan it); a memo hit never touches it —
+      // round-17 verdict #3's suggested memo reuse across the neardup
+      // family, the winnowPairsShared lifecycle (survives release,
+      // invalidateStats evicts)
+      val src = Caches.persistTracked(df)
+      src.count()
+      val (repPairs, selfVals, members) =
+        minhashContracted(src, idCol, textCol, numHashes, bands, shingle,
+          threshold)
+      starEdges(repPairs, selfVals, members)
+    }
 
   /** Shared contracted-path pieces for both minhash output modes:
     * (rep-level pairs, per-eligible-clique self values, member map). */

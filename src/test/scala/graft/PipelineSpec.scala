@@ -889,6 +889,26 @@ class PipelineSpec extends SparkFunSuite {
     graft.pipeline.Caches.release()
   }
 
+  test("minhashStarEdgesShared: memo lifecycle (round-17 #3 reuse)") {
+    graft.pipeline.Dedup.invalidateStats() // hermetic
+    val slice = docs.select(col("doc_id"), col("text"))
+    val e1 = Dedup.minhashStarEdgesShared(slice, "doc_id", "text")
+    assert(Dedup.minhashStarEdgesShared(slice, "doc_id", "text") eq e1,
+      "same plan+params must return the SAME persisted edge list")
+    graft.pipeline.Caches.release()
+    assert(Dedup.minhashStarEdgesShared(slice, "doc_id", "text") eq e1)
+    assert(e1.storageLevel.useMemory || e1.storageLevel.useDisk)
+    // different params -> different memo entry, not a stale hit
+    val e2 = Dedup.minhashStarEdgesShared(slice, "doc_id", "text", bands = 8)
+    assert(!(e2 eq e1))
+    graft.pipeline.Dedup.invalidateStats()
+    assert(e1.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "invalidateStats must unpersist memoized edge lists")
+    graft.pipeline.Dedup.invalidateStats()
+    graft.pipeline.Caches.release()
+  }
+
   test("spreadSmall: repartitions unsplittable scans, no-op at full parallelism") {
     import graft.pipeline.Decontaminate
     val oneTask = docs // single parquet file, one row group -> one task
