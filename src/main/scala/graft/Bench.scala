@@ -37,12 +37,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // cached plans keep exchange partitioning unless this is on —
-      // without it a persisted KB-scale intermediate (e.g. a star edge
-      // list) pins 2x shuffle.partitions tasks onto every downstream
-      // stage; with it AQE sizes cached output like any other exchange
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

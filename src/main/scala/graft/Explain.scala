@@ -13,12 +13,6 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      // cached plans keep exchange partitioning unless this is on —
-      // without it a persisted KB-scale intermediate (e.g. a star edge
-      // list) pins 2x shuffle.partitions tasks onto every downstream
-      // stage; with it AQE sizes cached output like any other exchange
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // AQE hides WholeStageCodegen subtrees in pre-execution explain;
       // disable it here so plan inspection shows the real codegen spans
