@@ -307,6 +307,15 @@ object PipelineQueries {
       // before: distributed large/small-star CC vs driver union-find.
       val starMap = star.map(r => r.getLong(0) -> r.getLong(1)).toMap
       val expMap = expanded.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // toMap keeps the LAST entry on a duplicate key, which would mask
+      // a CC bug emitting one id under two conflicting labels — fail
+      // loud instead (each leg must label every id exactly once)
+      require(star.length == starMap.size,
+        s"connectedComponents emitted duplicate ids: ${star.length} rows, " +
+          s"${starMap.size} distinct")
+      require(expanded.length == expMap.size,
+        s"localComponents emitted duplicate ids: ${expanded.length} rows, " +
+          s"${expMap.size} distinct")
       val nViol = (starMap.keySet ++ expMap.keySet).count { id =>
         starMap.get(id) != expMap.get(id) // None != Some also violates
       }.toLong

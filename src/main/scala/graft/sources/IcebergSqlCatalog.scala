@@ -80,10 +80,12 @@ final class IcebergSqlMaintenance(spark: SparkSession, catalog: String)
   /** `DELETE FROM` — Iceberg splices untouched files at the manifest
     * level natively; the predicate arrives pre-sanitized (the HTTP
     * route runs WhereSanitizer before building the Column). The
-    * deleted-row count comes from the DELETE commit's own snapshot
-    * summary (`deleted-records`) — O(metadata), and atomic against
-    * concurrent writers, where before/after `count()` scans are two
-    * full table reads whose difference misreports under concurrency. */
+    * deleted-row count is read from the DELETE commit's OWN snapshot
+    * summary via [[IcebergSqlCatalog.deleteCountSql]] — O(metadata),
+    * attributed by operation + commit order rather than "latest", and
+    * netted against COW survivor rewrites (see that builder's doc for
+    * the exact arithmetic and the residual ambiguity when another
+    * DELETE races in the same window). */
   override def deleteWhere(namespace: String, table: String,
       pred: org.apache.spark.sql.Column): Long = {
     val t = fqn(catalog, namespace, table)
@@ -91,16 +93,12 @@ final class IcebergSqlMaintenance(spark: SparkSession, catalog: String)
     val prevLatest = latestSnapshotId(t)
     spark.sql(s"DELETE FROM $t WHERE " +
       org.apache.spark.sql.graftbridge.expression(pred).sql)
-    val latest = spark.sql(
-      s"SELECT snapshot_id, summary['deleted-records'] AS d " +
-        s"FROM $t.snapshots ORDER BY committed_at DESC LIMIT 1")
-      .collect().headOption
-    latest match {
-      // a DELETE matching nothing commits no new snapshot -> 0
-      case Some(r) if !prevLatest.contains(r.getLong(0)) && !r.isNullAt(1) =>
-        r.getString(1).toLong
-      case _ => 0L
-    }
+    spark.sql(deleteCountSql(s"$t.snapshots", prevLatest))
+      .collect().headOption match {
+        // a DELETE matching nothing commits no new snapshot -> no row
+        case Some(r) if !r.isNullAt(1) => math.max(0L, r.getLong(1))
+        case _ => 0L
+      }
   }
 
   private def latestSnapshotId(t: String): Option[Long] =
@@ -191,5 +189,46 @@ object IcebergSqlCatalog {
       s"invalid timestamp literal: $olderThan")
     s"CALL $catalog.system.expire_snapshots(table => '$ns.$table', " +
       s"older_than => TIMESTAMP '$olderThan', retain_last => $retainLast)"
+  }
+
+  /** Count-attribution query for [[IcebergSqlMaintenance.deleteWhere]]:
+    * picks the DELETE's OWN commit — the EARLIEST `delete`/`overwrite`
+    * snapshot committed strictly after `prevLatest` (not the newest
+    * snapshot overall, which a concurrent writer landing between the
+    * DELETE and this read would own: an append there carries no
+    * `deleted-records` and used to misreport 0, and a racing delete's
+    * summary would be misattributed). With no racer this is exactly the
+    * snapshot whose `parent_id` is `prevLatest`; parent-matching alone
+    * is NOT used because Iceberg's optimistic retry rebases a conflicted
+    * DELETE onto the racer's snapshot, changing its parent. Residual
+    * ambiguity: two DELETEs racing in the same window can still swap
+    * attribution — Spark's SQL surface does not return the commit's
+    * snapshot id, so that is the attribution limit of this API.
+    *
+    * The returned `net_deleted` nets the summary fields so copy-on-write
+    * does not overcount: a partial-file COW DELETE (operation
+    * `overwrite`) removes whole files and rewrites the survivors, so
+    * `deleted-records` (rows in REMOVED files) minus `added-records`
+    * (rewritten survivors) is the true row delta; a file-aligned DELETE
+    * (operation `delete`) has `added-records` 0; a merge-on-read DELETE
+    * leaves data files in place and commits the deleted rows as
+    * `added-position-deletes` instead.
+    *
+    * `target` is the `.snapshots` metadata identifier in production and
+    * a temp view with the same shape in tests, so the identical text is
+    * EXECUTED against simulated commit interleavings (CatalogSpec), not
+    * just parsed. Segments are validated before interpolation. */
+  def deleteCountSql(target: String, prevLatest: Option[Long]): String = {
+    require(validIdent(target), s"invalid snapshots target: $target")
+    val after = prevLatest.fold("")(id =>
+      s" AND committed_at > (SELECT committed_at FROM $target " +
+        s"WHERE snapshot_id = ${id}L)")
+    "SELECT snapshot_id, " +
+      "coalesce(CAST(summary['deleted-records'] AS BIGINT), 0L) - " +
+      "coalesce(CAST(summary['added-records'] AS BIGINT), 0L) + " +
+      "coalesce(CAST(summary['added-position-deletes'] AS BIGINT), 0L) " +
+      s"AS net_deleted FROM $target " +
+      s"WHERE operation IN ('delete', 'overwrite')$after " +
+      "ORDER BY committed_at, snapshot_id LIMIT 1"
   }
 }

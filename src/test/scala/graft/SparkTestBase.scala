@@ -16,6 +16,14 @@ object SparkTestBase {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.geo.GeoRegistry.install(s)
+    // PLANS.md round 18: canChangeCachedPlanOutputPartitioning=true
+    // coalesced memoized edge lists under cached compute-dense consumers
+    // (doc_winnow_sound 1.30 -> 4.93 s) and was reverted with
+    // measurements. Guard the default so a session-builder edit cannot
+    // silently reintroduce it; PlanGuardSpec scans the main builders.
+    require(s.conf.get(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning") == "false",
+      "cached-plan output partitioning must stay at the default (false)")
     s
   }
 }
