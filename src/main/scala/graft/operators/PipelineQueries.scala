@@ -1878,12 +1878,26 @@ object PipelineQueries {
     * The pair set is persisted at the gate boundary either way (the
     * count action + the output both read it; tracked in [[Caches]],
     * evicted by the runner's release()). */
-  private def pairGate(pairs: DataFrame, valueCol: String,
+  private[graft] def pairGate(pairs: DataFrame, valueCol: String,
       maxRows: Long = 1000000L): DataFrame = {
     val p = graft.pipeline.Caches.persistTracked(pairs)
     if (p.count() <= maxRows) p.orderBy(col("id_a"), col("id_b"))
     else p.agg(count(lit(1)).as("n_pairs"),
-      expr(s"bit_xor(xxhash64(id_a, id_b, $valueCol))").as("pair_digest"))
+      expr(s"bit_xor(xxhash64(id_a, id_b, $valueCol))").as("pair_digest"),
+      // id_digest is the ORACLE-REPLAYABLE leg (round-18 verdict #5):
+      // xxhash64 has no DuckDB twin, so pair_digest pins values only
+      // across same-engine dumps, leaving digest-scale records count-
+      // verified. md5 is bit-identical in both engines and the hex
+      // prefix parses exactly on both sides (Spark conv(s,16,10),
+      // DuckDB ('0x'||s)::BIGINT — 15 hex chars = 60 bits, no sign
+      // risk), so a commutative SUM of per-pair 60-bit md5 values is
+      // a value hash of the ID PAIR SET the oracle can recompute at
+      // any scale, riding the same sharded pass as the count.
+      // Distinct-by-construction pairs make collisions the only false-
+      // pass mode (~n^2/2^60 birthday bound - negligible at 285M pairs).
+      expr("sum(cast(conv(substring(md5(concat(cast(id_a as string), " +
+        "':', cast(id_b as string))), 1, 15), 16, 10) " +
+        "as decimal(38,0)))").as("id_digest"))
   }
 
   /** Deterministic bounded pair sample WITHOUT a total ordering (round-7

@@ -987,6 +987,25 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var fp = fingerprint(edges)
+    // Width adaptation: tiny rounds are latency-bound, not compute-bound
+    // — below ~100k edges a star round's wall cost is AQE stage
+    // scheduling + per-stage codegen over dozens of near-empty cached
+    // partitions (measured on the 248-edge neardup certificate slice:
+    // 2.38 s -> 1.42 s warm with a 1-partition working set). The
+    // fingerprint probe already knows each round's exact edge count, so
+    // read the checkpoint blocks through a narrow coalesce sized to
+    // ~50k edges/partition once the set is small. Large edge sets keep
+    // their full width — early rounds at corpus scale are compute-dense
+    // (the round-18 cached-partitioning lesson, PLANS.md) — and late
+    // rounds on a 100 TB input shrink the same way certificate slices
+    // start, so the narrowing is the scale path, not a test hack.
+    def narrowed(e: DataFrame, n: Long): DataFrame =
+      if (n == 0L || n > 100000L) e
+      else e.coalesce(math.max(1, math.ceil(n / 50000.0).toInt))
+    // `ckpt` tracks the round's raw checkpointed plan (LogicalRDD) for
+    // block frees; `edges` may be a narrowed view of it.
+    var ckpt = base0
+    edges = narrowed(edges, fp._1)
     var converged = fp._1 == 0L // no edges: every node is its own root
     var rounds = 0
     while (rounds < maxIter && !converged) {
@@ -1014,12 +1033,14 @@ object Dedup {
       // round's blocks are dead weight — free them now instead of
       // waiting for RDD garbage collection (a busy serving session
       // would otherwise hold O(rounds) stale edge sets in storage).
-      // Round 0's `edges` is a Filter over `base0`, not a LogicalRDD —
-      // unpersistCheckpoint is a deliberate no-op there (base0 backs the
-      // node universe until the caller's boundary release).
-      Caches.unpersistCheckpoint(edges)
+      // base0 itself is exempt (it backs the node universe until the
+      // caller's boundary release); `ckpt` — not `edges` — is the raw
+      // LogicalRDD the free must target, since `edges` may be a
+      // narrowed coalesce view unpersistCheckpoint won't match.
+      if (ckpt ne base0) Caches.unpersistCheckpoint(ckpt)
       converged = nfp == fp
-      edges = next
+      ckpt = next
+      edges = narrowed(next, nfp._1)
       fp = nfp
       rounds += 1
     }
@@ -1034,7 +1055,7 @@ object Dedup {
     // Caches so the caller's boundary release frees them (checkpoint
     // blocks never free through Dataset.unpersist, only via their RDD)
     Caches.trackCheckpointed(base0)
-    Caches.trackCheckpointed(edges)
+    Caches.trackCheckpointed(ckpt)
     val comp = edges.groupBy(col("src")).agg(min(col("dst")).as("__comp"))
     val labels = nodes.join(comp, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("__comp"), col("id")).as("comp"))

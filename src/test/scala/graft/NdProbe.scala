@@ -42,6 +42,17 @@ object NdProbe {
         println(s"  cc rounds: ${r.rounds}")
         r.labels
       }
+      t("cc-dist-coalesced") {
+        val r = Dedup.connectedComponentsResult(edges.coalesce(1))
+        r.labels.count()
+      }
+      t("cc-dist-noaqe") {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val r = Dedup.connectedComponentsResult(edges)
+          r.labels.count()
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
       val expanded = t("cc-local") {
         val e = Dedup.localComponents(edges); e.count(); e
       }

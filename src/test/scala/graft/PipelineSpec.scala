@@ -1704,4 +1704,31 @@ class PipelineSpec extends SparkFunSuite {
       }
     }
   }
+
+  test("pairGate digest form: id_digest is the DuckDB-replayable md5 sum") {
+    import spark.implicits._
+    val pairs = Seq((12L, 34L, 0.9), (7L, 99L, 0.8),
+      (123456789L, 987654321L, 0.7)).toDF("id_a", "id_b", "sim")
+    // maxRows = 0 forces the digest row on a hand-checkable pair set
+    val row = graft.operators.PipelineQueries.pairGate(pairs, "sim",
+      maxRows = 0L).head()
+    graft.pipeline.Caches.release()
+    assert(row.schema.fieldNames.toSeq ===
+      Seq("n_pairs", "pair_digest", "id_digest"))
+    assert(row.getLong(0) === 3L)
+    // the replayable leg: sum over pairs of the first 15 hex chars of
+    // md5("<id_a>:<id_b>") parsed base-16 — computed here from
+    // java.security.MessageDigest, the SAME byte-level definition
+    // DuckDB's md5() + ('0x'||s)::BIGINT evaluates, so this pin proves
+    // the Spark SQL conv/md5 rendering means what the oracle replays
+    def leg(a: Long, b: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$a:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 15), 16)
+    }
+    val want = Seq((12L, 34L), (7L, 99L), (123456789L, 987654321L))
+      .map { case (a, b) => leg(a, b) }.sum
+    assert(BigInt(row.getDecimal(2).toBigInteger) === want)
+  }
 }

@@ -39,6 +39,16 @@ from check import table_hash, TABLES
 DEFAULT_GATES = ["doc_minhash_dedup", "doc_simhash_dedup",
                  "doc_winnow_pairs", "emb_neardup_lsh"]
 
+# The digest row's ORACLE-REPLAYABLE leg (round-18 verdict #5): Spark
+# emits sum(conv(substr(md5('<id_a>:<id_b>'),1,15),16,10)) as id_digest;
+# md5 is bit-identical across engines and 15 hex chars parse exactly as
+# a 60-bit BIGINT on both sides, so the same commutative sum recomputed
+# over the committed oracle's pair rows is a VALUE HASH of the id pair
+# set — it rides the same (optionally sharded) pass as the count.
+DIGEST_AGG = ("count(*), "
+              "sum((('0x' || substr(md5(CAST(id_a AS VARCHAR) || ':' || "
+              "CAST(id_b AS VARCHAR)), 1, 15))::BIGINT)::DECIMAL(38,0))")
+
 # Residue sharding (round-16 verdict #7): at sf10 the clone-heavy corpus
 # makes the candidate SELF-JOIN's output quadratic in clique size — the
 # three gates below exceeded the allocator even parquet-staged. Every
@@ -115,7 +125,7 @@ def shard_suffix_sql(ctes, final, marker, m, r):
     return sql, split_at
 
 
-def run_staged(con, sql, count_only=False, shard=None):
+def run_staged(con, sql, agg=None, shard=None):
     """Execute the committed oracle STAGE BY STAGE: each top-level CTE
     is COPY'd to a parquet stage file and re-registered as a view of
     the same name (bodies reference predecessors verbatim), then the
@@ -169,20 +179,23 @@ def run_staged(con, sql, count_only=False, shard=None):
                         f"FROM read_parquet('{path}')")
             made.append(name)
         if shard is None:
-            if count_only:
-                n = con.sql(
-                    f"SELECT count(*) FROM ({final})").fetchone()[0]
-                return None, n
+            if agg is not None:
+                return None, con.sql(
+                    f"SELECT {agg} FROM ({final})").fetchone()
             rel = con.sql(final)
             return list(rel.columns), rel.fetchall()
         marker, m = shard
-        if count_only:
-            total = 0
+        if agg is not None:
+            totals = None
             for r in range(m):
                 s, _ = shard_suffix_sql(ctes, final, marker, m, r)
-                total += con.sql(
-                    f"SELECT count(*) FROM ({s})").fetchone()[0]
-            return None, total
+                row = con.sql(f"SELECT {agg} FROM ({s})").fetchone()
+                if totals is None:
+                    totals = list(row)
+                else:  # commutative aggregates: shard results add
+                    totals = [
+                        (a or 0) + (b or 0) for a, b in zip(totals, row)]
+            return None, tuple(totals)
         names, rows = None, []
         for r in range(m):
             s, _ = shard_suffix_sql(ctes, final, marker, m, r)
@@ -257,6 +270,15 @@ def selftest(base_sf):
             ok &= eq
             print(f"{'EQUIV' if eq else 'MISMATCH'} {name} "
                   f"(sharded m=4 vs monolith, {len(sharded)} rows)")
+            # the (count, md5 id digest) aggregate must decompose
+            # exactly across shards too (commutative sums)
+            _, am = run_staged(con, oracles[name], agg=DIGEST_AGG)
+            _, ash = run_staged(con, oracles[name], agg=DIGEST_AGG,
+                                shard=(SHARD_MARKERS[name], 4))
+            eq = [int(x or 0) for x in am] == [int(x or 0) for x in ash]
+            ok &= eq
+            print(f"{'EQUIV' if eq else 'MISMATCH'} {name} "
+                  f"(sharded digest agg vs monolith: {tuple(am)})")
     sys.exit(0 if ok else 1)
 
 
@@ -287,23 +309,47 @@ def main():
         sql = oracles[name]
         shard = (SHARD_MARKERS[name], shards) \
             if shards > 1 and name in SHARD_MARKERS else None
-        if sorted(g_names) == ["n_pairs", "pair_digest"]:
-            # digest form: count-only differential
+        if sorted(g_names) in (["id_digest", "n_pairs", "pair_digest"],
+                               ["n_pairs", "pair_digest"]):
+            # digest form: the committed oracle recomputes the pair COUNT
+            # and (new form) the md5 id-pair VALUE DIGEST in one pass
             n_spark = g_rows[0][g_names.index("n_pairs")]
-            _, n_oracle = run_staged(con, sql, count_only=True, shard=shard)
+            _, orc = run_staged(con, sql, agg=DIGEST_AGG, shard=shard)
+            n_oracle, d_oracle = orc
             ok = n_spark == n_oracle
             note = (f"; pair join evaluated in {shards} exact id_a-"
                     f"residue shards" if shard else "")
-            report[name] = {
-                "rows_match": ok, "schema_match": True,
-                "hash_match": None, "spark_rows": int(n_spark),
-                "oracle_rows": int(n_oracle),
-                "err": ("scale oracle: digest form — committed-oracle "
-                        "pair COUNT compared (xxhash64 digest not "
-                        "replayable in DuckDB); value hash pinned at "
-                        "sf0.01/sf0.1 (tools/digest_oracles.py)" + note)}
+            if "id_digest" in g_names:
+                d_spark = g_rows[0][g_names.index("id_digest")]
+                ok_digest = int(d_spark) == int(d_oracle or 0)
+                ok = ok and ok_digest
+                err = ("scale oracle: digest form — committed-oracle "
+                       "pair COUNT and md5 id-pair VALUE DIGEST both "
+                       "recomputed and matched (per-pair value column "
+                       "additionally hash-pinned at sf0.01/sf0.1)" + note
+                       ) if ok else (
+                       f"digest mismatch: count {n_spark} vs {n_oracle}, "
+                       f"id_digest {d_spark} vs {d_oracle}")
+                report[name] = {
+                    "rows_match": n_spark == n_oracle,
+                    "schema_match": True, "hash_match": ok_digest,
+                    "spark_rows": int(n_spark), "oracle_rows": int(n_oracle),
+                    "err": err}
+                print(f"{'PASS' if ok else 'FAIL'} {name} (digest count "
+                      f"{n_spark} vs {n_oracle}, id_digest "
+                      f"{'match' if ok_digest else 'MISMATCH'})")
+            else:
+                report[name] = {
+                    "rows_match": ok, "schema_match": True,
+                    "hash_match": None, "spark_rows": int(n_spark),
+                    "oracle_rows": int(n_oracle),
+                    "err": ("scale oracle: digest form — committed-oracle "
+                            "pair COUNT compared (xxhash64 digest not "
+                            "replayable in DuckDB); value hash pinned at "
+                            "sf0.01/sf0.1 (tools/digest_oracles.py)" + note)}
+                print(f"{'PASS' if ok else 'FAIL'} {name} "
+                      f"(digest count {n_spark} vs {n_oracle})")
             status = "PASS" if ok else "FAIL"
-            print(f"{status} {name} (digest count {n_spark} vs {n_oracle})")
         else:
             e_names, e_rows = run_staged(con, sql, shard=shard)
             if shard:  # shards concatenate; the committed final ORDERs
