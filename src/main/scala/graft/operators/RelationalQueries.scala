@@ -29,16 +29,36 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2/A3: group-by aggregate with multiple agg functions (TPC-H Q1 shape).
     "q1_agg" -> ((s, d) => {
+      // Exact integer sums (scale-determinism, round 19): a double SUM
+      // over millions of rows carries partition-order noise of hundreds
+      // of ulps, and at sf10 sum_base_price landed ON a penny rounding
+      // boundary — even DuckDB's own parallel sum flipped between .99
+      // and .00 across runs, so rounding the FP sum is nondeterministic
+      // on BOTH engines. The source columns sit on fixed decimal grids
+      // by construction (prices 2-dec, discounts and their products
+      // <=4-dec), so the per-row floor(x*10^k + 0.5) is a LOSSLESS
+      // re-quantization (the Det contract: bit-identical per-row IEEE
+      // ops on both engines), the BIGINT sum is exact at any scale and
+      // partition order (< 2^53 through sf100), and the single final
+      // division + Det.r round is deterministic. This is the "prefer
+      // exact integer sums" rule — per-row VALUES are unchanged, only
+      // the summation domain moves from float to int.
+      val qty100 = sum(floor(col("l_quantity") * 100 + lit(0.5)))
+      val cents = sum(floor(col("l_extendedprice") * 100 + lit(0.5)))
+      val disc4 = sum(floor(col("l_extendedprice") *
+        (lit(1) - col("l_discount")) * 10000 + lit(0.5)))
+      val d4 = sum(floor(col("l_discount") * 10000 + lit(0.5)))
+      val n = count(lit(1))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          Det.r(sum(col("l_quantity")), 2).as("sum_qty"),
-          Det.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          Det.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          Det.r(avg(col("l_quantity")), 4).as("avg_qty"),
-          Det.r(avg(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          Det.r(qty100 / 100.0, 2).as("sum_qty"),
+          Det.r(cents / 100.0, 2).as("sum_base_price"),
+          Det.r(disc4 / 10000.0, 2).as("sum_disc_price"),
+          Det.r(qty100 / 100.0 / n, 4).as("avg_qty"),
+          Det.r(d4 / 10000.0 / n, 4).as("avg_disc"),
+          n.as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -274,12 +294,17 @@ object RelationalQueries {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-         floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+         floor((sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0)
+           * 100.0 + 0.5) / 100.0 AS sum_qty,
+         floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           / 100.0) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+         floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+           + 0.5) AS BIGINT)) / 10000.0) * 100.0 + 0.5) / 100.0
            AS sum_disc_price,
-         floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-         floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+         floor((sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+           / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+         floor((sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+           / 10000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-01'
