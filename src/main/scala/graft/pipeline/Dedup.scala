@@ -1008,26 +1008,42 @@ object Dedup {
     edges = narrowed(edges, fp._1)
     var converged = fp._1 == 0L // no edges: every node is its own root
     var rounds = 0
+    // Both star steps take the WINDOW-min form (round 19, guide §2.4):
+    // `min(dst) over (partition by src)` binds each row's group minimum
+    // in the same exchange that groups it, so the groupBy-min + re-join
+    // pair each step used before — which shuffled the symmetric edge
+    // list a SECOND time and paid a join's AQE planning wave — collapses
+    // to one exchange + per-partition sort. Per round: 7 exchanges → 4,
+    // and the 2E-row sym list crosses the wire once, not twice. Skew
+    // shape is unchanged (the old join also hash-partitioned by src);
+    // row sets are provably identical at every round (min over the same
+    // groups, emitted rows the same set), so round count, fingerprints
+    // and labels are bit-identical.
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
     while (rounds < maxIter && !converged) {
       // large-star: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val lsMin = sym.groupBy(col("src")).agg(min(col("dst")).as("__nmin"))
-        .select(col("src").as("__u"), least(col("__nmin"), col("src")).as("__m"))
-      val ls = sym.join(lsMin, col("src") === col("__u"))
+      val ls = sym
+        .withColumn("__m", least(min(col("dst")).over(wSrc), col("src")))
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("__m").as("dst"))
         .distinct()
       // small-star on (larger → smaller) edges: m = min(N(u)); emit
-      // (v, m) for v ∈ N(u) ∪ {u}, v ≠ m — src > dst holds throughout
-      val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("__m"))
-      val leaves = ls.join(ssMin, Seq("src"))
-        .where(col("dst") =!= col("__m"))
-        .select(col("dst").as("src"), col("__m").as("dst"))
-      val centers = ssMin.select(col("src"), col("__m").as("dst"))
+      // (v, m) for v ∈ N(u) ∪ {u}, v ≠ m — src > dst holds throughout.
+      // `ls` is distinct, so per src exactly ONE row has dst == m: that
+      // row becomes the center edge (src, m), every other row the leaf
+      // edge (dst, m) — the old leaves ∪ centers union, without the
+      // union or the join.
+      val next = ls
+        .withColumn("__m", min(col("dst")).over(wSrc))
+        .select(when(col("dst") === col("__m"), col("src"))
+            .otherwise(col("dst")).as("src"),
+          col("__m").as("dst"))
+        .distinct().localCheckpoint(false)
       // lazy localCheckpoint: the fingerprint probe materializes it (one
       // job), and the next round's plan roots at the checkpointed blocks
-      val next = leaves.union(centers).distinct().localCheckpoint(false)
       val nfp = fingerprint(next)
       // the probe materialized `next`'s checkpoint, so the previous
       // round's blocks are dead weight — free them now instead of

@@ -29,6 +29,7 @@ object WaveProbe {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskNanos = new AtomicLong(0L)
+    val gcNanos = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -36,8 +37,10 @@ object WaveProbe {
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+          gcNanos.addAndGet(t.taskMetrics.jvmGCTime * 1000000L)
+        }
       }
     })
 
@@ -50,7 +53,7 @@ object WaveProbe {
     graft.pipeline.Caches.release()
     Thread.sleep(300)
     println(f"${"query"}%-28s ${"wall_s"}%7s ${"jobs"}%5s ${"stages"}%6s " +
-      f"${"tasks"}%6s ${"task_s"}%8s")
+      f"${"tasks"}%6s ${"task_s"}%8s ${"gc_s"}%7s")
     val rows = names.map { name =>
       val fn = SparkEntry.queries(name)
       // run twice, report the second (warm) run's counters — matches the
@@ -59,21 +62,22 @@ object WaveProbe {
       graft.pipeline.Caches.release()
       Thread.sleep(100)
       jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0L)
+      gcNanos.set(0L)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       graft.pipeline.Caches.release()
       Thread.sleep(200) // let listener drain
       val r = (name, wall, jobs.get, stages.get, tasks.get,
-        taskNanos.get / 1e9)
+        taskNanos.get / 1e9, gcNanos.get / 1e9)
       println(f"${r._1}%-28s ${r._2}%7.3f ${r._3}%5d ${r._4}%6d " +
-        f"${r._5}%6d ${r._6}%8.3f")
+        f"${r._5}%6d ${r._6}%8.3f ${r._7}%7.3f")
       r
     }
     println("== sorted by wall ==")
     rows.sortBy(-_._2).foreach { r =>
       println(f"${r._1}%-28s ${r._2}%7.3f ${r._3}%5d ${r._4}%6d " +
-        f"${r._5}%6d ${r._6}%8.3f")
+        f"${r._5}%6d ${r._6}%8.3f ${r._7}%7.3f")
     }
     spark.stop()
   }
