@@ -63,6 +63,22 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** [[planeComponent]] for [[LshBucketsExpr]]'s plane table — the one
+    * seeded definition both formulations share. */
+  private[pipeline] def planeComponentPublic(p: Int, j: Int,
+      seed: Long): Double = planeComponent(p, j, seed)
+
+  /** All `tables` LSH bucket ids as ONE array<long> column — the plan
+    * carries a single [[LshBucketsExpr]] node (planes live in a
+    * reference object) instead of tables x bits literal plane arrays;
+    * values are bit-identical to [[lshBucket]] per table
+    * (seed_t = seed + t * 7919). */
+  private[pipeline] def lshBucketsCol(vec: Column, dim: Int, bits: Int,
+      tables: Int, seed: Long): Column =
+    org.apache.spark.sql.graftbridge.column(LshBucketsExpr(
+      org.apache.spark.sql.graftbridge.expression(vec), dim, bits, tables,
+      seed))
+
   /** Random-hyperplane LSH bucket id: `bits` sign bits from dot products
     * with seeded planes. Uses the codegen'd [[DotProduct]] against float
     * plane literals — bucketing runs scan-side inside whole-stage codegen
@@ -502,16 +518,14 @@ object Similarity {
   private def cosineNearDupPairsRaw(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, threshold: Double, bits: Int, tables: Int,
       seed: Long): DataFrame = {
-    // bucket per (row, table), computed from the vector scan-side
+    // bucket per (row, table), computed from the vector scan-side: all
+    // tables' buckets in ONE LshBucketsExpr node, posexploded — same
+    // (id, table, bucket) rows as the old explode + per-table when
+    // chain, at 1/~2500th the plan size (see LshBucketsExpr)
     val withBucket = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__table", explode(array((0 until tables).map(lit): _*)))
-      .withColumn("__bucket",
-        (0 until tables).foldLeft(lit(0L)) { (acc, t) =>
-          when(col("__table") === t,
-            lshBucket(col("__v"), dim, bits, seed + t * 7919L))
-            .otherwise(acc)
-        })
-      .select(col("__id"), col("__table"), col("__bucket"))
+      .select(col("__id"),
+        posexplode(lshBucketsCol(col("__v"), dim, bits, tables, seed))
+          .as(Seq("__table", "__bucket")))
     val a = withBucket.select(col("__id").as("id_a"),
       col("__table"), col("__bucket"))
     val b = withBucket.select(col("__id").as("id_b"),
@@ -551,16 +565,14 @@ object Similarity {
   def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    // all tables' buckets in ONE LshBucketsExpr node, posexploded — same
+    // rows as the old explode + per-table when chain at a fraction of
+    // the plan size (see LshBucketsExpr)
     def banded(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as("__v"))
-        .withColumn("__table", explode(array((0 until tables).map(lit): _*)))
-        .withColumn("__bucket",
-          (0 until tables).foldLeft(lit(0L)) { (acc, t) =>
-            when(col("__table") === t,
-              lshBucket(col("__v"), dim, bits, seed + t * 7919L))
-              .otherwise(acc)
-          })
-        .select(col(id), col("__table"), col("__bucket"))
+        .select(col(id),
+          posexplode(lshBucketsCol(col("__v"), dim, bits, tables, seed))
+            .as(Seq("__table", "__bucket")))
     val q = banded(queries, "query_id")
     val c = banded(corpus, "neighbor_id")
     val candidates = q.join(c, Seq("__table", "__bucket"))

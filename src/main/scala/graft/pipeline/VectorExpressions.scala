@@ -54,6 +54,38 @@ object VectorOps {
     }
     acc
   }
+
+  /** All `tables` random-hyperplane bucket ids for one vector.
+    * `planes` is laid out [(table, bit, dim)] flattened; each plane
+    * component is the SAME `planeComponent(p, j, seed_t).toFloat.toDouble`
+    * value the per-bit literal-array formulation bound into the plan, and
+    * the dot accumulates left-to-right in double exactly like
+    * [[dot]]'s float path — bucket values are bit-identical to the old
+    * `when(dot >= 0, 1L << p)` chain (NaN compares false there too). */
+  def lshBuckets(v: ArrayData, planes: Array[Double], dim: Int, bits: Int,
+      tables: Int, floatInput: Boolean): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val base = (t * bits + p) * dim
+        var acc = 0.0
+        var j = 0
+        if (floatInput) {
+          while (j < dim) { acc += v.getFloat(j).toDouble * planes(base + j); j += 1 }
+        } else {
+          while (j < dim) { acc += v.getDouble(j) * planes(base + j); j += 1 }
+        }
+        if (acc >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 abstract class VectorBinaryExpr extends BinaryExpression {
@@ -111,6 +143,68 @@ case class SigOverlap(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "sig_overlap"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** All `tables` LSH bucket ids of a vector as ONE array<long> column.
+  *
+  * The per-bit formulation bound `tables x bits` DotProduct nodes, each
+  * against a `dim`-float literal array — ~2,500 literal leaves per
+  * banded side for the ANN defaults. Every Catalyst pass (and every
+  * AQE stage re-optimization) walks that tree, which at gate scale
+  * made DRIVER planning the dominant cost of the ANN join (~150 ms per
+  * AQE wave measured); at 100 TB scale the same tree bloats every
+  * executor's codegen unit. This expression is one plan node holding
+  * the planes as a reference object; values are bit-identical (see
+  * [[VectorOps.lshBuckets]]). */
+case class LshBucketsExpr(child: Expression, dim: Int, bits: Int,
+    tables: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits <= 62, s"bits must fit a long bucket: $bits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elementIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "lsh_buckets expects array<float|double>")
+    }
+  @transient private lazy val planes: Array[Double] = {
+    val out = new Array[Double](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      val seedT = seed + t * 7919L
+      var p = 0
+      while (p < bits) {
+        var j = 0
+        while (j < dim) {
+          out((t * bits + p) * dim + j) =
+            Similarity.planeComponentPublic(p, j, seedT).toFloat.toDouble
+          j += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    out
+  }
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.lshBuckets(v.asInstanceOf[ArrayData], planes, dim, bits,
+      tables, elementIsFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.pipeline.VectorOps.lshBuckets($v, $ref, $dim, $bits, " +
+        s"$tables, $elementIsFloat)")
+  }
+  override def prettyName: String = "lsh_buckets"
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
 }
 
 /** Dot product of two equal-length numeric arrays. */
