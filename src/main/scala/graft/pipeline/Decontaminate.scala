@@ -98,15 +98,16 @@ object Decontaminate {
 
   /** All word `n`-grams of a normalized text column, space-joined, in
     * document order (possibly with duplicates — callers distinct() as
-    * needed). Texts with fewer than `n` words yield the empty array
-    * (guarded: Spark's `sequence(1, 0)` would DESCEND, not return empty). */
-  def wordGrams(norm: Column, n: Int): Column = {
-    val words = split(norm, " ")
-    when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => array_join(slice(words, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * needed). Texts with fewer than `n` words yield the empty array.
+    *
+    * One codegen'd byte pass ([[WordGramsExpr]], round 19): the previous
+    * `transform(sequence(…), i -> array_join(slice(words, i, n), ' '))`
+    * formulation ran an interpreted lambda per gram with a slice array
+    * and a join buffer each — the dominant task time of every
+    * gram-shaped operator. Values (including the `< n` words → empty
+    * and null → empty edge cases) are byte-identical. */
+  def wordGrams(norm: Column, n: Int): Column =
+    TextFunctions.word_grams(norm, n)
 
   /** Per-train-document contamination counts against `eval`'s distinct
     * word `n`-gram set: `(id, n_grams, n_hit)` for every train document

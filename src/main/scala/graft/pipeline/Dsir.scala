@@ -42,21 +42,25 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   private val Reserved = Seq("__ws", "__g", "__tgt", "__ct", "__cr",
-    "__t", "__r", "__v", "__dlt")
+    "__t", "__r", "__v", "__dlt", "__nrm")
+
+  /** Doc-local unigram+bigram feature array over an ALREADY-normalized
+    * text column — two codegen'd [[WordGramsExpr]] passes (round 19;
+    * the split + zip_with/slice/concat_ws HOF form it replaces ran an
+    * interpreted lambda per bigram and re-evaluated the split array per
+    * reference). Identical values: 1-grams are the split tokens
+    * (including the [""] empty-text edge), 2-grams the adjacent pairs,
+    * both under the same single-space join. */
+  private[graft] def gramArrayFromNorm(norm: Column): Column =
+    concat(Decontaminate.wordGrams(norm, 1), Decontaminate.wordGrams(norm, 2))
 
   /** Doc-local unigram+bigram feature array for a text column — shared
     * by the batch gram stream and the streaming scorer so the feature
-    * definition cannot diverge. */
-  private[graft] def gramArray(text: Column): Column = {
-    val ws = split(Decontaminate.normCol(text), " ")
-    concat(ws,
-      // sequence() descends when stop < start — guard the 1-token doc
-      when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1),
-          slice(ws, lit(2), size(ws) - 1),
-          (a, b) => concat_ws(" ", a, b)))
-        .otherwise(typedLit(Seq.empty[String])))
-  }
+    * definition cannot diverge. Callers that can bind the normalized
+    * string as a real column should use [[gramArrayFromNorm]] so the
+    * normalization regex runs once per row. */
+  private[graft] def gramArray(text: Column): Column =
+    gramArrayFromNorm(Decontaminate.normCol(text))
 
   /** Optional paper-style feature hashing: gram string → bucket id. */
   private[graft] def bucketed(g: Column,
@@ -107,14 +111,19 @@ object Dsir {
       s"idCol '$idCol' clashes with the output/internal columns")
   }
 
-  /** Exploded `(idCol, __tgt, __g)` feature stream, scan-side. */
+  /** Exploded `(idCol, __tgt, __g)` feature stream, scan-side. The
+    * normalized text binds as a real column first (the appendShingleSet
+    * discipline) so the regex runs once per row however many times the
+    * gram expressions reference it. */
   private[graft] def gramStream(df: DataFrame, idCol: String,
       textCol: String, targetCol: Column,
       hashBuckets: Option[Int], hash64: Boolean = false): DataFrame =
     Decontaminate.spreadSmall(
         df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), targetCol.as("__tgt"),
-        explode(gramArray(col(textCol))).as("__g"))
+        Decontaminate.normCol(col(textCol)).as("__nrm"))
+      .select(col(idCol), col("__tgt"),
+        explode(gramArrayFromNorm(col("__nrm"))).as("__g"))
       .select(col(idCol), col("__tgt"),
         featureKey(col("__g"), hashBuckets, hash64).as("__g"))
       // redundant semantically (exploded grams are never null) but

@@ -453,6 +453,96 @@ object DeflateLen {
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 }
 
+/** Byte-level word n-gram builder backing [[WordGramsExpr]]. */
+object TextGrams {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+  /** For codegen: the shared empty array<string> value. */
+  def empty(): org.apache.spark.sql.catalyst.util.ArrayData = Empty
+
+  /** All space-joined word `n`-grams of `s` under single-space split
+    * semantics — byte-for-byte the rows
+    * `transform(sequence(1, size(words)-(n-1)), i ->
+    *   array_join(slice(words, i, n), ' '))` over
+    * `words = split(s, ' ', -1)` produced: tokens split on EVERY single
+    * space (empty tokens kept), so consecutive tokens are separated by
+    * exactly one space and each gram is a contiguous byte slice of the
+    * input — no token array, no per-gram join, one allocation per gram.
+    * Space is ASCII 0x20 and UTF-8 multibyte sequences never contain it,
+    * so byte scanning is exact. Fewer than `n` tokens → empty array
+    * (the `when(size >= n, …)` guard's behavior). */
+  def wordGrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val m = spaces + 1
+    if (m < n) return Empty
+    val starts = new Array[Int](m + 1)
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(m) = len + 1 // sentinel: token m-1 ends at len = starts(m)-1
+    val out = new Array[Any](m - n + 1)
+    var g = 0
+    while (g <= m - n) {
+      val from = starts(g)
+      out(g) = UTF8String.fromBytes(bytes, from, starts(g + n) - 1 - from)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Word n-grams of a pre-normalized text column as ONE codegen'd pass
+  * (see [[TextGrams.wordGrams]]).
+  *
+  * The higher-order-function formulation this replaces
+  * (`transform(sequence(…), i -> array_join(slice(words, i, n), ' '))`)
+  * evaluates an interpreted lambda per gram with a fresh slice array and
+  * join buffer each — measured as the dominant task time of the
+  * gram-shaped operators (decontamination, source overlap, repetition,
+  * DSIR). NULL input yields the EMPTY array, not null — exactly what the
+  * old `when(size(words) >= n, …).otherwise(array())` returned when
+  * `size(null)` nulled the predicate — so the expression is non-nullable
+  * and null-row behavior is unchanged. */
+case class WordGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1: $n")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_grams requires a STRING child, got ${child.dataType.sql}")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextGrams.empty()
+    else TextGrams.wordGrams(v.asInstanceOf[UTF8String], n)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? graft.pipeline.TextGrams.empty()
+            : graft.pipeline.TextGrams.wordGrams(${c.value}, $n);
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+  override def prettyName: String = "word_grams"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column API for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.Column
@@ -484,4 +574,6 @@ object TextFunctions {
     graftbridge.column(TokenCountExpr(graftbridge.expression(c)))
   def bpe_token_count(c: Column): Column =
     graftbridge.column(BpeTokenCountExpr(graftbridge.expression(c)))
+  def word_grams(c: Column, n: Int): Column =
+    graftbridge.column(WordGramsExpr(graftbridge.expression(c), n))
 }
