@@ -30,14 +30,14 @@ import org.apache.spark.sql.functions._
   * exact integer arithmetic, order-free across partitions. The DuckDB
   * oracle twin transliterates the identical trees.
   *
-  * Scale shape: one scan builds the gram stream scan-side (HOF concat
-  * of the split array and its adjacent-pair transform — no self-join);
-  * ONE gram-key exchange serves both the conditional count aggregate
-  * (target and raw counts in the same pass — the target corpus is NOT
-  * re-scanned) and the probe join back to the stream (same child, same
-  * partitioning — the exchange-reuse shape PLANS.md documents for
-  * lm_score). Totals ride a broadcast scalar row. With `hashBuckets`
-  * set, the exchange keys drop from strings to longs.
+  * Scale shape: one scan shape builds the gram stream scan-side
+  * (codegen'd WordGramsExpr byte passes — no self-join, no interpreted
+  * lambdas); the conditional count aggregate (target and raw counts in
+  * the same pass — the target corpus is NOT re-scanned) and the probe
+  * join consume different projections of it, recomputed per consumer
+  * (see the cache A/B note in importanceWeights). Totals ride a
+  * broadcast scalar row. With `hashBuckets` set, the exchange keys
+  * drop from strings to longs.
   */
 object Dsir {
 
@@ -146,6 +146,15 @@ object Dsir {
     hashBuckets.foreach(b => require(b > 1, s"hashBuckets must be > 1: $b"))
     require(!(hash64 && hashBuckets.nonEmpty),
       "hash64 and hashBuckets are alternative key modes - pick one")
+    // the count aggregate and the probe join shuffle different
+    // projections of the stream ((__tgt, __g) vs (id, __g)) — exchange
+    // reuse never applies, so the gram build runs twice over the
+    // corpus. Deliberately unpersisted (round 19): the cache A/B read
+    // 13.9 → 21.9 task-CPU-s at sf0.1 — columnar encode+decode of the
+    // exploded gram stream plus its materialization wave costs more
+    // than re-running the codegen'd WordGramsExpr build, and at corpus
+    // scale the cache spills ~2× the text bytes where the re-scan
+    // reads compressed parquet.
     val grams = gramStream(df, idCol, textCol, targetCol, hashBuckets,
       hash64)
     val lp = logRatios(gramCounts(grams))

@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * arithmetic — per-doc sums are order-free (integer addition commutes
   * exactly), so the gate hashes identically however partials interleave.
   *
-  * Scale shape: explode → ONE term-key exchange that Catalyst REUSES for
-  * both the frequency aggregate and the probe join (same child, same
-  * partitioning), then the per-doc rollup. The vocabulary total rides a
-  * broadcast scalar row.
+  * Scale shape: the exploded term stream feeds both the frequency
+  * aggregate and the probe join (recomputed per consumer — see the
+  * cache A/B note in the body), then the per-doc rollup. The
+  * vocabulary total rides a broadcast scalar row.
   */
 object LmScore {
 
@@ -36,6 +36,16 @@ object LmScore {
     require(clash.isEmpty, s"input columns clash with internals: $clash")
     require(idCol != "n_tokens" && idCol != "lp_micros" && idCol != "__term",
       s"idCol '$idCol' clashes with the output/internal columns")
+    // The frequency aggregate and the probe join shuffle on DIFFERENT
+    // projections of the term stream ((__term) vs (id, __term)), so
+    // exchange reuse never applies and the normalize+split+explode text
+    // pass runs TWICE — deliberately (round 19): an A/B with the stream
+    // persisted measured the columnar cache encode+decode and its extra
+    // materialization wave costing MORE than the second pass (12.8 →
+    // 20.2 task-CPU-s at sf0.1), and at corpus scale caching a
+    // token-exploded stream spills ~1.5× the corpus to disk where the
+    // re-scan reads compressed parquet. Recompute is the cheaper leg on
+    // both ends once the pass itself is one regex + codegen'd split.
     val terms = Decontaminate.spreadSmall(
         df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol),
@@ -76,49 +86,55 @@ object LmScore {
     * exact integer arithmetic, order-free across partitions. The DuckDB
     * oracle twin transliterates the identical tree.
     *
-    * Scale shape: the bigram stream is built scan-side (one pass, a
-    * sequence/transform HOF over the split array — no self-join of the
-    * token stream); ONE bigram-key exchange serves both the bigram
-    * count aggregate and the probe join back to the stream (same child,
-    * same partitioning — the exchange-reuse shape PLANS.md documents
-    * for lm_score). The unigram table joins attach to the DISTINCT
-    * bigram side (vocabulary-sized, not corpus-sized), and the
-    * vocabulary total rides a broadcast scalar row. */
+    * Scale shape: the normalized-text projection feeds the unigram
+    * aggregate, the bigram count aggregate and the per-doc probe join
+    * (recomputed per consumer — see the cache A/B note in the body);
+    * gram streams are codegen'd WordGramsExpr byte passes, not the old
+    * per-bigram struct lambda. The unigram table joins attach to the
+    * DISTINCT bigram side (vocabulary-sized, not corpus-sized), and
+    * the vocabulary total rides a broadcast scalar row. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.9): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0,
       s"lambda must be in (0, 1) so both mixture legs stay live: $lambda")
-    val reserved = Seq("__ws", "__e", "__w1", "__w2", "__bi", "__cb",
-      "__cu", "__cw", "__total", "__lpm")
+    val reserved = Seq("__ws", "__e", "__nrm", "__w1", "__w2", "__bi",
+      "__cb", "__cu", "__cw", "__total", "__lpm")
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty, s"input columns clash with internals: $clash")
     require(!reserved.contains(idCol) && idCol != "n_bigrams" &&
       idCol != "lp2_micros",
       s"idCol '$idCol' clashes with the output/internal columns")
+    // The unigram aggregate, the bigram count aggregate and the probe
+    // join each consume a different projection of the token/bigram
+    // stream, so exchange reuse never applies and the normalization
+    // runs per consumer — deliberately left UNPERSISTED (round 19):
+    // the cache A/B on this operator read 22.2 → 35.4 task-CPU-s
+    // (columnar encode+decode plus an extra materialization wave beats
+    // re-running one regex + codegen'd WordGramsExpr byte passes), and
+    // a cached normalized-text projection at corpus scale spills
+    // text-sized blocks where the re-scan reads compressed parquet.
     val toks = Decontaminate.spreadSmall(
         df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol),
-        split(Decontaminate.normCol(col(textCol)), " ").as("__ws"))
+        Decontaminate.normCol(col(textCol)).as("__nrm"))
     // corpus unigram table + total (token-key exchange, vocab-sized out)
-    val unis = toks.select(explode(col("__ws")).as("__w1"))
+    val unis = toks
+      .select(explode(Decontaminate.wordGrams(col("__nrm"), 1)).as("__w1"))
       .groupBy(col("__w1")).agg(count(lit(1)).as("__cu"))
     val total = unis.agg(sum(col("__cu")).as("__total"))
-    // scan-side bigram stream: ws[i-1] ++ ' ' ++ ws[i], i in [1, n-1]
-    val bis = toks
-      .filter(size(col("__ws")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(__ws) - 1), " +
-          "i -> struct(element_at(__ws, i) as w1, " +
-          "element_at(__ws, i + 1) as w2, " +
-          "concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)) " +
-          "as bi))")).as("__e"))
-      .select(col(idCol), col("__e.w1").as("__w1"),
-        col("__e.w2").as("__w2"), col("__e.bi").as("__bi"))
-    // a distinct bigram string determines (w1, w2), so grouping by all
-    // three keeps bigram cardinality while making both unigram
-    // attachments plain equi-joins on the vocab-sized side
-    val bcnt = bis.groupBy(col("__w1"), col("__w2"), col("__bi"))
-      .agg(count(lit(1)).as("__cb"))
+    // scan-side bigram stream: every adjacent pair as ONE space-joined
+    // string (docs with < 2 tokens yield the empty gram array — the old
+    // size(__ws) >= 2 filter, by construction)
+    val bis = toks.select(col(idCol),
+      explode(Decontaminate.wordGrams(col("__nrm"), 2)).as("__bi"))
+    // a distinct bigram string determines (w1, w2) — tokens carry no
+    // spaces, so the halves split back out losslessly AFTER the
+    // vocab-sized aggregate, keeping the exchange key narrow and the
+    // unigram attachments plain equi-joins
+    val bcnt = bis.groupBy(col("__bi")).agg(count(lit(1)).as("__cb"))
+      .select(substring_index(col("__bi"), " ", 1).as("__w1"),
+        substring_index(col("__bi"), " ", -1).as("__w2"),
+        col("__bi"), col("__cb"))
     // per-distinct-bigram interpolated logprob, micros-rounded ONCE
     val lp = bcnt
       .join(unis, Seq("__w1"))
