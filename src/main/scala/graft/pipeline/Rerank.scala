@@ -106,20 +106,28 @@ object Rerank {
     import sp.implicits._
     val cand = candidates.select(col(idCol).cast("long").as("__id"),
       col(relCol).cast("double").as("__rel"))
+    // LEFT join so one evaluation answers everything (round 19: the old
+    // inner-join form re-ran the ENTIRE candidate pipeline a second
+    // time for a `cand.count()` coverage check — several extra job
+    // waves per call): a candidate missing its vector survives as a
+    // null __v row and fails the coverage require below; a duplicated
+    // vector row duplicates its id and fails the distinctness require —
+    // the same two failure modes the count equality caught.
     val cv = Caches.persistTracked(cand.join(
       vectors.select(col(idCol).cast("long").as("__id"),
-        col(vecCol).as("__v")), Seq("__id")))
-    val pool = cv.select(col("__id"), col("__rel")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1))
+        col(vecCol).as("__v")), Seq("__id"), "left"))
+    val pool = cv.select(col("__id"), col("__rel"),
+        col("__v").isNull.as("__miss")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
     require(pool.length <= maxCandidates,
       s"MMR pool ${pool.length} exceeds $maxCandidates — MMR is a " +
         "bounded second-stage op; shrink the candidate list (refusing, " +
         "not truncating)")
-    val relById = pool.toMap
+    require(!pool.exists(_._3),
+      "every candidate needs exactly one vector row")
+    val relById = pool.map(p => p._1 -> p._2).toMap
     require(relById.size == pool.length,
       "candidate ids must be distinct")
-    require(pool.length == cand.count(),
-      "every candidate needs exactly one vector row")
     val a = cv.select(col("__id").as("__a"), col("__v").as("__va"))
     val b = cv.select(col("__id").as("__b"), col("__v").as("__vb"))
     val sims = a.crossJoin(broadcast(b))

@@ -30,9 +30,19 @@ object WaveProbe {
     val tasks = new AtomicInteger(0)
     val taskNanos = new AtomicLong(0L)
     val gcNanos = new AtomicLong(0L)
+    val trace = sys.env.contains("WAVE_TRACE")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (trace) {
+          val d = Option(j.properties)
+            .map(_.getProperty("spark.job.description", "")).getOrElse("")
+          val cs = Option(j.properties)
+            .map(_.getProperty("callSite.short", "")).getOrElse("")
+          println(s"  JOB ${j.jobId} stages=${j.stageIds.size} " +
+            s"desc=$d site=$cs")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
