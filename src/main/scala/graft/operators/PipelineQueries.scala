@@ -1984,12 +1984,12 @@ object PipelineQueries {
   private[graft] def appendShingleSet(df: DataFrame, src: String,
       out: String, n: Int): DataFrame = {
     val nrm = out + "_nrm"
+    // char_windows(…, n, 1) IS the shingle stream (one codegen'd offset
+    // pass, round 19) — the transform(sequence…substr) HOF it replaces
+    // re-ran an interpreted lambda per shingle; values including the
+    // < n chars → empty and null → null edges are identical
     df.withColumn(nrm, builtinNorm(col(src)))
-      .withColumn(out,
-        when(length(col(nrm)) < n, array().cast("array<string>"))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), length(col(nrm)) - (n - 1)),
-            i => col(nrm).substr(i, lit(n))))))
+      .withColumn(out, array_distinct(char_windows(col(nrm), n, 1)))
       .drop(nrm)
   }
 

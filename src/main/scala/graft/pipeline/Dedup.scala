@@ -1235,13 +1235,11 @@ object Dedup {
       df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol).as("__id"),
         Decontaminate.normCol(col(textCol)).as("__norm"))
-      .select(col("__id"), explode(
-        when(length(col("__norm")) >= window,
-          transform(
-            sequence(lit(1), length(col("__norm")) - (window - 1),
-              lit(stride)),
-            p => col("__norm").substr(p, lit(window))))
-          .otherwise(array().cast("array<string>"))).as("__win"))
+      // one codegen'd offset pass per doc (round 19): the old
+      // transform(sequence(…), p -> substr(p, window)) HOF ran an
+      // interpreted lambda plus an O(len) position scan per window
+      .select(col("__id"),
+        explode(char_windows(col("__norm"), window, stride)).as("__win"))
     val wins = Caches.persistTracked(
       if (hashed) winsRaw.select(col("__id"), xxhash64(col("__win")).as("__win"))
       else winsRaw)

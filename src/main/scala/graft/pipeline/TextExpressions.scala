@@ -495,6 +495,64 @@ object TextGrams {
     }
     new GenericArrayData(out)
   }
+
+  /** Strided code-point windows — see [[CharWindowsExpr]]. Offsets of
+    * every code point are computed once; each window is one byte-slice
+    * allocation. */
+  def charWindows(s: UTF8String, window: Int,
+      stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // byte offset of each code point start, plus the end sentinel
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < len) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(c) = len
+    val n = c
+    if (n < window) return Empty
+    val count = (n - window) / stride + 1
+    val out = new Array[Any](count)
+    var w = 0
+    var p = 0
+    while (w < count) {
+      out(w) = UTF8String.fromBytes(bytes, offs(p),
+        offs(p + window) - offs(p))
+      w += 1
+      p += stride
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Strided character windows (and, at stride 1, character shingles) of a
+  * string as ONE codegen'd pass — byte-for-byte the rows
+  * `transform(sequence(1, length(s) - (window-1), stride),
+  *   p -> substr(s, p, window))` produced (SQL SUBSTR semantics: 1-based
+  * CODE-POINT positions), with the code-point byte offsets computed once
+  * per string instead of an interpreted lambda + O(n) position scan per
+  * window. Fewer than `window` code points → empty array (the callers'
+  * `when(length < window, …)` guard); null → null (what the old
+  * `otherwise` branch evaluated to on null input). Backs
+  * [[graft.pipeline.Dedup.substringDup]]'s strided windows and the
+  * certificate-side shingle sets. */
+case class CharWindowsExpr(child: Expression, window: Int, stride: Int)
+    extends TextUnaryExpr {
+  require(window >= 1 && stride >= 1,
+    s"window/stride must be >= 1: $window/$stride")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_windows requires a STRING child, got ${child.dataType.sql}")
+  override def nullSafeEval(v: Any): Any =
+    TextGrams.charWindows(v.asInstanceOf[UTF8String], window, stride)
+  override def prettyName: String = "char_windows"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** Word n-grams of a pre-normalized text column as ONE codegen'd pass
@@ -576,4 +634,7 @@ object TextFunctions {
     graftbridge.column(BpeTokenCountExpr(graftbridge.expression(c)))
   def word_grams(c: Column, n: Int): Column =
     graftbridge.column(WordGramsExpr(graftbridge.expression(c), n))
+  def char_windows(c: Column, window: Int, stride: Int): Column =
+    graftbridge.column(CharWindowsExpr(graftbridge.expression(c),
+      window, stride))
 }
