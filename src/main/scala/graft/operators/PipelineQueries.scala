@@ -492,8 +492,14 @@ object PipelineQueries {
       // projected at sf10 — while the slice certifies the same
       // cross-engine regex agreement at every SF for a flat price. The
       // operator itself is a stateless scan (Redact's scaladoc).
-      Tables.documents(s, d).filter(col("text").isNotNull)
-        .filter(col("doc_id") < 10000)
+      // spreadSmall (round 19): the regex work is scan-side CPU and the
+      // slice reads a handful of row groups — without the spread the 8
+      // passes serialized on 4 of 32 cores. The slice filter stays
+      // INSIDE the spread argument so it still pushes into the parquet
+      // scan (only slice survivors shuffle).
+      Decontaminate.spreadSmall(
+          Tables.documents(s, d).filter(col("text").isNotNull)
+            .filter(col("doc_id") < 10000), col("doc_id"))
         .select(col("doc_id"), aug.as("__t"))
         .select(col("doc_id"),
           Redact.countOf(col("__t"), "email").cast("long").as("n_email"),
