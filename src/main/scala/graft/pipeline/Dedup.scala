@@ -1015,10 +1015,17 @@ object Dedup {
     // list a SECOND time and paid a join's AQE planning wave — collapses
     // to one exchange + per-partition sort. Per round: 7 exchanges → 4,
     // and the 2E-row sym list crosses the wire once, not twice. Skew
-    // shape is unchanged (the old join also hash-partitioned by src);
-    // row sets are provably identical at every round (min over the same
-    // groups, emitted rows the same set), so round count, fingerprints
-    // and labels are bit-identical.
+    // PARTITIONING is unchanged (the old join also hash-partitioned by
+    // src), but the old groupBy-min + join pair was eligible for AQE
+    // skewed-join splitting while WindowExec is not: a hot src (giant
+    // star component) sorts and buffers its whole group in ONE task's
+    // row buffer (r19 advisor). Large-star bounds that exposure — each
+    // round strictly shrinks hot-node degree toward the component min —
+    // but if a hot component ever dominates the CC round task times at
+    // corpus scale, switch the large-star step to a salted two-phase
+    // min. Row sets are provably identical at every round (min over the
+    // same groups, emitted rows the same set), so round count,
+    // fingerprints and labels are bit-identical.
     val wSrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
     while (rounds < maxIter && !converged) {

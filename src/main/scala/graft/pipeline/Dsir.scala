@@ -48,9 +48,13 @@ object Dsir {
     * text column — two codegen'd [[WordGramsExpr]] passes (round 19;
     * the split + zip_with/slice/concat_ws HOF form it replaces ran an
     * interpreted lambda per bigram and re-evaluated the split array per
-    * reference). Identical values: 1-grams are the split tokens
-    * (including the [""] empty-text edge), 2-grams the adjacent pairs,
-    * both under the same single-space join. */
+    * reference). Identical values FOR NON-NULL TEXT: 1-grams are the
+    * split tokens (including the [""] empty-text edge), 2-grams the
+    * adjacent pairs, both under the same single-space join. NULL text
+    * yields an EMPTY array (WordGramsExpr is null→empty), where the old
+    * split+concat form returned NULL — every caller (gramStream, the
+    * streaming dsirScore) filters `isNotNull` first, so keep that
+    * filter if you add one (r19 advisor). */
   private[graft] def gramArrayFromNorm(norm: Column): Column =
     concat(Decontaminate.wordGrams(norm, 1), Decontaminate.wordGrams(norm, 2))
 
@@ -190,7 +194,7 @@ object Dsir {
 }
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -203,10 +207,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * codegen constant-pool limits (the [[SqScoreExpr]] discipline: model
   * constants belong in the expression object, not the expression TREE).
   * The per-bucket arithmetic is table lookups of the identical
-  * [[Dsir.lnMicros]] integers, so stream ≡ batch stays bit-exact. */
+  * [[Dsir.lnMicros]] integers, so stream ≡ batch stays bit-exact.
+  * Whole-stage codegen calls [[score]] on the expression bound as a
+  * reference object (round 20 — CodegenFallback split the scoring
+  * stage's WSCG span). */
 case class DsirGramScoreExpr(child: Expression,
     table: Map[Long, Long], default: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
@@ -223,8 +230,7 @@ case class DsirGramScoreExpr(child: Expression,
           .TypeCheckFailure(s"$prettyName requires array<bigint>, got $other")
     }
 
-  override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
+  def score(arr: ArrayData): Long = {
     val n = arr.numElements()
     var s = 0L
     var i = 0
@@ -234,6 +240,16 @@ case class DsirGramScoreExpr(child: Expression,
       i += 1
     }
     s
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    score(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dsirScore", this,
+      classOf[DsirGramScoreExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$self.score($c)")
   }
 
   override protected def withNewChildInternal(c: Expression)

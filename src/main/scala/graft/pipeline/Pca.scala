@@ -194,21 +194,22 @@ object Pca {
 }
 
 /** Fused PCA projection: `out(j) = Σ_d (x_d − μ_d)·Q_jd` as one compact
-  * interpreted loop, centered differences computed once and reused
-  * across the k axes. Per-dim sums run in the SAME sequential array
-  * order as the HOF formulation it replaces, so values are
-  * bit-identical. */
+  * loop, centered differences computed once and reused across the k
+  * axes. Per-dim sums run in the SAME sequential array order as the HOF
+  * formulation it replaces, so values are bit-identical. Whole-stage
+  * codegen calls [[projectRow]] on the expression bound as a reference
+  * object (round 20 — CodegenFallback split the projection stage's WSCG
+  * span; the model constants stay in the expression OBJECT, never the
+  * tree). */
 case class PcaProjectExpr(child: Expression, mean: Array[Double],
     components: Array[Array[Double]])
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pca_project"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def projectRow(arr: ArrayData): ArrayData = {
     val d = mean.length
     require(arr.numElements() == d,
       s"pca_project: vector has ${arr.numElements()} dims, expected $d")
@@ -226,6 +227,18 @@ case class PcaProjectExpr(child: Expression, mean: Array[Double],
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    projectRow(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("pcaProject", this,
+      classOf[PcaProjectExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$self.projectRow($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): PcaProjectExpr =

@@ -254,18 +254,35 @@ object Pq {
         explode(col("__probe")).as("__cluster"))
     scoreAndRank(broadcast(probed).join(coded, Seq("__cluster")), m, topK)
   }
+
+  // whole-stage-codegen entry points for the PQ expressions: same
+  // kernels as the interpreted eval, ArrayData-typed so generated Java
+  // links the static forwarders directly (the TextHash discipline)
+  def encodeRowArr(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      books: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      encodeRow(v, books))
+
+  def tableRowArr(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      books: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tableRow(v, books).map(r =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(r): Any))
 }
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
-/** PQ code array for a float-vector column (compact interpreted loop —
-  * see [[Pq.encodeRow]]'s scaladoc for why not a literal tree). */
+/** PQ code array for a float-vector column (compact loop — see
+  * [[Pq.encodeRow]]'s scaladoc for why not a literal tree; the books
+  * bind into codegen as a reference object, round 20). */
 case class PqEncodeExpr(child: Expression,
     books: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   // float arrays ONLY (the kernels read via getFloat): an array<double>
   // child would silently misread UnsafeArrayData bytes as garbage codes
@@ -280,7 +297,12 @@ case class PqEncodeExpr(child: Expression,
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(Pq.encodeRow(v.asInstanceOf[ArrayData], books))
+    Pq.encodeRowArr(v.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.Pq.encodeRowArr($c, $b)")
+  }
   override def prettyName: String = "pq_encode"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -288,7 +310,7 @@ case class PqEncodeExpr(child: Expression,
 /** Per-query ADC lookup table: m×k partial inner products. */
 case class PqTableExpr(child: Expression,
     books: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -302,8 +324,12 @@ case class PqTableExpr(child: Expression,
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(Pq.tableRow(v.asInstanceOf[ArrayData], books)
-      .map(r => new GenericArrayData(r): Any))
+    Pq.tableRowArr(v.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.Pq.tableRowArr($c, $b)")
+  }
   override def prettyName: String = "pq_table"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -186,16 +186,18 @@ object Rerank {
 }
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Fused exact-MIPS integer scorer: `Σ_d micros(q_d·x_d)` over two
-  * float vectors as one compact interpreted loop — the [[SqScoreExpr]]
-  * per-dim tree without the affine code fold, so the re-rank pass and
-  * its DuckDB oracle compute the identical integers. */
+  * float vectors as one compact loop ([[VectorOps.dotMicros]]) — the
+  * [[SqScoreExpr]] per-dim tree without the affine code fold, so the
+  * re-rank pass and its DuckDB oracle compute the identical integers.
+  * Codegen'd via the static kernel (round 20 — CodegenFallback split
+  * the re-rank stage's WSCG span). */
 case class ExactDotMicrosExpr(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
@@ -213,21 +215,13 @@ case class ExactDotMicrosExpr(left: Expression, right: Expression)
             s"$prettyName requires two array<float> inputs, got $other")
     }
 
-  override def nullSafeEval(q: Any, x: Any): Any = {
-    val qa = q.asInstanceOf[ArrayData]
-    val xa = x.asInstanceOf[ArrayData]
-    val d = qa.numElements()
-    require(xa.numElements() == d,
-      s"$prettyName: got $d/${xa.numElements()} dims")
-    var s = 0L
-    var i = 0
-    while (i < d) {
-      val term = qa.getFloat(i).toDouble * xa.getFloat(i).toDouble
-      s += math.floor(term * 1000000.0 + 0.5).toLong
-      i += 1
-    }
-    s
-  }
+  override def nullSafeEval(q: Any, x: Any): Any =
+    VectorOps.dotMicros(q.asInstanceOf[ArrayData], x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, x) =>
+      s"graft.pipeline.VectorOps.dotMicros($q, $x)")
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): ExactDotMicrosExpr = copy(left = l, right = r)

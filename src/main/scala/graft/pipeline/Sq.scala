@@ -163,27 +163,27 @@ object Sq {
 }
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Fused SQ8 ADC scorer: `Σ_d micros(q_d·(min_d + step_d·c_d))` as one
-  * compact interpreted loop — the exact per-dim double tree of the HOF
-  * formulation it replaces (so the DuckDB oracle is unchanged), minus
-  * the per-pair index-array materialization and lambda frames (the
-  * [[PqEncodeExpr]] discipline: interpreted-but-tight beats
-  * codegen'd-but-allocating for fixed small loops). */
+  * compact loop — the exact per-dim double tree of the HOF formulation
+  * it replaces (so the DuckDB oracle is unchanged), minus the per-pair
+  * index-array materialization and lambda frames (the [[PqEncodeExpr]]
+  * discipline: model constants live in the expression OBJECT, bound
+  * into codegen as a reference, never as a literal tree). Whole-stage
+  * codegen calls [[score]] directly (round 20 — CodegenFallback here
+  * split the scoring stage's WSCG span and re-boxed a row per pair). */
 case class SqScoreExpr(left: Expression, right: Expression,
     mins: Array[Double], steps: Array[Double])
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "sq_adc_score"
 
-  override def nullSafeEval(q: Any, c: Any): Any = {
-    val qa = q.asInstanceOf[ArrayData]
-    val ca = c.asInstanceOf[ArrayData]
+  def score(qa: ArrayData, ca: ArrayData): Long = {
     val d = mins.length
     require(qa.numElements() == d && ca.numElements() == d,
       s"sq_adc_score: got ${qa.numElements()}/${ca.numElements()} dims, " +
@@ -197,6 +197,16 @@ case class SqScoreExpr(left: Expression, right: Expression,
       i += 1
     }
     s
+  }
+
+  override def nullSafeEval(q: Any, c: Any): Any =
+    score(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sqScore", this,
+      classOf[SqScoreExpr].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$self.score($q, $c)")
   }
 
   override protected def withNewChildrenInternal(l: Expression,

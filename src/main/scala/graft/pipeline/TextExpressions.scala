@@ -2,8 +2,8 @@ package graft.pipeline
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -207,6 +207,75 @@ object TextHash {
     }
     out.toArray
   }
+
+  // ---- whole-stage-codegen entry points ------------------------------
+  // Static forwarders with UTF8String/ArrayData signatures so generated
+  // Java calls the SAME kernels the interpreted eval runs — no boxing, no
+  // InternalRow, and (the point) no CodegenFallback splitting the WSCG
+  // span of every projection/aggregate these appear in (the GeoOps
+  // discipline). TextHash is a standalone object, so the Scala compiler
+  // emits real static forwarders the generated code can link against.
+
+  def minhashArr(s: UTF8String, k: Int, shingle: Int): ArrayData =
+    new GenericArrayData(minhash(s.toString, k, shingle))
+
+  def shingleSetArr(s: UTF8String, shingle: Int): ArrayData =
+    new GenericArrayData(shingleSet(s.toString, shingle))
+
+  def winnowArr(s: UTF8String, shingle: Int, window: Int): ArrayData =
+    new GenericArrayData(winnow(s.toString, shingle, window))
+
+  def simhashU(s: UTF8String): Long = simhash(s.toString)
+
+  def fingerprintU(s: UTF8String): Long = {
+    val n = normalize(s.toString)
+    mix(fnv1a(n, 0, n.length))
+  }
+
+  def jaccardU(a: UTF8String, b: UTF8String, shingle: Int): Double =
+    jaccard(a.toString, b.toString, shingle)
+
+  def langidU(s: UTF8String): UTF8String =
+    UTF8String.fromString(LangProfiles.detect(s.toString))
+
+  def normalizeTo(s: UTF8String, form: java.text.Normalizer.Form): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, form))
+
+  /** Intersection size of two SORTED long arrays — see
+    * [[SortedIntersectSize]]. */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val nx = a.numElements(); val ny = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < nx && j < ny) {
+      val xv = a.getLong(i); val yv = b.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Deflate-compressed length — see [[DeflateLen]]. One native Deflater
+    * + output buffer per task thread (per-row new/end pays native zlib
+    * stream setup/teardown on every document); reset() restores the
+    * configured level, end() is left to thread death (bounded by the
+    * executor pool size). */
+  def deflateLen(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes); d.finish()
+    val buf = localDeflateBuf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  private val localDeflater =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, false))
+  private val localDeflateBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 }
 
 /** Tiny stopword-profile language identifier (n-gram/lexicon heuristic).
@@ -265,8 +334,27 @@ object LangProfiles {
 
 // ---- expressions ---------------------------------------------------------
 
-abstract class TextUnaryExpr extends UnaryExpression with CodegenFallback {
+/** Base for the unary text expressions: null-intolerant, string-typed
+  * input enforced at ANALYSIS time (the [[TokenCountExpr]] rationale: a
+  * non-string child would stringify fine interpreted but emit invalid
+  * Java under codegen), and REAL whole-stage codegen — each subclass
+  * names its static kernel call via [[genCall]]. These were
+  * CodegenFallback through round 19, which evicted every projection and
+  * partial aggregate they appear in from the WSCG span (the scan-side
+  * hashing stages of the dedup/fingerprint gates ran interpreted,
+  * re-boxing an InternalRow per row); the kernels are identical either
+  * way, so the span is free. */
+abstract class TextUnaryExpr extends UnaryExpression {
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got ${child.dataType.sql}")
+  /** The Java call computing this expression from the child value `c`. */
+  protected def genCall(ctx: CodegenContext, c: String): String
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => genCall(ctx, c))
 }
 
 /** Deterministic subword-budget token count — a tokenizer-GRADE (not
@@ -309,24 +397,29 @@ case class MinHashSig(child: Expression, numHashes: Int = 64, shingle: Int = 5)
     extends TextUnaryExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextHash.minhash(v.toString, numHashes, shingle))
+    TextHash.minhashArr(v.asInstanceOf[UTF8String], numHashes, shingle)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextHash.minhashArr($c, $numHashes, $shingle)"
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class SimHash64(child: Expression) extends TextUnaryExpr {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = TextHash.simhash(v.toString)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.simhashU(v.asInstanceOf[UTF8String])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextHash.simhashU($c)"
   override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class Fingerprint64(child: Expression) extends TextUnaryExpr {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val n = TextHash.normalize(v.toString)
-    TextHash.mix(TextHash.fnv1a(n, 0, n.length))
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.fingerprintU(v.asInstanceOf[UTF8String])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextHash.fingerprintU($c)"
   override def prettyName: String = "fingerprint64"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -335,7 +428,9 @@ case class WinnowFingerprints(child: Expression, shingle: Int = 5, window: Int =
     extends TextUnaryExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextHash.winnow(v.toString, shingle, window))
+    TextHash.winnowArr(v.asInstanceOf[UTF8String], shingle, window)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextHash.winnowArr($c, $shingle, $window)"
   override def prettyName: String = "winnow_fingerprints"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -344,7 +439,9 @@ case class ShingleSet(child: Expression, shingle: Int = 5)
     extends TextUnaryExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextHash.shingleSet(v.toString, shingle))
+    TextHash.shingleSetArr(v.asInstanceOf[UTF8String], shingle)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextHash.shingleSetArr($c, $shingle)"
   override def prettyName: String = "shingle_set"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -353,22 +450,16 @@ case class ShingleSet(child: Expression, shingle: Int = 5)
   * [[ShingleSet]]): allocation-free two-pointer merge, O(|A|+|B|) — the
   * exact-Jaccard verify step without per-pair re-hashing of the texts. */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val nx = x.numElements(); val ny = y.numElements()
-    var i = 0; var j = 0; var n = 0
-    while (i < nx && j < ny) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { n += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
-    }
-    n
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedIntersectSize(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.pipeline.TextHash.sortedIntersectSize($a, $b)")
   override def prettyName: String = "sorted_intersect_size"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -377,17 +468,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 case class LangId(child: Expression) extends TextUnaryExpr {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(LangProfiles.detect(v.toString))
+    TextHash.langidU(v.asInstanceOf[UTF8String])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextHash.langidU($c)"
   override def prettyName: String = "langid"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class JaccardShingle(left: Expression, right: Expression, shingle: Int = 5)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
-    TextHash.jaccard(a.toString, b.toString, shingle)
+    TextHash.jaccardU(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], shingle)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.pipeline.TextHash.jaccardU($a, $b, $shingle)")
   override def prettyName: String = "jaccard_shingle"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -406,8 +504,12 @@ case class UnicodeNormalize(child: Expression, form: String = "NFC")
   private val normForm = java.text.Normalizer.Form.valueOf(form)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.text.Normalizer.normalize(v.toString, normForm))
+    TextHash.normalizeTo(v.asInstanceOf[UTF8String], normForm)
+  override protected def genCall(ctx: CodegenContext, c: String): String = {
+    val f = ctx.addReferenceObj("normForm", normForm,
+      "java.text.Normalizer.Form")
+    s"graft.pipeline.TextHash.normalizeTo($c, $f)"
+  }
   override def prettyName: String = "unicode_normalize"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -422,35 +524,13 @@ case class UnicodeNormalize(child: Expression, form: String = "NFC")
   * so the gate certifies internal invariants (ratio bounds and
   * doubled-text sub-additivity) rather than a cross-engine hash. */
 case class DeflateLen(child: Expression) extends TextUnaryExpr {
-  import DeflateLen.{localBuf, localDeflater}
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .getBytes
-    // reuse one native Deflater + buffer per task thread (review
-    // finding): per-row new/end pays native zlib stream setup and
-    // teardown on every document — pure constant overhead at the
-    // corpus-scale scan this expression exists for. reset() restores
-    // the configured level; end() is left to thread death (bounded by
-    // executor pool size).
-    val d = localDeflater.get()
-    d.reset()
-    d.setInput(bytes); d.finish()
-    val buf = localBuf.get()
-    var total = 0L
-    while (!d.finished()) total += d.deflate(buf)
-    total
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.deflateLen(v.asInstanceOf[UTF8String])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextHash.deflateLen($c)"
   override def prettyName: String = "deflate_len"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
-}
-
-object DeflateLen {
-  private val localDeflater =
-    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
-      new java.util.zip.Deflater(6, false))
-  private val localBuf =
-    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 }
 
 /** Byte-level word n-gram builder backing [[WordGramsExpr]]. */
@@ -545,12 +625,10 @@ case class CharWindowsExpr(child: Expression, window: Int, stride: Int)
   require(window >= 1 && stride >= 1,
     s"window/stride must be >= 1: $window/$stride")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"char_windows requires a STRING child, got ${child.dataType.sql}")
   override def nullSafeEval(v: Any): Any =
     TextGrams.charWindows(v.asInstanceOf[UTF8String], window, stride)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"graft.pipeline.TextGrams.charWindows($c, $window, $stride)"
   override def prettyName: String = "char_windows"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -43,6 +43,23 @@ object VectorOps {
     eq.toDouble / n
   }
 
+  /** `Σ_d micros(q_d·x_d)` over two float vectors — the
+    * [[graft.pipeline.ExactDotMicrosExpr]] kernel (static here so
+    * whole-stage codegen links it directly). */
+  def dotMicros(qa: ArrayData, xa: ArrayData): Long = {
+    val d = qa.numElements()
+    require(xa.numElements() == d,
+      s"exact_dot_micros: got $d/${xa.numElements()} dims")
+    var s = 0L
+    var i = 0
+    while (i < d) {
+      val term = qa.getFloat(i).toDouble * xa.getFloat(i).toDouble
+      s += math.floor(term * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
   def dot(a: ArrayData, b: ArrayData, floatInput: Boolean): Double = {
     val n = a.numElements()
     var acc = 0.0
@@ -60,8 +77,14 @@ object VectorOps {
     * component is the SAME `planeComponent(p, j, seed_t).toFloat.toDouble`
     * value the per-bit literal-array formulation bound into the plan, and
     * the dot accumulates left-to-right in double exactly like
-    * [[dot]]'s float path — bucket values are bit-identical to the old
-    * `when(dot >= 0, 1L << p)` chain (NaN compares false there too). */
+    * [[dot]]'s float path — bucket values are identical to the old
+    * `when(dot >= 0, 1L << p)` chain for every FINITE dot product.
+    * NaN is out of contract (r19 advisor): Spark SQL orders NaN greater
+    * than any double, so the old SQL chain SET the bit on a NaN dot,
+    * while Java's `acc >= 0` leaves it unset. Corpus embeddings are
+    * finite by construction (fixtures + oracle certify finite floats,
+    * and a NaN component would already have poisoned every distance
+    * gate), so no per-element guard is paid here. */
   def lshBuckets(v: ArrayData, planes: Array[Double], dim: Int, bits: Int,
       tables: Int, floatInput: Boolean): ArrayData = {
     val out = new Array[Long](tables)
