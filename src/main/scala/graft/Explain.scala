@@ -22,7 +22,12 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     graft.geo.GeoRegistry.install(spark)
     val mode = if (args.length > 2) args(2) else "formatted"
-    SparkEntry.queries(name)(spark, sfDir).explain(mode)
+    // comma-separated names run in ONE JVM with per-query markers, so a
+    // batch of plan captures doesn't pay 13 session startups
+    name.split(',').filter(_.nonEmpty).foreach { q =>
+      println(s"=== GRAFT_EXPLAIN $q ===")
+      SparkEntry.queries(q)(spark, sfDir).explain(mode)
+    }
     spark.stop()
   }
 }
